@@ -1,0 +1,101 @@
+"""Text-analysis column functions: tokenization, shingles, MinHash,
+SimHash, quality stats (SURVEY.md §7 step 7 / training-data extensions).
+
+Everything stays JVM-side (built-in higher-order functions — transform /
+filter / aggregate over arrays), so the hot path is codegen'd and
+shuffle payloads are the derived values, never raw Python objects.
+
+Hash design note: signatures are built from md5 hex strings (seeded by
+concatenation) rather than xxhash64, so the DuckDB oracle can compute
+bit-identical values — md5 is deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small English stopword list (public, ubiquitous). Used for quality
+# ratios and the language-ID heuristic.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+
+def tokens(col: Column) -> Column:
+    """Lowercase whitespace tokens, empties dropped (T10/T12)."""
+    return F.filter(
+        F.split(F.trim(F.lower(col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def clean_tokens(col: Column) -> Column:
+    """Tokens with non-alphanumerics stripped (T11), empties dropped."""
+    return F.filter(
+        F.transform(tokens(col), lambda t: F.regexp_replace(t, "[^a-z0-9]", "")),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles as strings (word n-grams).
+
+    ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice))`` —
+    all built-in array ops, 1-indexed to mirror the DuckDB oracle.
+    """
+    # Guard: Spark's sequence(1, stop) counts *down* when stop < 1, so
+    # short docs must short-circuit to an empty array explicitly.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tok) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_sig(shingle_col: Column, seed: int) -> Column:
+    """One MinHash component: lexicographic min of seeded md5 over the
+    shingle set. Null-safe: empty shingle set → null.
+    """
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def stopword_ratio(tok: Column) -> Column:
+    """Fraction of tokens that are stopwords; 0.0 for empty docs."""
+    stop = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS)))
+    return F.when(F.size(tok) > 0, stop / F.size(tok)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(tok: Column) -> Column:
+    total = F.aggregate(
+        F.transform(tok, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(F.size(tok) > 0, total / F.size(tok)).otherwise(F.lit(0.0))
+
+
+def simhash16(tok: Column) -> Column:
+    """16-bit SimHash as a '0'/'1' string of length 16.
+
+    Bit i is the sign of sum over tokens of ±1, where the vote of a
+    token at position i is +1 iff hex digit i of md5(token) >= '8'
+    (i.e. the high bit of that nibble). String/md5-based so the DuckDB
+    oracle reproduces it exactly; at scale this is one pass over the
+    token array per row, no explode, no shuffle.
+    """
+    bits = []
+    for i in range(1, 17):
+        vote = F.aggregate(
+            F.transform(
+                tok,
+                lambda t: F.when(F.substring(F.md5(t), i, 1) >= "8", 1).otherwise(-1),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

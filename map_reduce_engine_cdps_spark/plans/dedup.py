@@ -1,0 +1,263 @@
+"""Deduplication queries over `documents`: exact, MinHash-LSH near-dup,
+SimHash, n-gram Jaccard verification (training-data extensions; SURVEY.md
+§7 step 7).
+
+Scale design: every dedup here is shuffle-bounded by *buckets*, never by
+O(n²) pairs — exact dedup hashes then groups; MinHash-LSH joins docs only
+within a band bucket; Jaccard runs only on LSH candidates. At 100 TB the
+band self-join is the standard bucketed-equi-join shape (AQE handles the
+occasional hot bucket via skew-join splitting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.functions import text as TX
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+N_MINHASH = 8          # minhash components
+BAND_ROWS = 4          # components per band → 2 bands
+SHINGLE_N = 3          # 3-token shingles
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    tok = TX.tokens(F.col("text"))
+    return docs.withColumn("shingles", TX.shingles(tok, SHINGLE_N))
+
+
+def _with_minhash_bands(docs: DataFrame) -> DataFrame:
+    """Add minhash signature components + band keys (md5-seeded minima,
+    reproducible in any engine — see functions/text.py)."""
+    d = _with_shingles(docs)
+    for s in range(N_MINHASH):
+        d = d.withColumn(f"mh{s}", TX.minhash_sig(F.col("shingles"), s))
+    n_bands = N_MINHASH // BAND_ROWS
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        d = d.withColumn(f"band{b}", F.md5(F.concat_ws("|", *parts)))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — exact dedup on content hash: survivors = min doc_id per
+# fingerprint (hash-groupBy; the canonical 100 TB exact-dedup shape —
+# shuffle carries (hash, doc_id), not text).
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash_signatures — per-doc MinHash signature + band keys. Split out as
+# its own oracle-checked query so the signature math (the hard part) is
+# verified independently of the pair generation.
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = _with_minhash_bands(docs)
+    return d.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.col("mh0"),
+        F.col("mh1"),
+        F.col("band0"),
+        F.col("band1"),
+    )
+
+
+_DUCK_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS toks
+    FROM documents
+  )
+"""
+
+_DUCK_MH = (
+    "list_min(list_transform(shingles, s -> md5('{seed}|' || s)))"
+)
+
+
+def _duck_bands_cte() -> str:
+    mh_cols = ",\n         ".join(
+        _DUCK_MH.format(seed=s) + f" AS mh{s}" for s in range(N_MINHASH)
+    )
+    n_bands = N_MINHASH // BAND_ROWS
+    # concat_ws (not ||) so a null component degrades the same way as
+    # Spark's F.concat_ws instead of nulling the whole band key.
+    band_cols = ",\n         ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + f")) AS band{b}"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+mh AS (
+  SELECT doc_id, shingles, len(shingles) AS n_shingles,
+         {mh_cols}
+  FROM sh
+),
+bands AS (
+  SELECT *,
+         {band_cols}
+  FROM mh
+)
+"""
+
+
+MINHASH_SIGNATURES_SQL = (
+    _duck_bands_cte()
+    + "SELECT doc_id, n_shingles, mh0, mh1, band0, band1 FROM bands"
+)
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_pairs — near-duplicate candidate pairs via banded MinHash-LSH,
+# then exact Jaccard verification on the candidates only. This is the
+# not-O(n²) path: the self-join is an equi-join on the band key.
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = _with_minhash_bands(docs).select(
+        "doc_id", "shingles", "band0", "band1"
+    )
+    n_bands = N_MINHASH // BAND_ROWS
+    bands = None
+    for b in range(n_bands):
+        part = d.select(
+            "doc_id", "shingles", F.col(f"band{b}").alias("band"), F.lit(b).alias("b")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.b") == F.col("b.b")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn(
+            "jaccard", F.round(inter.cast("double") / union.cast("double"), 4)
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = (
+    _duck_bands_cte()
+    + f"""
+, banded AS (
+  SELECT doc_id, shingles, band0 AS band, 0 AS b FROM bands
+  UNION ALL
+  SELECT doc_id, shingles, band1 AS band, 1 AS b FROM bands
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.b = b.b
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
+             4) AS jaccard
+FROM cand
+WHERE len(list_intersect(sh_a, sh_b))::DOUBLE /
+      (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE >= 0.2
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# simhash_buckets — 16-bit SimHash per doc + exact-hash duplicate grouping
+# (near-dup family; hash design in functions/text.py keeps it
+# oracle-reproducible).
+# ---------------------------------------------------------------------------
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", TX.simhash16(tok).alias("simhash"))
+    return d.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
+    )
+
+
+SIMHASH_BUCKETS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         """ + " || ".join(
+    f"""(CASE WHEN list_sum(list_transform(toks,
+           x -> CASE WHEN substr(md5(x), {i}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+         THEN '1' ELSE '0' END)"""
+    for i in range(1, 17)
+) + """ AS simhash
+  FROM t
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM sh GROUP BY simhash
+"""
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_topk — top near-dup pair per document by exact shingle
+# Jaccard among LSH candidates (window over candidate pairs).
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    w = W.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_a", F.col("doc_b").alias("nearest_doc"), "jaccard")
+    )
+
+
+NGRAM_JACCARD_TOPK_SQL = (
+    "WITH pairs AS (" + MINHASH_LSH_PAIRS_SQL + """
+), ranked AS (
+  SELECT doc_a, doc_b, jaccard,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY jaccard DESC, doc_b ASC) AS rn
+  FROM pairs
+)
+SELECT doc_a, doc_b AS nearest_doc, jaccard FROM ranked WHERE rn = 1
+"""
+)

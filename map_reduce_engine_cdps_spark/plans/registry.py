@@ -1,0 +1,115 @@
+"""Query registry: name → ((spark, sf_dir) -> DataFrame, oracle SQL).
+
+Single source of truth for `__spark_entry__.queries()` / `oracle_sql()`
+and for bench.py. Oracle SQL of None ⇒ non-SQL-expressible operator
+(driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from map_reduce_engine_cdps_spark.plans import dedup, relational, similarity, textops
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name: (callable, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- relational core (SURVEY.md §2.3-§2.6) ---
+    "pricing_summary": (relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
+    "danger_topk": (relational.danger_topk, relational.DANGER_TOPK_SQL),
+    "revenue_by_nation": (relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
+    "customers_with_orders": (
+        relational.customers_with_orders,
+        relational.CUSTOMERS_WITH_ORDERS_SQL,
+    ),
+    "customers_without_orders": (
+        relational.customers_without_orders,
+        relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    "distinct_segments": (relational.distinct_segments, relational.DISTINCT_SEGMENTS_SQL),
+    "event_type_counts": (relational.event_type_counts, relational.EVENT_TYPE_COUNTS_SQL),
+    "dedup_on_agg": (relational.dedup_on_agg, relational.DEDUP_ON_AGG_SQL),
+    "segments_per_nation": (
+        relational.segments_per_nation,
+        relational.SEGMENTS_PER_NATION_SQL,
+    ),
+    "mode_per_user_bucket": (
+        relational.mode_per_user_bucket,
+        relational.MODE_PER_USER_BUCKET_SQL,
+    ),
+    "returnflag_accuracy": (
+        relational.returnflag_accuracy,
+        relational.RETURNFLAG_ACCURACY_SQL,
+    ),
+    "label_pairs": (relational.label_pairs, relational.LABEL_PAIRS_SQL),
+    "union_slices": (relational.union_slices, relational.UNION_SLICES_SQL),
+    "top_orders": (relational.top_orders, relational.TOP_ORDERS_SQL),
+    "systematic_sample": (relational.systematic_sample, relational.SYSTEMATIC_SAMPLE_SQL),
+    "train_test_split": (relational.train_test_split, relational.TRAIN_TEST_SPLIT_SQL),
+    "rollup_counts": (relational.rollup_counts, relational.ROLLUP_COUNTS_SQL),
+    "cube_counts": (relational.cube_counts, relational.CUBE_COUNTS_SQL),
+    "running_order_totals": (
+        relational.running_order_totals,
+        relational.RUNNING_ORDER_TOTALS_SQL,
+    ),
+    "quantity_percentiles": (
+        relational.quantity_percentiles,
+        relational.QUANTITY_PERCENTILES_SQL,
+    ),
+    "count_distinct_parts": (
+        relational.count_distinct_parts,
+        relational.COUNT_DISTINCT_PARTS_SQL,
+    ),
+    "status_pivot": (relational.status_pivot, relational.STATUS_PIVOT_SQL),
+    "user_session_duration": (
+        relational.user_session_duration,
+        relational.USER_SESSION_DURATION_SQL,
+    ),
+    "json_props_extract": (
+        relational.json_props_extract,
+        relational.JSON_PROPS_EXTRACT_SQL,
+    ),
+    "tumbling_window_counts": (
+        relational.tumbling_window_counts,
+        relational.TUMBLING_WINDOW_COUNTS_SQL,
+    ),
+    # --- text analysis (T10-T13 + training-data extensions) ---
+    "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
+    "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
+    "lang_id_accuracy": (textops.lang_id_accuracy, textops.LANG_ID_ACCURACY_SQL),
+    "doc_fingerprints": (textops.doc_fingerprints, textops.DOC_FINGERPRINTS_SQL),
+    # --- deduplication ---
+    "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    "minhash_signatures": (dedup.minhash_signatures, dedup.MINHASH_SIGNATURES_SQL),
+    "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
+    "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
+    "ngram_jaccard_topk": (dedup.ngram_jaccard_topk, dedup.NGRAM_JACCARD_TOPK_SQL),
+    # --- similarity search ---
+    "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
+    "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
+    "lsh_ann_topk": (similarity.lsh_ann_topk, similarity.LSH_ANN_TOPK_SQL),
+    "label_centroid_norms": (
+        similarity.label_centroid_norms,
+        similarity.LABEL_CENTROID_NORMS_SQL,
+    ),
+}
+
+
+def QUERIES() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def ORACLE_SQL() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def get_query(name: str) -> QueryFn:
+    return _REGISTRY[name][0]
+
+
+def register(name: str, fn: QueryFn, sql: str | None) -> None:
+    """Extension hook used by later modules (compat shim, streaming)."""
+    _REGISTRY[name] = (fn, sql)

@@ -1,0 +1,711 @@
+"""Relational query battery (SURVEY.md §2.3-§2.6).
+
+Every query here is a pure DataFrame program (Catalyst-optimizable,
+whole-stage codegen, pushdown-friendly) paired with an ANSI-SQL DuckDB
+oracle. Float outputs are rounded identically on both sides so the
+driver's order-insensitive value hash is stable across engines.
+
+Scale notes per query are inline: what shuffles, what broadcasts, and
+why the plan survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.functions import expressions as X
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# pricing_summary — multi-agg by key (T26/T27/T28; reference
+# tasks/accident_analysis.py:110-117 computes count/sum/avg/min/max per key).
+# Scale: single hash-aggregate with map-side partial aggregation; shuffle
+# carries one row per (flag,status) per map task — O(groups), not O(rows).
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_discount), 4)                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# danger_topk — the flagship: Spark-native restatement of the reference's
+# accident analytics (tasks/accident_analysis.py:25-130 + the latent master
+# sort engine/master.py:117-118): CASE bucketing (T14/T15), composite key
+# (T18), multi-agg (T27), derived danger score (T28), formula string (T23),
+# global top-k (T39/E9).
+# Scale: one shuffle on the composite key (partial agg first), then a
+# top-k which Spark executes as TakeOrderedAndProject — no global sort.
+# ---------------------------------------------------------------------------
+
+def danger_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tod = F.when(F.hour("ts") < 12, "AM").otherwise("PM")
+    vtier = (
+        F.when(F.col("value") >= 150, "high")
+        .when(F.col("value") >= 50, "mid")
+        .otherwise("low")
+    )
+    keyed = ev.withColumn("grp_key", X.composite_key(F.col("event_type"), vtier, tod))
+    agg = keyed.groupBy("grp_key").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("value"), 2).alias("avg_impact"),
+        F.round(F.min("value"), 2).alias("min_impact"),
+        F.round(F.max("value"), 2).alias("max_impact"),
+    )
+    log_factor = F.round(F.log(F.col("cnt") + 1), 2)
+    scored = agg.withColumn("log_factor", log_factor).withColumn(
+        "danger_score", F.round(F.col("avg_impact") * F.col("log_factor"), 2)
+    )
+    scored = scored.withColumn(
+        "formula",
+        X.formula_string(F.col("avg_impact"), F.col("log_factor"), F.col("danger_score")),
+    )
+    return scored.orderBy(F.desc("danger_score"), F.asc("grp_key")).limit(20)
+
+
+DANGER_TOPK_SQL = """
+WITH keyed AS (
+  SELECT concat_ws('_', event_type,
+                   CASE WHEN value >= 150 THEN 'high'
+                        WHEN value >= 50 THEN 'mid'
+                        ELSE 'low' END,
+                   CASE WHEN hour(ts) < 12 THEN 'AM' ELSE 'PM' END) AS grp_key,
+         value
+  FROM events
+), agg AS (
+  SELECT grp_key,
+         count(*)            AS cnt,
+         round(avg(value),2) AS avg_impact,
+         round(min(value),2) AS min_impact,
+         round(max(value),2) AS max_impact
+  FROM keyed GROUP BY grp_key
+), scored AS (
+  SELECT *, round(ln(cnt + 1), 2) AS log_factor FROM agg
+)
+SELECT grp_key, cnt, avg_impact, min_impact, max_impact, log_factor,
+       round(avg_impact * log_factor, 2) AS danger_score,
+       avg_impact::VARCHAR || ' * ' || log_factor::VARCHAR || ' = '
+         || round(avg_impact * log_factor, 2)::VARCHAR AS formula
+FROM scored
+ORDER BY danger_score DESC, grp_key ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue_by_nation — the join chain (T35-T38 territory): fact table joined
+# to three dims. Scale: nation/region/customer are small → Catalyst picks
+# broadcast hash joins (no shuffle of lineitem); only the final groupBy
+# shuffles, on a 25-value key, after partial aggregation.
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# customers_with_orders / customers_without_orders — semi/anti join (T37 and
+# the free extras of SURVEY.md §7 step 3; reference semi-join filter is
+# scripts/plants_dataset.ipynb cell 3). Scale: semi/anti joins shuffle only
+# distinct keys of the probe side; with a small dim they broadcast.
+# ---------------------------------------------------------------------------
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct_segments — distinct + sort (T29/T40; reference
+# tasks/plants_classifier.py:50-54 sorted-distinct species ids).
+# ---------------------------------------------------------------------------
+
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+# ---------------------------------------------------------------------------
+# event_type_counts — filtered value_counts (T30; reference
+# scripts/plants_dataset.ipynb get_species_counts).
+# ---------------------------------------------------------------------------
+
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 100.0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+EVENT_TYPE_COUNTS_SQL = """
+SELECT event_type, count(*) AS n
+FROM events WHERE value > 100.0
+GROUP BY event_type ORDER BY n DESC, event_type ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_on_agg — order-sensitive drop_duplicates (T31; reference
+# scripts/plants_dataset.ipynb cell 2 keeps the first species per distinct
+# count). Spark-native: row_number over an explicit deterministic window —
+# never rely on incidental row order at scale.
+# ---------------------------------------------------------------------------
+
+def dedup_on_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    w = W.partitionBy("n_cust").orderBy(F.asc("c_nationkey"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "n_cust")
+    )
+
+
+DEDUP_ON_AGG_SQL = """
+WITH counts AS (
+  SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey
+), ranked AS (
+  SELECT c_nationkey, n_cust,
+         row_number() OVER (PARTITION BY n_cust ORDER BY c_nationkey ASC) AS rn
+  FROM counts
+)
+SELECT c_nationkey, n_cust FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# segments_per_nation — collect-set per key rendered as a sorted CSV string
+# (T32/E7; reference engine/worker.py:146-152 groups values into lists
+# before reduce). String form keeps the oracle hash representation-stable.
+# ---------------------------------------------------------------------------
+
+def segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+SEGMENTS_PER_NATION_SQL = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       count(*) AS n_cust
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# mode_per_user_bucket — majority vote / mode per group (T33; reference
+# scripts/plants_classifier_tester.py:51-56). Deterministic tie-break:
+# higher count first, then lexicographic event_type.
+# ---------------------------------------------------------------------------
+
+def mode_per_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("bigint"))
+    counts = bucketed.groupBy("user_bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("user_bucket").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_bucket", F.col("event_type").alias("mode_event_type"), "n")
+    )
+
+
+MODE_PER_USER_BUCKET_SQL = """
+WITH counts AS (
+  SELECT (user_id % 10)::BIGINT AS user_bucket, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_bucket
+                               ORDER BY n DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT user_bucket, event_type AS mode_event_type, n FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# returnflag_accuracy — scalar accuracy-style aggregate (T34; reference
+# scripts/plants_classifier_tester.py:58 accuracy_score ==
+# avg(pred==label)).
+# ---------------------------------------------------------------------------
+
+def returnflag_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.avg((F.col("l_returnflag") == "N").cast("double")), 4).alias("frac_n"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+RETURNFLAG_ACCURACY_SQL = """
+SELECT l_linestatus,
+       round(avg(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END), 4) AS frac_n,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# label_pairs — unordered self cross-join pairs (T35; reference
+# tasks/plants_classifier.py:57-63 builds all C(n,2) species pairs).
+# Scale: the distinct-label set is tiny → broadcast nested-loop on a
+# deliberately small input; never cross-join the fact table itself.
+# ---------------------------------------------------------------------------
+
+def label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("label").distinct()
+    a = labels.alias("a")
+    b = labels.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.concat_ws("_", F.col("a.label"), F.col("b.label")).alias("pair_key"),
+        )
+    )
+
+
+LABEL_PAIRS_SQL = """
+WITH l AS (SELECT DISTINCT label FROM embeddings)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.label::VARCHAR || '_' || b.label::VARCHAR AS pair_key
+FROM l a, l b WHERE a.label < b.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# union_slices — union of two filtered slices (T38/E8; reference result
+# gather engine/master.py:112-115 is a list concat).
+# ---------------------------------------------------------------------------
+
+def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderstatus")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return hi.unionByName(urgent).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+UNION_SLICES_SQL = """
+WITH u AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderstatus, count(*) AS n FROM u GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_orders — global sort + limit (T39/E9; reference latent master-side
+# sort engine/master.py:117-118). Scale: TakeOrderedAndProject — per-
+# partition heaps then a k-merge on the driver; no global sort.
+# ---------------------------------------------------------------------------
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(10)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# systematic_sample — stratified systematic sampling (T41; reference
+# scripts/plants_dataset.ipynb cells 5,7 keeps every 3rd item).
+# ---------------------------------------------------------------------------
+
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") % 3) == 1)
+        .select("doc_id", "lang")
+    )
+
+
+SYSTEMATIC_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn % 3 = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# train_test_split — per-class seeded 80/10/10 split (T43; reference
+# scripts/plants_dataset.ipynb train_test_split). Deterministic via
+# row_number against per-class counts instead of RNG so the assignment is
+# reproducible on any cluster size.
+# ---------------------------------------------------------------------------
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = W.partitionBy("label").orderBy("vec_id")
+    wcnt = W.partitionBy("label")
+    ranked = emb.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wcnt)
+    )
+    split = (
+        F.when(F.col("rn") <= F.ceil(F.col("cnt") * 0.8), "train")
+        .when(F.col("rn") <= F.ceil(F.col("cnt") * 0.9), "val")
+        .otherwise("test")
+    )
+    return ranked.select("vec_id", "label", split.alias("split"))
+
+
+TRAIN_TEST_SPLIT_SQL = """
+WITH ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS cnt
+  FROM embeddings
+)
+SELECT vec_id, label,
+       CASE WHEN rn <= ceil(cnt * 0.8) THEN 'train'
+            WHEN rn <= ceil(cnt * 0.9) THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# rollup_counts / cube_counts — grouping sets (SURVEY.md §2.4 "absent in
+# reference, free from Spark SQL"). Scale: Expand + single shuffle.
+# ---------------------------------------------------------------------------
+
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ROLLUP_COUNTS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tod = F.when(F.hour("ts") < 12, "AM").otherwise("PM")
+    return (
+        ev.withColumn("tod", tod)
+        .cube("event_type", "tod")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+CUBE_COUNTS_SQL = """
+WITH t AS (
+  SELECT event_type, CASE WHEN hour(ts) < 12 THEN 'AM' ELSE 'PM' END AS tod, value
+  FROM events
+)
+SELECT event_type, tod, count(*) AS n, round(sum(value),2) AS sum_value
+FROM t GROUP BY CUBE (event_type, tod)
+"""
+
+
+# ---------------------------------------------------------------------------
+# running_order_totals — window functions: rank + running aggregate per
+# partition (SURVEY.md §2.6 T41-T43 use windows; also the free extras).
+# ---------------------------------------------------------------------------
+
+def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.filter(F.col("o_custkey") < 30)
+        .withColumn("order_seq", F.row_number().over(w))
+        .withColumn(
+            "running_total",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2),
+        )
+        .select("o_custkey", "o_orderkey", "order_seq", "running_total")
+    )
+
+
+RUNNING_ORDER_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders WHERE o_custkey < 30
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantity_percentiles — exact percentiles (SURVEY.md §2.4 free extras).
+# Spark `percentile` and DuckDB `quantile_cont` both do linear
+# interpolation over the sorted values.
+# ---------------------------------------------------------------------------
+
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("price_p99"),
+    )
+
+
+QUANTITY_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4)       AS p50,
+       round(quantile_cont(l_quantity, 0.9), 4)       AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# count_distinct_parts — exact distinct aggregation (T29 at agg level).
+# ---------------------------------------------------------------------------
+
+def count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+COUNT_DISTINCT_PARTS_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# status_pivot — pivot expressed as conditional aggregation so the oracle
+# is plain ANSI SQL (Spark's pivot() produces the same plan shape).
+# ---------------------------------------------------------------------------
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+    )
+
+
+STATUS_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_session_duration — timestamp parse/diff semantics (T19/T20; reference
+# tasks/accident_analysis.py:78-87): duration between first and last event
+# per user in fractional hours, second-truncated like the reference's
+# strptime-on-first-19-chars.
+# ---------------------------------------------------------------------------
+
+def user_session_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")) / 3600.0, 4
+            ).alias("span_hours"),
+        )
+    )
+
+
+USER_SESSION_DURATION_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round((epoch(date_trunc('second', max(ts)))
+            - epoch(date_trunc('second', min(ts)))) / 3600.0, 4) AS span_hours
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# json_props_extract — JSON field extraction + CASE bucketing over the
+# events.props JSON column (T14-T16 semantics on semi-structured input).
+# ---------------------------------------------------------------------------
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    bucket = (
+        F.when(k >= 75, "high").when(k >= 25, "mid").otherwise("low")
+    )
+    return (
+        ev.withColumn("k", k)
+        .withColumn("k_bucket", bucket)
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+JSON_PROPS_EXTRACT_SQL = """
+WITH t AS (
+  SELECT json_extract(props, '$.k')::BIGINT AS k FROM events
+)
+SELECT CASE WHEN k >= 75 THEN 'high' WHEN k >= 25 THEN 'mid' ELSE 'low' END AS k_bucket,
+       count(*) AS n, round(avg(k), 4) AS avg_k
+FROM t GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# tumbling_window_counts — 5-minute tumbling windows over events, expressed
+# in batch (the same transform backs the Structured Streaming wing,
+# streaming/windows.py). Window start rendered as a string so the hash is
+# timezone-representation-proof.
+# ---------------------------------------------------------------------------
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        ev.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_WINDOW_COUNTS_SQL = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""

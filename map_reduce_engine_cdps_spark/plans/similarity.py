@@ -1,0 +1,204 @@
+"""Similarity search over the `embeddings` table: brute-force cosine
+top-k baseline + random-hyperplane LSH bucketed variant (training-data
+extensions; SURVEY.md §7 step 7).
+
+Scale design: brute-force is the correctness baseline — broadcast the
+(small) query set against the full corpus, TakeOrdered per query. The
+LSH variant is the 100 TB path: bucket both sides, equi-join on bucket,
+so the candidate set per query is corpus/2^planes instead of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.functions import vectors as V
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+N_QUERIES = 10     # vec_id < N_QUERIES are the query vectors
+TOP_K = 3
+N_PLANES = 8
+
+
+def _queries_and_candidates(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    return q, c
+
+
+# ---------------------------------------------------------------------------
+# knn_bruteforce — exact cosine top-k per query. The query side is tiny →
+# broadcast nested-loop join; ranking on the rounded similarity with a
+# vec_id tie-break makes the result deterministic across engines.
+# ---------------------------------------------------------------------------
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, c = _queries_and_candidates(spark, sf_dir)
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+_DUCK_COS = """
+round(
+  list_sum(list_transform(range(1, len(q.embedding) + 1),
+           i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+           i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+           i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6)
+"""
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# lsh_bucket_stats — random-hyperplane LSH bucket histogram: the data layout
+# of the ANN index (bucket key = 8 sign bits of deterministic projections).
+# ---------------------------------------------------------------------------
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _duck_bucket(tbl_alias: str) -> str:
+    bits = " || ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(1, len({tbl_alias}.embedding) + 1),
+              i -> {tbl_alias}.embedding[i]::DOUBLE *
+                   ((({h} * 31 + (i - 1) * 17) % 7) - 3)::DOUBLE)) > 0
+           THEN '1' ELSE '0' END)"""
+        for h in range(N_PLANES)
+    )
+    return bits
+
+
+LSH_BUCKET_STATS_SQL = f"""
+WITH b AS (
+  SELECT e.vec_id, {_duck_bucket('e')} AS bucket
+  FROM embeddings e
+)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM b GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# lsh_ann_topk — ANN top-1 per query *within its LSH bucket*: the scale
+# path. Join is an equi-join on bucket (shuffle on bucket key, AQE
+# handles hot buckets) instead of a cross join.
+# ---------------------------------------------------------------------------
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = d.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cand_id").alias("nn_id"), "cos_sim")
+    )
+
+
+LSH_ANN_TOPK_SQL = f"""
+WITH b AS (
+  SELECT e.vec_id, e.embedding, {_duck_bucket('e')} AS bucket
+  FROM embeddings e
+), sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM (SELECT * FROM b WHERE vec_id < {N_QUERIES}) q
+  JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rn
+  FROM sims
+)
+SELECT query_id, cand_id AS nn_id, cos_sim FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_sim — per-label mean embedding then each label's nearest
+# other label by centroid cosine (embedding analytics at agg level).
+# Mean vectors are computed with a deterministic element-wise aggregate.
+# ---------------------------------------------------------------------------
+
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Element-wise sum via posexplode + groupBy(label, pos): the
+    # distributed way to average vectors (no driver collect).
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    sums = exploded.groupBy("label", "pos").agg(
+        F.sum(F.col("val").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    comp = sums.select(
+        "label", "pos", (F.col("s") / F.col("n")).alias("m")
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.round(F.sum(F.col("m") * F.col("m")), 6).alias("centroid_sqnorm"))
+    )
+
+
+LABEL_CENTROID_NORMS_SQL = """
+WITH exploded AS (
+  SELECT label, t.pos, embedding[t.pos]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(pos)
+), comp AS (
+  SELECT label, pos, sum(val) / count(*) AS m
+  FROM exploded GROUP BY label, pos
+)
+SELECT label, round(sum(m * m), 6) AS centroid_sqnorm
+FROM comp GROUP BY label
+"""

@@ -1,0 +1,159 @@
+"""Text-analysis queries over the `documents` table: wordcount,
+quality stats, language-ID heuristic, fingerprinting (SURVEY.md §2.3
+T10-T13 + training-data extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.functions import text as TX
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# wordcount — the reference's hello query (tasks/example_wordcount.py:9-35),
+# Spark-native: explode+groupBy gets map-side partial aggregation for free —
+# the headline win over the reference, which ships one (word,1) JSON message
+# per token over HTTP (BASELINE.md).
+# ---------------------------------------------------------------------------
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+WORDCOUNT_SQL = """
+WITH toks AS (
+  SELECT regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+)
+SELECT word, count(*) AS cnt FROM toks WHERE length(word) > 0 GROUP BY word
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_quality — per-doc quality scoring: token counts, distinct ratio,
+# stopword ratio, average token length (training-data extension; the
+# length/punct/stopword heuristics used by corpus-cleaning pipelines).
+# One pass over the token array per row — no explode, no shuffle at all.
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    d = docs.withColumn("toks", tok)
+    n = F.size("toks")
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.round(TX.stopword_ratio(F.col("toks")), 4).alias("stop_ratio"),
+        F.round(TX.avg_token_len(F.col("toks")), 4).alias("avg_tok_len"),
+        F.round(
+            F.when(n > 0, F.size(F.array_distinct("toks")) / n).otherwise(0.0), 4
+        ).alias("uniq_ratio"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> x IN
+                  ('the','a','an','of','and','to','in','is','it','that')))::DOUBLE / len(toks)
+             ELSE 0.0 END, 4) AS stop_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks)
+             ELSE 0.0 END, 4) AS avg_tok_len,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_distinct(toks))::DOUBLE / len(toks)
+             ELSE 0.0 END, 4) AS uniq_ratio
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_id_accuracy — n-gram/stopword language-ID heuristic scored against
+# the labeled `lang` column (training-data extension). The heuristic is
+# deliberately simple (English stopword density); the point is the shape:
+# per-row classify → groupBy(actual) → accuracy aggregate (T34).
+# ---------------------------------------------------------------------------
+
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    pred = F.when(TX.stopword_ratio(tok) >= 0.05, "en").otherwise("other")
+    d = docs.withColumn("pred_lang", pred)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg((F.col("pred_lang") == F.col("lang")).cast("double")), 4).alias(
+            "lang_id_accuracy"
+        ),
+    )
+
+
+LANG_ID_ACCURACY_SQL = """
+WITH t AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), scored AS (
+  SELECT lang,
+         CASE WHEN len(toks) > 0 AND
+              len(list_filter(toks, x -> x IN
+                  ('the','a','an','of','and','to','in','is','it','that')))::DOUBLE
+                / len(toks) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM t
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(CASE WHEN pred_lang = lang THEN 1.0 ELSE 0.0 END), 4) AS lang_id_accuracy
+FROM scored GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprints — content fingerprinting via md5 + token stats
+# (training-data extension: document fingerprinting for provenance).
+# ---------------------------------------------------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", TX.clean_tokens(F.col("text")))).alias(
+            "normalized_fingerprint"
+        ),
+        F.length("text").alias("len_chars"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(text) AS fingerprint,
+       md5(array_to_string(list_filter(
+             list_transform(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> length(x) > 0),
+               x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0), ' ')) AS normalized_fingerprint,
+       length(text) AS len_chars
+FROM documents
+"""

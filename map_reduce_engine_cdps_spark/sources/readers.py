@@ -1,0 +1,97 @@
+"""Sources (SURVEY.md §2.2, T1-T4).
+
+The reference scans per-worker local directories inside user map code
+(reference tasks/example_wordcount.py:9-13, tasks/accident_analysis.py:15-23,
+tasks/plants_classifier.py:48-54,141-163). Spark-native: one global path,
+declarative readers; Catalyst plans the splits, prunes columns, and pushes
+filters down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet table from a test-data scale-factor directory.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw nanos (legacy conf, set
+    per-session so it also works on a driver-provided session) and
+    convert to a microsecond TimestampType column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_dir(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
+    """T1 — text directory scan (reference tasks/example_wordcount.py:9-13).
+
+    One row per line, column ``value``. The glob reproduces the
+    reference's extension filter; Spark handles split planning, so
+    there is no per-worker DATA_DIR.
+    """
+    return spark.read.text(f"{path}/{glob}")
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """T2/T3 — CSV scan (reference tasks/accident_analysis.py:15-23 and
+    tasks/plants_classifier.py:48-54).
+
+    With ``schema=None`` the scan is dynamic (all strings + header),
+    matching csv.DictReader semantics; pass an explicit schema for the
+    typed variant (the reference's pandas dtype dict,
+    tasks/plants_classifier.py:24-45). Column pruning and chunked
+    reads are free (Catalyst prunes; Spark partitions the scan).
+    """
+    reader = spark.read.options(header=str(header).lower(), sep=sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_image_dir(spark: SparkSession, path: str) -> DataFrame:
+    """T4 — class-per-folder binary scan (reference
+    tasks/plants_classifier.py:141-163).
+
+    Returns (path, modificationTime, length, content, label) where
+    label is the parent directory name — the reference's class label.
+    """
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.{jpg,jpeg,png}").load(path)
+    return df.withColumn(
+        "label", F.regexp_extract(F.col("path"), r"([^/]+)/[^/]+$", 1)
+    )
