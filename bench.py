@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+Methodology (BASELINE.md): per query, one warm-up run then the median
+of 3 timed runs; timing includes full execution to a count/collect of
+the result (never caching between runs). AQE on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+from map_reduce_engine_cdps_spark.session import get_spark
+
+# Headline set: one per operator family — agg, flagship CASE+agg+topk,
+# join chain, windows, sessionization, text explode, minhash-LSH dedup,
+# brute-force ANN, grouped-map training, compat shim.
+HEADLINE = [
+    "pricing_summary",
+    "danger_topk",
+    "revenue_by_nation",
+    "running_order_totals",
+    "user_sessions",
+    "tumbling_window_counts",
+    "wordcount",
+    "text_quality",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_buckets",
+    "knn_bruteforce",
+    "lsh_ann_topk",
+    "one_vs_one_training",
+    "wordcount_shim",
+]
+
+
+def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        assert n >= 0
+        return time.perf_counter() - t0
+
+    once()  # warm-up (plan compilation, file listing, JIT)
+    return round(statistics.median(once() for _ in range(runs)), 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = _REGISTRY[name]
+        try:
+            timings[name] = time_query(spark, fn, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -84,18 +84,27 @@ def simhash16(tok: Column) -> Column:
     Bit i is the sign of sum over tokens of ±1, where the vote of a
     token at position i is +1 iff hex digit i of md5(token) >= '8'
     (i.e. the high bit of that nibble). String/md5-based so the DuckDB
-    oracle reproduces it exactly; at scale this is one pass over the
-    token array per row, no explode, no shuffle.
+    oracle reproduces it exactly.
+
+    Single-pass formulation: one md5 per token (inner transform), one
+    fold accumulating all 16 vote counters as an int array — not 16
+    separate aggregates, which would re-tokenize and re-hash 16× once
+    Catalyst collapses the projections.
     """
-    bits = []
-    for i in range(1, 17):
-        vote = F.aggregate(
+    hashes = F.transform(tok, lambda t: F.md5(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
             F.transform(
-                tok,
-                lambda t: F.when(F.substring(F.md5(t), i, 1) >= "8", 1).otherwise(-1),
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.when(F.substr(h, i, F.lit(1)) >= "8", 1).otherwise(-1),
             ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+            lambda a, b: a + b,
+        ),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )

@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata
+(training-data extension; reference analogue: the image pipeline of
+tasks/plants_classifier.py:116-163).
+
+The Spark-side machinery is real and tested — schema, Arrow-batched
+mapInPandas, partitioning, batch shapes. The actual media decode is
+STUBBED (this container has no Pillow/ffmpeg): ``decode=\"fake\"``
+derives deterministic pseudo-features from the payload bytes so the
+pipeline is testable end-to-end; ``decode=\"real\"`` raises
+NotImplementedError at the clearly marked point where a Pillow/ffmpeg
+call would go.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for decode→resize→embed: md5-seeded
+    pseudo-features. Replace with real decode when media libs exist."""
+    digest = hashlib.md5(payload).digest()
+    raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    return np.resize(raw / 255.0, FEATURE_DIM)
+
+
+def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """content → feature vector via Arrow-batched mapInPandas.
+
+    Column pruning matters at scale: only (media_id, content) cross the
+    Python boundary; metadata stays JVM-side and is re-joined by the
+    caller if needed.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":
+                # >>> real implementation goes here: Pillow open /
+                # pad-to-square / resize 224x224 / model forward pass
+                # (reference tasks/plants_classifier.py:116-138).
+                raise NotImplementedError(
+                    "real media decode requires Pillow/ffmpeg, absent here"
+                )
+            feats = [
+                _fake_decode_features(bytes(b)) if b is not None else None
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(bytes(b)) if b is not None else 0 for b in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def synth_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic synthetic media table for tests/demos."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * (1 + i % 5)
+        rows.append(
+            (
+                i,
+                bytearray(payload),
+                {"mime": "image/fake", "width": 8, "height": 8, "n_bytes": len(payload)},
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(partitions)

@@ -1,0 +1,120 @@
+"""Distributed one-vs-one classifier pipeline (the reference's plants
+workload, tasks/plants_classifier.py, re-architected Spark-first;
+SURVEY.md §7 step 6).
+
+Reference shape: images → per-image embedding (frozen CNN) → embeddings
+multicast to every worker owning a species *pair* (a hand-rolled
+replicated join via shuffle_func, tasks/plants_classifier.py:206-219 and
+a greedy work-divider at 57-96) → per-pair binary LogisticRegression.
+
+Spark-native shape: the multicast + work-division machinery collapses
+into a real join — pairs ⋈ embeddings with the (tiny) pair table
+broadcast — and per-pair training is a grouped-map Pandas UDF
+(`applyInPandas`), Arrow-batched. At 100 TB scale the shuffle moves
+each embedding once per pair membership (same as the reference's
+multicast) but binary-encoded, combined, and AQE-balanced, and training
+parallelism is per-pair tasks, not per-worker loops.
+
+The trainer is a self-contained numpy logistic regression (deterministic
+full-batch gradient descent) because sklearn isn't available in this
+container — swapping in sklearn's LogisticRegression is a one-line
+change inside ``_train_pair``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+TRAIN_SCHEMA = (
+    "pair_key string, label_a int, label_b int, n_samples long, "
+    "train_acc double, coef_norm double, intercept double"
+)
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+
+def _train_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic binary logistic regression for one label pair.
+
+    Full-batch GD, zero init, fixed LR/iters → reproducible across
+    cluster layouts (no RNG, no data-order dependence beyond the
+    pre-sort below).
+    """
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    label_a = int(pdf["label_a"].iloc[0])
+    label_b = int(pdf["label_b"].iloc[0])
+    x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    y = (pdf["label"].to_numpy() == label_b).astype(np.float64)
+    w = np.zeros(x.shape[1])
+    b = 0.0
+    lr = 0.5
+    for _ in range(200):
+        p = _sigmoid(x @ w + b)
+        grad_w = x.T @ (p - y) / len(y)
+        grad_b = float(np.mean(p - y))
+        w -= lr * grad_w
+        b -= lr * grad_b
+    acc = float(np.mean((_sigmoid(x @ w + b) >= 0.5) == (y == 1.0)))
+    return pd.DataFrame(
+        [
+            {
+                "pair_key": f"{label_a}_{label_b}",
+                "label_a": label_a,
+                "label_b": label_b,
+                "n_samples": len(y),
+                "train_acc": round(acc, 4),
+                "coef_norm": round(float(np.linalg.norm(w)), 4),
+                "intercept": round(b, 4),
+            }
+        ]
+    )
+
+
+def label_pairs_df(emb: DataFrame) -> DataFrame:
+    """All unordered label pairs (reference tasks/plants_classifier.py:57-63)."""
+    labels = emb.select("label").distinct()
+    a, b = labels.alias("a"), labels.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.label") < F.col("b.label"))
+        .select(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+    )
+
+
+def train_one_vs_one(spark: SparkSession, sf_dir: str, model_dir: str | None = None) -> DataFrame:
+    """Train one binary classifier per label pair over the embeddings
+    table. Returns one row per pair (metrics + coefficients summary).
+
+    The broadcast join replicates each embedding row to each of its
+    pairs — the declarative replacement for the reference's multicast
+    shuffle_func + divide_work (tasks/plants_classifier.py:57-96,
+    206-219). If ``model_dir`` is given, per-pair coefficient rows are
+    also persisted there as parquet (the reference's joblib side-output,
+    tasks/plants_classifier.py:175-180, as a proper columnar sink).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = label_pairs_df(emb)
+    sided = pairs.withColumn(
+        "label", F.explode(F.array(F.col("label_a"), F.col("label_b")))
+    )
+    joined = emb.join(F.broadcast(sided), "label")
+    trained = joined.groupBy("label_a", "label_b").applyInPandas(
+        _train_pair, schema=TRAIN_SCHEMA
+    )
+    if model_dir is not None:
+        trained.write.mode("overwrite").parquet(model_dir)
+        return spark.read.parquet(model_dir)
+    return trained
+
+
+def one_vs_one_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: deterministic per-pair training metrics
+    (non-SQL-expressible — iterative optimizer — so rows-only check)."""
+    return train_one_vs_one(spark, sf_dir).orderBy("label_a", "label_b")

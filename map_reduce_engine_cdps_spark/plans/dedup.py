@@ -29,7 +29,16 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
 def _with_minhash_bands(docs: DataFrame) -> DataFrame:
     """Add minhash signature components + band keys (md5-seeded minima,
-    reproducible in any engine — see functions/text.py)."""
+    reproducible in any engine — see functions/text.py).
+
+    The input is re-parallelized first when the scan yields fewer
+    partitions than cores: signature computation is the CPU-heavy stage
+    (interpreted higher-order functions), and a single small parquet
+    file would otherwise run it on one thread.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     d = _with_shingles(docs)
     for s in range(N_MINHASH):
         d = d.withColumn(f"mh{s}", TX.minhash_sig(F.col("shingles"), s))
@@ -139,27 +148,49 @@ MINHASH_SIGNATURES_SQL = (
 # ---------------------------------------------------------------------------
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is bucket-local: posexplode the band keys
+    (one signature pass over the corpus — a band self-join would
+    re-evaluate the signature pipeline once per join side), shuffle
+    once on (band_idx, band), and emit intra-bucket pairs with a
+    built-in nested-transform over the collected bucket members.
+    LSH buckets are tiny by construction (that is the point of
+    banding); a pathological hot bucket means the banding parameters
+    are wrong for the corpus, and AQE's skew handling bounds the
+    damage meanwhile.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    d = _with_minhash_bands(docs).select(
-        "doc_id", "shingles", "band0", "band1"
-    )
+    d = _with_minhash_bands(docs)
     n_bands = N_MINHASH // BAND_ROWS
-    bands = None
-    for b in range(n_bands):
-        part = d.select(
-            "doc_id", "shingles", F.col(f"band{b}").alias("band"), F.lit(b).alias("b")
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    bb = bands.alias("b")
+    banded = d.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "b", "band"
+        ),
+    )
+    buckets = (
+        banded.groupBy("b", "band")
+        .agg(F.collect_list(F.struct("doc_id", "shingles")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members)), n ->
+            CASE WHEN m.doc_id < n.doc_id
+                 THEN struct(m.doc_id AS da, n.doc_id AS db,
+                             m.shingles AS sa, n.shingles AS sb)
+                 ELSE struct(n.doc_id AS da, m.doc_id AS db,
+                             n.shingles AS sa, m.shingles AS sb) END)))
+        """
+    )
     cand = (
-        a.join(bb, (F.col("a.band") == F.col("b.band")) & (F.col("a.b") == F.col("b.b")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col("p.da").alias("doc_a"),
+            F.col("p.db").alias("doc_b"),
+            F.col("p.sa").alias("sh_a"),
+            F.col("p.sb").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )

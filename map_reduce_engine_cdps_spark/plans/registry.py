@@ -11,7 +11,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from map_reduce_engine_cdps_spark.plans import dedup, relational, similarity, textops
+from map_reduce_engine_cdps_spark.operators import mlpipeline
+from map_reduce_engine_cdps_spark.plans import (
+    dedup,
+    relational,
+    similarity,
+    textops,
+    workloads,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -76,6 +83,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.tumbling_window_counts,
         relational.TUMBLING_WINDOW_COUNTS_SQL,
     ),
+    "user_sessions": (relational.user_sessions, relational.USER_SESSIONS_SQL),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
@@ -95,6 +103,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.label_centroid_norms,
         similarity.LABEL_CENTROID_NORMS_SQL,
     ),
+    # --- compat shim: reference-style 4-hook program, same oracle as the
+    # DataFrame wordcount (proves shim ≡ SQL semantics end-to-end) ---
+    "wordcount_shim": (workloads.wordcount_shim, textops.WORDCOUNT_SQL),
+    # --- ML pipeline (plants workload restatement): iterative numpy
+    # trainer inside applyInPandas — non-SQL-expressible, rows-only ---
+    "one_vs_one_training": (mlpipeline.one_vs_one_metrics, None),
 }
 
 

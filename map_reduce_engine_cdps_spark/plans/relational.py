@@ -709,3 +709,57 @@ SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP,
        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# user_sessions — sessionization (30-min inactivity gap): the classic
+# stateful streaming operator (applyInPandasWithState territory) expressed
+# as a batch window program: lag → gap flag → running sum = session id.
+# Scale: two window passes over the same (user_id, ts) partitioning —
+# Spark reuses the sort; shuffle is one exchange on user_id.
+# ---------------------------------------------------------------------------
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_idx",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 60.0, 2
+            ).alias("span_minutes"),
+        )
+    )
+
+
+USER_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(date_trunc('second', ts))
+                 - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round((epoch(date_trunc('second', max(ts)))
+            - epoch(date_trunc('second', min(ts)))) / 60.0, 2) AS span_minutes
+FROM s GROUP BY user_id, session_idx
+"""

@@ -1,0 +1,76 @@
+"""Structured Streaming wing (SURVEY.md §2.8/§7 step 8 — the reference
+is strictly batch; this is the declared extension).
+
+One transform, two execution modes: ``windowed_counts`` is written
+against an unbounded-compatible plan (event-time tumbling window +
+watermark), so the identical function serves the batch oracle-checked
+query (plans/relational.py:tumbling_window_counts) and a real
+``readStream`` pipeline. Tests run the stream from the same parquet via
+file-source + memory-sink and assert equality with the batch result.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+
+def windowed_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned from the
+    batch read; ts arrives as nanos → converted like the batch path)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a *directory*; expose the single
+    # parquet file through a scratch dir of symlinks (testdata stays
+    # untouched).
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    assert stream.schema == batch.schema
+    return stream
+
+
+def run_stream_to_memory(spark: SparkSession, sf_dir: str, table: str = "stream_out",
+                         window: str = "5 minutes") -> DataFrame:
+    """Drive the streaming pipeline to completion (availableNow) into a
+    memory sink; returns the sink contents as a DataFrame."""
+    stream = stream_events_from_parquet(spark, sf_dir)
+    out = windowed_counts(stream, window=window)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(table)

@@ -1,0 +1,74 @@
+"""Tests for the multimodal plumbing, the Structured Streaming wing and
+the one-vs-one ML pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.multimodal.binary import (
+    FEATURE_DIM,
+    extract_features,
+    synth_media_df,
+)
+from map_reduce_engine_cdps_spark.operators.mlpipeline import train_one_vs_one
+from map_reduce_engine_cdps_spark.plans.relational import tumbling_window_counts
+from map_reduce_engine_cdps_spark.streaming.windows import run_stream_to_memory
+
+
+def test_media_feature_extraction_plumbing(spark):
+    media = synth_media_df(spark, n=32, partitions=4)
+    feats = extract_features(media, decode="fake")
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # determinism across runs / partitionings
+    again = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media.repartition(2), decode="fake").collect()
+    }
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_media_real_decode_is_stubbed(spark):
+    media = synth_media_df(spark, n=2, partitions=1)
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|ffmpeg"):
+        extract_features(media, decode="real").collect()
+
+
+def test_media_metadata_stays_typed(spark):
+    media = synth_media_df(spark, n=4, partitions=1)
+    meta = media.select("media_id", "meta.mime", "meta.n_bytes").collect()
+    assert all(r["mime"] == "image/fake" and r["n_bytes"] > 0 for r in meta)
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir):
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_window_counts(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in run_stream_to_memory(spark, sf_dir, table="t_stream_eq").collect()
+    }
+    assert streamed == batch
+
+
+def test_one_vs_one_training(spark, sf_dir, tmp_path):
+    trained = train_one_vs_one(spark, sf_dir, model_dir=str(tmp_path / "models"))
+    rows = trained.collect()
+    labels = {r["label_a"] for r in rows} | {r["label_b"] for r in rows}
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2  # C(n,2) pairs, reference §F4
+    for r in rows:
+        assert 0.0 <= r["train_acc"] <= 1.0
+        assert r["n_samples"] > 0
+        assert r["pair_key"] == f"{r['label_a']}_{r['label_b']}"
+    # deterministic trainer: rerun a second time, identical metrics
+    again = {r["pair_key"]: r for r in train_one_vs_one(spark, sf_dir).collect()}
+    for r in rows:
+        assert again[r["pair_key"]]["coef_norm"] == r["coef_norm"]
+        assert again[r["pair_key"]]["train_acc"] == r["train_acc"]

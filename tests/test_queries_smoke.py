@@ -1,0 +1,84 @@
+"""Fast sanity layer over the registry: every declared query runs at
+sf0.001 and returns a sane DataFrame; plus reference-semantics unit
+tests for the expression library (SURVEY.md §5.2 item 3).
+
+(The heavy oracle comparison runs via tools/oracle_check.py and the
+round driver; duplicating it per-test would double runtime for no new
+signal.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.functions import expressions as X
+from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+
+EXPECT_EMPTY_OK = {"customers_without_orders"}
+
+
+@pytest.mark.parametrize("name", sorted(_REGISTRY))
+def test_query_runs(spark, sf_dir, name):
+    fn, _sql = _REGISTRY[name]
+    df = fn(spark, sf_dir)
+    rows = df.collect()
+    assert df.columns, name
+    if name not in EXPECT_EMPTY_OK:
+        assert len(rows) > 0, name
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    assert set(e.oracle_sql()) <= set(e.queries())
+    df = e.entry(spark)
+    assert len(df.collect()) > 0
+
+
+def test_safe_double_fallback(spark):
+    df = spark.createDataFrame([("1.5",), ("oops",), (None,)], "s string")
+    got = [r[0] for r in df.select(X.safe_double(F.col("s"), 7.0)).collect()]
+    assert got == [1.5, 7.0, 7.0]
+
+
+def test_first_true_flag_priority(spark):
+    df = spark.createDataFrame(
+        [("False", "True", "True"), ("True", "False", "True"), ("False", "False", "False")],
+        "A string, B string, C string",
+    )
+    got = [r[0] for r in df.select(X.first_true_flag(["A", "B", "C"])).collect()]
+    assert got == ["B", "A", "None"]
+
+
+def test_parse_ts_truncates_to_seconds(spark):
+    df = spark.createDataFrame(
+        [("2023-01-01 10:00:00.999999",), ("garbage",)], "s string"
+    )
+    got = df.select(X.parse_ts_seconds(F.col("s")).alias("ts")).collect()
+    assert str(got[0]["ts"]) == "2023-01-01 10:00:00"
+    assert got[1]["ts"] is None
+
+
+def test_duration_hours_failed_parse_is_zero(spark):
+    df = spark.createDataFrame([("bad", "2023-01-01 01:00:00")], "a string, b string")
+    got = df.select(
+        X.duration_hours(X.parse_ts_seconds(F.col("a")), X.parse_ts_seconds(F.col("b")))
+    ).collect()
+    assert got[0][0] == 0.0
+
+
+def test_bucket_weather_cases(spark):
+    cases = [
+        ("Fair", "Fair"),
+        ("Mostly Cloudy", "Cloudy"),
+        ("overcast sky", "Cloudy"),
+        ("Partly Sunny", "PartlyClear"),
+        ("Clear", "PartlyClear"),
+        ("Heavy Rain", "BadWeather"),
+        ("Snow Showers", "BadWeather"),
+        ("whatever", "Unknown"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "w string")
+    got = [r[0] for r in df.select(X.bucket_weather(F.col("w"))).collect()]
+    assert got == [e for _, e in cases]

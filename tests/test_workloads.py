@@ -1,0 +1,144 @@
+"""Reference-fixture replay (SURVEY.md §5.2 item 4; FIXTURES.md F1/F2):
+wordcount against the reference's checked-in corpus goldens, and the
+accident pipeline through both the DataFrame path and the compat shim.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from map_reduce_engine_cdps_spark.compat.mapreduce import run_task
+from map_reduce_engine_cdps_spark.plans.workloads import (
+    acc_map,
+    acc_reduce,
+    accident_danger_df,
+    accident_danger_shim,
+    wc_map,
+    wc_reduce,
+)
+
+REF_DATA = "/root/reference/data"
+
+# FIXTURES.md F1 golden (34 distinct words, 50 tokens)
+GOLDEN_WC_HEAD = {"hello": 6, "map": 5, "reduce": 5, "distributed": 4, "world": 4}
+GOLDEN_ONES = [
+    "and", "at", "class", "combine", "complexity", "engine", "everything",
+    "everywhere", "fourth", "fun", "great", "now", "one", "parallel",
+    "powerful", "processing", "results", "scale", "systems", "tasks",
+    "two", "wide", "wisely", "your",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA), reason="reference corpus absent")
+def test_wordcount_golden_replay(spark):
+    """Wordcount over the reference's 4-node sample corpus must match
+    the FIXTURES.md F1 golden table — through the shim."""
+    lines = []
+    for node in sorted(os.listdir(REF_DATA)):
+        path = os.path.join(REF_DATA, node, "sample.txt")
+        if os.path.isfile(path):
+            with open(path) as fh:
+                lines.extend(ln.rstrip("\n") for ln in fh)
+    got = dict(
+        run_task(spark, lines, wc_map, reduce_func=wc_reduce, num_partitions=4).collect()
+    )
+    assert len(got) == 34
+    # FIXTURES.md F1 says "50 total tokens" but the checked-in corpus
+    # actually has 61 (per-word golden counts below sum to 61 and all
+    # match); the distinct-word count and every per-word golden agree.
+    assert sum(got.values()) == 61
+    for w, c in GOLDEN_WC_HEAD.items():
+        assert got[w] == c, w
+    for w in GOLDEN_ONES:
+        assert got[w] == 1, w
+    assert got["from"] == 3 and got["is"] == 3 and got["node"] == 3
+    assert got["computing"] == 2 and got["the"] == 2
+
+
+ACC_ROWS = [
+    # normal row: Junction wins (Station=False), Fair, Day
+    {"Severity": "3", "Distance(mi)": "1.5", "Start_Time": "2023-01-01 10:00:00",
+     "End_Time": "2023-01-01 11:30:00", "Weather_Condition": "Fair",
+     "Sunrise_Sunset": "Day", "Station": "False", "Junction": "True"},
+    # flag priority: Station listed first wins over Junction
+    {"Severity": "2", "Distance(mi)": "0.5", "Start_Time": "2023-01-01 22:00:00",
+     "End_Time": "2023-01-01 22:30:00", "Weather_Condition": "Light Rain",
+     "Sunrise_Sunset": "Night", "Station": "True", "Junction": "True"},
+    # defaults: missing severity→1, distance→0, weather→Unknown, tod→Day
+    {"Start_Time": "2023-02-01 08:00:00", "End_Time": "2023-02-01 08:00:00"},
+    # bad cast + truncated-microseconds timestamp parse ([:19])
+    {"Severity": "oops", "Distance(mi)": "n/a",
+     "Start_Time": "2023-03-05 01:02:03.456789", "End_Time": "2023-03-05 03:02:03.999",
+     "Weather_Condition": "Mostly Cloudy", "Sunrise_Sunset": "Night"},
+    # unparseable timestamps → duration 0
+    {"Severity": "4", "Distance(mi)": "2", "Start_Time": "not-a-date",
+     "End_Time": "also-bad", "Weather_Condition": "Partly Sunny",
+     "Sunrise_Sunset": "Day", "Crossing": "True"},
+    # weather substring bucket: storm → BadWeather
+    {"Severity": "5", "Distance(mi)": "0", "Start_Time": "2023-04-01 12:00:00",
+     "End_Time": "2023-04-01 13:00:00", "Weather_Condition": "Thunderstorm",
+     "Sunrise_Sunset": "Day", "Roundabout": "True"},
+    # duplicate of key group 1 for a multi-row group
+    {"Severity": "1", "Distance(mi)": "3.0", "Start_Time": "2023-01-02 10:00:00",
+     "End_Time": "2023-01-02 12:00:00", "Weather_Condition": "Fair",
+     "Sunrise_Sunset": "Day", "Junction": "True"},
+]
+
+ALL_COLS = [
+    "Severity", "Distance(mi)", "Start_Time", "End_Time", "Weather_Condition",
+    "Sunrise_Sunset", "Station", "Junction", "Crossing", "Traffic_Signal",
+    "Stop", "Railway", "Roundabout",
+]
+
+
+def _rows_as_df(spark):
+    normalized = [tuple(r.get(c) for c in ALL_COLS) for r in ACC_ROWS]
+    schema = ", ".join(f"`{c}` string" for c in ALL_COLS)
+    return spark.createDataFrame(normalized, schema=schema)
+
+
+def test_accident_df_vs_shim(spark):
+    """DataFrame pipeline ≡ 4-hook shim program on the F2 fixture rows —
+    including defaults, safe casts, flag priority, [:19] truncation,
+    failed-parse→0 and the formula string."""
+    df_out = {
+        r["grp_key"]: r.asDict() for r in accident_danger_df(_rows_as_df(spark)).collect()
+    }
+    shim_out = {r["grp_key"]: r for r in accident_danger_shim(spark, ACC_ROWS)}
+    assert set(df_out) == set(shim_out)
+    for key, srow in shim_out.items():
+        drow = df_out[key]
+        for col in ("cnt", "avg_impact", "min_impact", "max_impact",
+                    "log_factor", "danger_score", "formula"):
+            assert drow[col] == srow[col], (key, col, drow[col], srow[col])
+
+
+def test_accident_reference_semantics(spark):
+    """Spot-check the tricky F2 semantics end-to-end."""
+    out = {r["grp_key"]: r.asDict() for r in accident_danger_df(_rows_as_df(spark)).collect()}
+    # flag priority: row 2 must be Station (not Junction); rain → BadWeather
+    assert "Station_BadWeather_Night" in out
+    # defaults row: None flag, Unknown weather, Day tod; impact = 1*(1+0)*(1+0)=1
+    assert out["None_Unknown_Day"]["avg_impact"] == 1.0
+    # failed parse → duration 0: severity 4, distance 2 → 4*3*1 = 12
+    assert out["Crossing_PartlyClear_Day"]["avg_impact"] == 12.0
+    # [:19] truncation: duration exactly 2h despite microsecond suffixes
+    assert out["None_Cloudy_Night"]["avg_impact"] == round(1.0 * 1.0 * 3.0, 2)
+    # storm bucket
+    assert "Roundabout_BadWeather_Day" in out
+    # multi-row group: two Junction_Fair_Day rows
+    assert out["Junction_Fair_Day"]["cnt"] == 2
+
+
+def test_acc_map_reduce_hooks_direct():
+    """The shim hooks are plain functions — unit-check one row inline
+    (tuple shape, impact arithmetic)."""
+    key, impact = acc_map([ACC_ROWS[0]], 0)[0]
+    assert key == "Junction_Fair_Day"
+    assert impact == 3.0 * (1 + 1.5) * (1 + 1.5)  # 1.5h duration
+    [res] = acc_reduce([(key, [impact])], 2)
+    assert res["cnt"] == 1 and res["danger_score"] == round(
+        round(impact, 2) * 0.69, 2
+    )
