@@ -107,3 +107,68 @@ def synth_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(partitions)
+
+
+# ---------------------------------------------------------------------------
+# Batch-inference embedder (T48 stand-in; reference
+# tasks/plants_classifier.py:99-113,190-203 runs a frozen ConvNeXtTiny per
+# worker). Spark-native: an Arrow-batched pandas UDF with a per-executor
+# model singleton — the model loads once per python worker, not per batch.
+# The "model" here is a deterministic hash-projection (no ML libs in this
+# container); swapping in a real encoder changes only _get_model().
+# ---------------------------------------------------------------------------
+
+_MODEL_SINGLETON: dict = {}
+
+
+def _get_model(dim: int = FEATURE_DIM):
+    """Per-executor lazy model init (singleton pattern)."""
+    if "m" not in _MODEL_SINGLETON:
+        # Real version: load weights from shared storage here, once.
+        proj = np.arange(1, dim + 1, dtype=np.float64)
+        _MODEL_SINGLETON["m"] = proj / np.linalg.norm(proj)
+    return _MODEL_SINGLETON["m"]
+
+
+def text_embedder_udf():
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        _get_model()
+
+        def one(t: str | None):
+            if t is None:
+                return None
+            digest = hashlib.md5(t.encode("utf-8")).digest()
+            raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+            return np.resize(raw / 255.0, FEATURE_DIM)
+
+        return texts.map(one)
+
+    return embed
+
+
+def doc_embeddings(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): embed documents.text in Arrow batches.
+    Deterministic, so the driver's repeated runs are stable."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    embed = text_embedder_udf()
+    out = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
+    return out.select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.size("embedding").alias("dim"),
+    )

@@ -1,0 +1,66 @@
+"""Per-query metrics (reference E13 parity: engine/worker.py:167-185
+reports map/shuffle/reduce wall times + counts; engine/master.py:92-104
+exposes them at /status).
+
+Spark already exposes stage/task metrics through the status tracker;
+this wrapper distills the reference's per-task metric dict — wall time,
+output count, shuffle volumes — for a single query run.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class QueryMetrics:
+    """Reference TaskResult.metrics analogue (engine/models.py:38)."""
+
+    name: str
+    wall_time_s: float
+    output_rows: int
+    num_stages: int
+    shuffle_partitions: int
+    extra: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "wall_time_s": round(self.wall_time_s, 3),
+            "output_rows": self.output_rows,
+            "num_stages": self.num_stages,
+            "shuffle_partitions": self.shuffle_partitions,
+            **self.extra,
+        }
+
+
+def run_with_metrics(df: DataFrame, name: str = "query") -> QueryMetrics:
+    """Execute ``df`` and report reference-style metrics.
+
+    Stage count is read from the status tracker delta around the job —
+    the Spark equivalent of the reference's per-phase timers (its MAP /
+    SHUFFLE / REDUCE phases are Spark stages separated by exchanges).
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    t0 = time.perf_counter()
+    n = df.count()
+    wall = time.perf_counter() - t0
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    stages = 0
+    for jid in after - before:
+        info = tracker.getJobInfo(jid)
+        if info is not None:
+            stages += len(info.stageIds)
+    return QueryMetrics(
+        name=name,
+        wall_time_s=wall,
+        output_rows=n,
+        num_stages=stages,
+        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )

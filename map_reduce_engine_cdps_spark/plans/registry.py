@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from map_reduce_engine_cdps_spark.multimodal import binary
 from map_reduce_engine_cdps_spark.operators import mlpipeline
 from map_reduce_engine_cdps_spark.plans import (
     dedup,
@@ -84,6 +85,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.TUMBLING_WINDOW_COUNTS_SQL,
     ),
     "user_sessions": (relational.user_sessions, relational.USER_SESSIONS_SQL),
+    "window_ranks": (relational.window_ranks, relational.WINDOW_RANKS_SQL),
+    "segment_set_ops": (relational.segment_set_ops, relational.SEGMENT_SET_OPS_SQL),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
@@ -109,6 +112,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- ML pipeline (plants workload restatement): iterative numpy
     # trainer inside applyInPandas — non-SQL-expressible, rows-only ---
     "one_vs_one_training": (mlpipeline.one_vs_one_metrics, None),
+    # --- embedding near-dup (LSH-bucketed cosine pairs) ---
+    "embedding_near_dup": (
+        similarity.embedding_near_dup,
+        similarity.EMBEDDING_NEAR_DUP_SQL,
+    ),
+    # --- Arrow-batched pandas-UDF batch inference (T48 stand-in);
+    # python-UDF hash math — rows-only ---
+    "doc_embeddings": (binary.doc_embeddings, None),
 }
 
 

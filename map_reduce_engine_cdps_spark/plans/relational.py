@@ -763,3 +763,70 @@ SELECT user_id, session_idx, count(*) AS n_events,
             - epoch(date_trunc('second', min(ts)))) / 60.0, 2) AS span_minutes
 FROM s GROUP BY user_id, session_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# window_ranks — ranking-function family over a deterministic ordering
+# (rank / dense_rank / ntile / lag; SURVEY.md §2.6 free extras).
+# ---------------------------------------------------------------------------
+
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.filter(F.col("o_custkey") < 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+            ).alias("gap_to_prev"),
+        )
+    )
+
+
+WINDOW_RANKS_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS gap_to_prev
+FROM orders WHERE o_custkey < 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# segment_set_ops — INTERSECT / EXCEPT (SURVEY.md §2.5: absent in the
+# reference, declared engine features). Which market segments appear in
+# BOTH the top-balance and bottom-balance customer halves, and which only
+# in the top half.
+# ---------------------------------------------------------------------------
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    hi = cust.filter(F.col("c_acctbal") >= 0).select("c_mktsegment")
+    lo = cust.filter(F.col("c_acctbal") < 0).select("c_mktsegment")
+    both = hi.intersect(lo).withColumn("membership", F.lit("both"))
+    only_hi = hi.distinct().subtract(lo.distinct()).withColumn(
+        "membership", F.lit("only_nonneg")
+    )
+    return both.unionByName(only_hi)
+
+
+SEGMENT_SET_OPS_SQL = """
+SELECT c_mktsegment, 'both' AS membership FROM (
+  SELECT c_mktsegment FROM customer WHERE c_acctbal >= 0
+  INTERSECT
+  SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+)
+UNION ALL
+SELECT c_mktsegment, 'only_nonneg' AS membership FROM (
+  SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal >= 0
+  EXCEPT
+  SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal < 0
+)
+"""

@@ -202,3 +202,48 @@ WITH exploded AS (
 SELECT label, round(sum(m * m), 6) AS centroid_sqnorm
 FROM comp GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dup — embedding-cosine near-duplicate pairs, LSH-bucketed
+# (the embedding analogue of minhash_lsh_pairs: candidate pairs only
+# within a bucket — never the O(n²) corpus cross join). Threshold 0.3 is
+# corpus-calibrated for the synthetic testdata; real near-dup corpora
+# use ~0.95.
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_COS = 0.3
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH b AS (
+  SELECT e.vec_id, e.embedding, {_duck_bucket('e')} AS bucket
+  FROM embeddings e
+)
+SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+       {_DUCK_COS} AS cos_sim
+FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+WHERE {_DUCK_COS} >= {NEAR_DUP_COS}
+"""

@@ -1,0 +1,130 @@
+"""Tests for sources (T1-T4), sinks (T6-T9), metrics (E13), and
+plan-shape regressions (the .explain contract: broadcasts broadcast,
+filters push down, aggregates partial-aggregate)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.operators.metrics import run_with_metrics
+from map_reduce_engine_cdps_spark.plans.relational import (
+    pricing_summary,
+    revenue_by_nation,
+)
+from map_reduce_engine_cdps_spark.sources.readers import (
+    read_csv_dir,
+    read_image_dir,
+    read_text_dir,
+)
+from map_reduce_engine_cdps_spark.sources.writers import (
+    filter_rewrite_csv,
+    write_partitioned,
+)
+
+
+def test_read_text_dir(spark, tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\nsecond line\n")
+    (d / "b.txt").write_text("third\n")
+    (d / "ignored.csv").write_text("not,text\n")
+    df = read_text_dir(spark, str(d))
+    assert sorted(r["value"] for r in df.collect()) == [
+        "hello world",
+        "second line",
+        "third",
+    ]
+
+
+def test_read_csv_dynamic_and_typed(spark, tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("species_id;altitude;name\n7;100.5;fern\n8;;moss\n")
+    dyn = read_csv_dir(spark, str(p), sep=";")
+    assert dyn.columns == ["species_id", "altitude", "name"]
+    assert dyn.schema["species_id"].dataType.simpleString() == "string"
+    typed = read_csv_dir(
+        spark, str(p), sep=";",
+        schema="species_id long, altitude double, name string",
+    )
+    rows = {r["species_id"]: r for r in typed.collect()}
+    assert rows[7]["altitude"] == 100.5
+    assert rows[8]["altitude"] is None  # nullable column (reference 'Int64')
+
+
+def test_read_image_dir_labels(spark, tmp_path):
+    # class-per-folder layout (reference F4): label = parent dir name
+    for cls in ("1355868", "1355869"):
+        d = tmp_path / "img" / cls
+        d.mkdir(parents=True)
+        (d / "x.jpg").write_bytes(b"\xff\xd8fakejpeg")
+        (d / "skip.txt").write_text("not an image")
+    df = read_image_dir(spark, str(tmp_path / "img" / "*"))
+    rows = df.select("label", "length").collect()
+    assert sorted(r["label"] for r in rows) == ["1355868", "1355869"]
+    assert all(r["length"] > 0 for r in rows)
+
+
+def test_write_partitioned_and_prune(spark, sf_dir, tmp_path):
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    out = str(tmp_path / "part_events")
+    write_partitioned(ev, out, ["event_type"])
+    assert any(p.startswith("event_type=") for p in os.listdir(out))
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    # partition pruning: the scan should only touch the click directory
+    assert "event_type=click" in back._jdf.queryExecution().executedPlan().toString() or \
+        back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_filter_rewrite_csv(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "species_id long, name string"
+    )
+    keep = spark.createDataFrame([(1,), (3,)], "species_id long")
+    out = str(tmp_path / "filtered")
+    filter_rewrite_csv(df, keep, "species_id", out)
+    back = spark.read.option("header", "true").csv(out)
+    assert sorted(r["name"] for r in back.collect()) == ["a", "c"]
+
+
+def test_run_with_metrics(spark, sf_dir):
+    m = run_with_metrics(pricing_summary(spark, sf_dir), name="pricing_summary")
+    d = m.as_dict()
+    assert d["output_rows"] > 0
+    assert d["wall_time_s"] > 0
+    assert d["name"] == "pricing_summary"
+
+
+# --- plan-shape regressions: the .explain contract -----------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_revenue_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big fact table must not be nested-loop joined
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_partial_aggs(spark, sf_dir):
+    df = pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    assert "HashAggregate" in plan  # partial+final hash aggregation
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the shipdate predicate must sit at (or under) the scan, pushed
+    # out of the aggregate
+    assert "PushedFilters" in _plan(df) or "l_shipdate" in optimized
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    # ReadSchema must not include unused lineitem columns such as l_tax
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_tax" not in read_schema[0]
