@@ -172,3 +172,39 @@ def doc_embeddings(spark, sf_dir: str) -> DataFrame:
         ).alias("sq_norm"),
         F.size("embedding").alias("dim"),
     )
+
+
+def media_features(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): the full multimodal pipeline over a
+    binary column derived from `documents` — encode text→binary payload
+    with typed metadata, then Arrow-batched mapInPandas feature
+    extraction. Deterministic (md5-seeded fake decode), so repeated
+    driver runs are stable. Scale: only (media_id, content) cross the
+    Python boundary; the aggregate is partial-combinable."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media, decode="fake")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("features"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("feat_sum"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_engine_cdps_spark.multimodal import binary
 from map_reduce_engine_cdps_spark.operators import mlpipeline
+from map_reduce_engine_cdps_spark.streaming import windows as streaming_windows
 from map_reduce_engine_cdps_spark.plans import (
     dedup,
     relational,
@@ -87,11 +88,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "user_sessions": (relational.user_sessions, relational.USER_SESSIONS_SQL),
     "window_ranks": (relational.window_ranks, relational.WINDOW_RANKS_SQL),
     "segment_set_ops": (relational.segment_set_ops, relational.SEGMENT_SET_OPS_SQL),
+    # --- as-of join (union+window formulation; DuckDB ASOF JOIN oracle) ---
+    "click_asof_purchase": (
+        relational.click_asof_purchase,
+        relational.CLICK_ASOF_PURCHASE_SQL,
+    ),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
     "lang_id_accuracy": (textops.lang_id_accuracy, textops.LANG_ID_ACCURACY_SQL),
     "doc_fingerprints": (textops.doc_fingerprints, textops.DOC_FINGERPRINTS_SQL),
+    "tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_TOP_TERMS_SQL),
+    "token_stats": (textops.token_stats, textops.TOKEN_STATS_SQL),
     # --- deduplication ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "minhash_signatures": (dedup.minhash_signatures, dedup.MINHASH_SIGNATURES_SQL),
@@ -120,6 +128,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- Arrow-batched pandas-UDF batch inference (T48 stand-in);
     # python-UDF hash math — rows-only ---
     "doc_embeddings": (binary.doc_embeddings, None),
+    # --- multimodal plumbing: binary column + typed metadata +
+    # mapInPandas feature extraction (deterministic fake decode) — rows-only ---
+    "media_features": (binary.media_features, None),
+    # --- Structured Streaming path, oracle-checked against the SAME SQL
+    # as its batch twin (streaming ≡ batch ≡ DuckDB) ---
+    "streaming_window_counts": (
+        streaming_windows.streaming_window_counts,
+        relational.TUMBLING_WINDOW_COUNTS_SQL,
+    ),
 }
 
 

@@ -185,10 +185,14 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Anti-join against *large* orders (threshold chosen so the result is
+    # non-empty on the synthetic data, where every customer has some
+    # order — a vacuous 0-row match would weaken the oracle gate).
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000.0)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -196,7 +200,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
 """
 
 
@@ -829,4 +834,65 @@ SELECT c_mktsegment, 'only_nonneg' AS membership FROM (
   EXCEPT
   SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal < 0
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# click_asof_purchase — AS-OF JOIN: each click event matched to the same
+# user's most recent purchase at-or-before it. Spark lacks a native as-of
+# join; the scalable formulation is union + window (one shuffle on the key,
+# a running last_value — never the inequality-join O(n·m) blow-up, and no
+# per-key driver loop). Ordering ties: at equal ts the purchase sorts
+# before the click (is_probe flag), matching the inclusive p.ts <= c.ts
+# semantics of the DuckDB ASOF JOIN oracle.
+# Scale: one exchange on user_id + one sort — the same plan shape at 100 TB;
+# skewed users are bounded by per-user event counts, not corpus size.
+# ---------------------------------------------------------------------------
+
+def click_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.col("ts").alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "purchase_ts", F.last("p_ts", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("is_probe") == 1) & F.col("purchase_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.round(
+                (F.unix_micros("ts") - F.unix_micros("purchase_ts")) / 1e6, 2
+            ).alias("gap_s"),
+        )
+    )
+
+
+CLICK_ASOF_PURCHASE_SQL = """
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us,
+       round((epoch_us(c.ts) - epoch_us(p.ts)) / 1e6, 2) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
 """

@@ -5,7 +5,7 @@ T10-T13 + training-data extensions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_engine_cdps_spark.functions import text as TX
@@ -156,4 +156,117 @@ SELECT doc_id,
              x -> length(x) > 0), ' ')) AS normalized_fingerprint,
        length(text) AS len_chars
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — per-document top-3 terms by TF-IDF (training-data
+# extension: term weighting for corpus analysis / keyword extraction).
+# Scale: tf and df are both partial-aggregated groupBys on (doc_id, word)
+# / (word); the doc-count is a 1-row broadcast. The only wide exchange is
+# on `word` — no collect, no vocabulary on the driver. Ranking ties are
+# broken on rounded tfidf then word, so the top-3 cut is deterministic
+# and engine-independent.
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "word", "tf", "tfidf", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks
+  WHERE length(word) > 0 GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf,
+         round(t.tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+  FROM tf t JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_stats — BPE-ish regex token counting per source (training-data
+# extension: token budgeting for corpus curation). The tokenizer is the
+# classic pre-BPE split: runs of letters | runs of digits | single
+# non-space symbol — all inside one regexp_extract_all + array ops, fully
+# JVM-side; the aggregate is a partial-combinable groupBy on `source`.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), 0)
+    first = lambda t: F.substring(t, 1, 1)  # noqa: E731
+    d = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: first(t).between("a", "z"))).alias("n_word"),
+        F.size(F.filter(toks, lambda t: first(t).between("0", "9"))).alias("n_num"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_word").alias("word_tokens"),
+        F.sum("n_num").alias("num_tokens"),
+        F.sum(F.col("n_tokens") - F.col("n_word") - F.col("n_num")).alias(
+            "punct_tokens"
+        ),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens_per_doc"),
+    )
+
+
+TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT source,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks
+  FROM documents
+), d AS (
+  SELECT source,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x[1] BETWEEN 'a' AND 'z')) AS n_word,
+         len(list_filter(toks, x -> x[1] BETWEEN '0' AND '9')) AS n_num
+  FROM t
+)
+SELECT source, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(n_word) AS word_tokens,
+       sum(n_num) AS num_tokens,
+       sum(n_tokens - n_word - n_num) AS punct_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens_per_doc
+FROM d GROUP BY source
 """

@@ -53,7 +53,7 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     assert stream.schema == batch.schema
     return stream
@@ -74,3 +74,12 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, table: str = "stream_
     )
     q.awaitTermination(120)
     return spark.table(table)
+
+
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: the real Structured Streaming path (file source →
+    watermark → tumbling window → memory sink, availableNow trigger).
+    Oracle-checked against the SAME DuckDB SQL as the batch twin
+    (plans/relational.py:TUMBLING_WINDOW_COUNTS_SQL) — the streaming and
+    batch plans must agree exactly."""
+    return run_stream_to_memory(spark, sf_dir, table="streaming_window_counts_out")
