@@ -93,6 +93,36 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.click_asof_purchase,
         relational.CLICK_ASOF_PURCHASE_SQL,
     ),
+    # --- bucketed range join (equi-join on time bucket, never O(n·m)) ---
+    "click_purchase_within_1h": (
+        relational.click_purchase_within_1h,
+        relational.CLICK_PURCHASE_WITHIN_1H_SQL,
+    ),
+    # --- skew mitigation (operators/skew.py): same semantics as the
+    # plain-SQL oracles, physically salted ---
+    "salted_type_stats": (
+        relational.salted_type_stats,
+        relational.SALTED_TYPE_STATS_SQL,
+    ),
+    "salted_above_type_mean": (
+        relational.salted_above_type_mean,
+        relational.SALTED_ABOVE_TYPE_MEAN_SQL,
+    ),
+    # --- sliding event-time windows (batch twin of the streaming path) ---
+    "sliding_window_counts": (
+        relational.sliding_window_counts,
+        relational.SLIDING_WINDOW_COUNTS_SQL,
+    ),
+    # --- deterministic per-class sampling (T42, engine-independent) ---
+    "sampled_docs_per_source": (
+        relational.sampled_docs_per_source,
+        relational.SAMPLED_DOCS_PER_SOURCE_SQL,
+    ),
+    # --- HLL++ approx distinct, self-validated against the exact count ---
+    "approx_distinct_users": (
+        relational.approx_distinct_users,
+        relational.APPROX_DISTINCT_USERS_SQL,
+    ),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
@@ -110,6 +140,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
     "lsh_ann_topk": (similarity.lsh_ann_topk, similarity.LSH_ANN_TOPK_SQL),
+    "ivf_ann_topk": (similarity.ivf_ann_topk, similarity.IVF_ANN_TOPK_SQL),
     "label_centroid_norms": (
         similarity.label_centroid_norms,
         similarity.LABEL_CENTROID_NORMS_SQL,

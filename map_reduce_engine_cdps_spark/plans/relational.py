@@ -896,3 +896,237 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND p.ts <= c.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# salted_type_stats — two-phase (salted) aggregation over events by
+# event_type: 5 distinct keys over the whole corpus is the worst-case
+# skew shape (every row is a hot key). The salted form
+# (operators/skew.py:salted_agg) bounds any single reducer's group at
+# 1/n_salt of a hot key. Results are identical to the plain groupBy —
+# the oracle is the plain SQL — which is the point: salting is a
+# physical rewrite, not a semantic one.
+# ---------------------------------------------------------------------------
+
+def salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round(F.col("total_value") / F.col("n"), 4).alias("avg_value"),
+    )
+
+
+SALTED_TYPE_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(sum(value) / count(*), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# salted_above_type_mean — salted join demo: per-type mean (5-row dim,
+# above-broadcast-threshold stand-in) joined back to the full events
+# table on the maximally-skewed event_type key via
+# operators/skew.py:salted_join, counting events above their type's
+# mean. Oracle is the plain join — same results, different physical
+# plan (hot key spread across n_salt reducers).
+# ---------------------------------------------------------------------------
+
+def salted_above_type_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_mean"))
+    joined = salted_join(ev.select("event_type", "value"), dim, on="event_type")
+    return (
+        joined.filter(F.col("value") > F.col("type_mean"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg("value"), 4).alias("avg_above"),
+        )
+    )
+
+
+SALTED_ABOVE_TYPE_MEAN_SQL = """
+WITH dim AS (
+  SELECT event_type, avg(value) AS type_mean FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_above,
+       round(avg(e.value), 4) AS avg_above
+FROM events e JOIN dim d USING (event_type)
+WHERE e.value > d.type_mean
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# click_purchase_within_1h — bucketed RANGE JOIN: per user, every
+# (click, purchase) pair at most 1 h apart. The naive formulation is an
+# inequality join — O(n·m) per user and un-shuffleable. The scale
+# formulation buckets both sides into 1 h epochs and equi-joins on
+# (user_id, bucket) with the probe side exploded to its 3 candidate
+# buckets (b-1, b, b+1), then applies the exact |gap| <= 1h filter.
+# Each qualifying pair is found exactly once (the build side keeps a
+# single bucket). At 100 TB the join is a plain shuffled equi-join whose
+# key cardinality grows with time-span × users — no blow-up.
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_S = 3600
+
+
+def click_purchase_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            us.alias("click_us"),
+            F.expr(f"unix_micros(ts) div {RANGE_WINDOW_S * 1_000_000}").alias("b"),
+        )
+        .withColumn("bucket", F.explode(F.expr("array(b - 1, b, b + 1)")))
+        .drop("b")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("purchase_us"),
+        F.expr(f"unix_micros(ts) div {RANGE_WINDOW_S * 1_000_000}").alias("bucket"),
+    )
+    pairs = clicks.join(purchases, ["user_id", "bucket"]).filter(
+        F.abs(F.col("click_us") - F.col("purchase_us"))
+        <= RANGE_WINDOW_S * 1_000_000
+    )
+    return pairs.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round((F.col("purchase_us") - F.col("click_us")) / 1e6, 2).alias("gap_s"),
+    )
+
+
+CLICK_PURCHASE_WITHIN_1H_SQL = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1e6, 2) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {RANGE_WINDOW_S * 1_000_000}::BIGINT
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding_window_counts — sliding event-time windows (10 min window,
+# 5 min slide): each event lands in exactly window/slide = 2 windows.
+# Spark's F.window handles the window assignment natively; the DuckDB
+# oracle re-derives the two window starts arithmetically.
+# ---------------------------------------------------------------------------
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SLIDING_WINDOW_COUNTS_SQL = """
+WITH assigned AS (
+  SELECT strftime(to_timestamp((floor(epoch(ts) / 300) - k.k) * 300)::TIMESTAMP,
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, value
+  FROM events, unnest(range(0, 2)) AS k(k)
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sampled_docs_per_source — deterministic per-class sampling (T42's
+# per-class subsample, reference scripts/plants_dataset.ipynb cell 11,
+# re-expressed scale-safe): instead of RNG (engine-dependent), the keep
+# decision is a pure arithmetic hash of the row id — reproducible across
+# engines and runs, trivially pushed into the scan, and exactly
+# rate-per-class controllable. Head classes (src0/src1) keep 60%, the
+# tail keeps 20%.
+# ---------------------------------------------------------------------------
+
+def sampled_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("source").isin("src0", "src1"), 60).otherwise(20)
+    kept = docs.filter(F.pmod(F.col("doc_id") * 48271, F.lit(100)) < rate)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SAMPLED_DOCS_PER_SOURCE_SQL = """
+SELECT source, count(*) AS n_kept, round(avg(n_chars), 4) AS avg_chars
+FROM documents
+WHERE (doc_id * 48271) % 100 <
+      (CASE WHEN source IN ('src0', 'src1') THEN 60 ELSE 20 END)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_users — approx_count_distinct (HLL++) per event_type,
+# self-validated: the query emits the exact distinct count (oracle-
+# hash-matched) plus a boolean asserting the HLL estimate landed within
+# 5% of it (default rsd 0.05). The oracle emits literal TRUE, so a
+# drifting sketch fails the gate. At 100 TB approx is the only viable
+# distinct-count: partial-aggregated sketches merge map-side; exact
+# distinct shuffles every (key, user) pair.
+# ---------------------------------------------------------------------------
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
+
+
+APPROX_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""

@@ -247,3 +247,132 @@ SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
 FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
 WHERE {_DUCK_COS} >= {NEAR_DUP_COS}
 """
+
+
+# ---------------------------------------------------------------------------
+# ivf_ann_topk — IVF (inverted-file) ANN: the second scale path the
+# training-data brief asks for alongside LSH. Coarse quantizer = the
+# per-label mean embeddings (computed distributed via posexplode —
+# deterministic, so oracle-checkable, unlike k-means). Every vector is
+# assigned to its nearest centroid (broadcast argmin over K centroids —
+# a map-side-only pass over the corpus); each query probes its
+# NPROBE nearest inverted lists and scores exact cosine only inside
+# them. At 100 TB: corpus pass is narrow (broadcast K×dim centroids),
+# the probe join shuffles on centroid id with K≫partitions, and the
+# per-query candidate set is ~NPROBE/K of the corpus, not all of it.
+# ---------------------------------------------------------------------------
+
+NPROBE = 2
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean embedding as array<double> (distributed; no collect)."""
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    comp = exploded.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("double")) / F.count(F.lit(1))).alias("m")
+    )
+    return comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("centroid")
+    )
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        _centroids(emb).select(F.col("label").alias("list_id"), "centroid")
+    )
+
+    def nearest_lists(side: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+        scored = side.crossJoin(cent).select(
+            id_col,
+            vec_col,
+            "list_id",
+            F.round(V.cosine(F.col(vec_col), F.col("centroid")), 6).alias("c_sim"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn", "c_sim")
+        )
+
+    assign = nearest_lists(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")),
+        "cand_id", "c_emb", 1,
+    )
+    probes = nearest_lists(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        ),
+        "query_id", "q_emb", NPROBE,
+    )
+    sims = (
+        probes.join(assign, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def _duck_cos_lists(x: str, y: str) -> str:
+    return f"""round(
+  list_sum(list_transform(range(1, len({x}) + 1),
+           i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(range(1, len({x}) + 1),
+           i -> {x}[i]::DOUBLE * {x}[i]::DOUBLE)))
+   * sqrt(list_sum(list_transform(range(1, len({y}) + 1),
+           i -> {y}[i]::DOUBLE * {y}[i]::DOUBLE)))), 6)"""
+
+
+IVF_ANN_TOPK_SQL = f"""
+WITH exploded AS (
+  SELECT label, t.pos, embedding[t.pos]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(pos)
+), comp AS (
+  SELECT label, pos, sum(val) / count(*) AS m
+  FROM exploded GROUP BY label, pos
+), cent AS (
+  SELECT label AS list_id, list(m ORDER BY pos) AS centroid
+  FROM comp GROUP BY label
+), assign AS (
+  SELECT cand_id, c_emb, list_id FROM (
+    SELECT e.vec_id AS cand_id, e.embedding AS c_emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos_lists('e.embedding', 'cent.centroid')} DESC,
+                      cent.list_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_emb, list_id FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos_lists('e.embedding', 'cent.centroid')} DESC,
+                      cent.list_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {NPROBE}
+), sims AS (
+  SELECT p.query_id, a.cand_id,
+         {_duck_cos_lists('p.q_emb', 'a.c_emb')} AS cos_sim
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE p.query_id <> a.cand_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
