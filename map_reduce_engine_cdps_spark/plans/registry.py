@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_engine_cdps_spark.multimodal import binary
 from map_reduce_engine_cdps_spark.operators import mlpipeline
+from map_reduce_engine_cdps_spark.streaming import stateful as streaming_stateful
 from map_reduce_engine_cdps_spark.streaming import windows as streaming_windows
 from map_reduce_engine_cdps_spark.plans import (
     dedup,
@@ -167,6 +168,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_window_counts": (
         streaming_windows.streaming_window_counts,
         relational.TUMBLING_WINDOW_COUNTS_SQL,
+    ),
+    # --- custom stateful streaming op (applyInPandasWithState
+    # sessionization), oracle-checked against batch SQL sessionization ---
+    "streaming_user_sessions": (
+        streaming_stateful.streaming_user_sessions,
+        streaming_stateful.STREAMING_USER_SESSIONS_SQL,
     ),
 }
 
