@@ -21,8 +21,11 @@ from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
 from map_reduce_engine_cdps_spark.session import get_spark
 
 # Headline set: one per operator family — agg, flagship CASE+agg+topk,
-# join chain, windows, sessionization, text explode, minhash-LSH dedup,
-# brute-force ANN, grouped-map training, compat shim.
+# join chain, windows (tumbling + sliding), sessionization, as-of +
+# range temporal joins, salted-skew join, text explode, TF-IDF,
+# minhash-LSH dedup, brute-force/LSH/IVF ANN, grouped-map training,
+# compat shim. (Streaming queries are excluded: fixed-cost microbatch
+# machinery, measured by their own tests.)
 HEADLINE = [
     "pricing_summary",
     "danger_topk",
@@ -30,13 +33,19 @@ HEADLINE = [
     "running_order_totals",
     "user_sessions",
     "tumbling_window_counts",
+    "sliding_window_counts",
+    "click_asof_purchase",
+    "click_purchase_within_1h",
+    "salted_above_type_mean",
     "wordcount",
     "text_quality",
+    "tfidf_top_terms",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_buckets",
     "knn_bruteforce",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "one_vs_one_training",
     "wordcount_shim",
 ]
