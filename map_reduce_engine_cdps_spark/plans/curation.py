@@ -1,0 +1,186 @@
+"""Training-data curation operators over `documents`: rule-based quality
+filtering (C4/Gopher-style heuristic gates) and benchmark decontamination
+(n-gram-overlap anti-join) — north-star extensions beyond the reference's
+own surface (SURVEY.md §7 step 7).
+
+Scale design: every rule input is a per-document scalar computed in one
+pass with built-in collection functions (no Python UDFs, no shuffle until
+the final agg-free projection — quality flags are embarrassingly
+parallel). Decontamination shuffles only (shingle_hash, doc_id) pairs on
+the shingle key — the standard contaminated-span detection shape — and
+the distinct benchmark-shingle side is the small relation, so at 100 TB
+it broadcasts (benchmark suites are MBs, the corpus is the big side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.functions import text as TX
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+# Stopword set shared by the Spark and DuckDB sides (tiny on purpose:
+# the synthetic corpus vocabulary is small; real deployments swap in a
+# per-language list).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+MIN_TOKENS = 20
+MAX_TOKENS = 2000
+MIN_MEAN_LEN = 2.0
+MAX_MEAN_LEN = 10.0
+MAX_TOP_TOKEN_RATIO = 0.25
+
+
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality gates with per-rule flags + overall verdict.
+
+    Inputs per doc: token count, mean token length, stopword ratio, and
+    the frequency ratio of the most repeated token (repetition gate, the
+    Gopher-style "most common word" rule). All computed via built-in
+    higher-order functions over the token array — one narrow stage, no
+    shuffle, codegen-friendly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    mean_len = F.aggregate(
+        "toks", F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)
+    ) / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))) / n
+    # most-repeated-token ratio: count of the modal token / n, computed
+    # per row from the token array (no explode, no shuffle).
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter("toks", lambda x: x == t)),
+        )
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_tok_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(top_cnt / n, 4).alias("top_token_ratio"),
+    )
+    rule_len = (F.col("n_tokens") >= MIN_TOKENS) & (F.col("n_tokens") <= MAX_TOKENS)
+    rule_mean = (F.col("mean_tok_len") >= MIN_MEAN_LEN) & (
+        F.col("mean_tok_len") <= MAX_MEAN_LEN
+    )
+    rule_stop = F.col("stop_ratio") > 0
+    rule_rep = F.col("top_token_ratio") <= MAX_TOP_TOKEN_RATIO
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "stop_ratio",
+        "top_token_ratio",
+        rule_len.alias("pass_length"),
+        rule_mean.alias("pass_mean_len"),
+        rule_stop.alias("pass_stopwords"),
+        rule_rep.alias("pass_repetition"),
+        (rule_len & rule_mean & rule_stop & rule_rep).alias("passes"),
+    )
+
+
+_DUCK_TOKS = """
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+"""
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+QUALITY_FILTER_FLAGS_SQL = f"""
+WITH t AS ({_DUCK_TOKS}),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+               / len(toks), 4) AS mean_tok_len,
+         round(len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE
+               / len(toks), 4) AS stop_ratio,
+         round(list_max(list_transform(list_distinct(toks),
+                 t2 -> len(list_filter(toks, x -> x = t2))))::DOUBLE
+               / len(toks), 4) AS top_token_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_tok_len, stop_ratio, top_token_ratio,
+       (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}) AS pass_length,
+       (mean_tok_len >= {MIN_MEAN_LEN} AND mean_tok_len <= {MAX_MEAN_LEN})
+         AS pass_mean_len,
+       (stop_ratio > 0) AS pass_stopwords,
+       (top_token_ratio <= {MAX_TOP_TOKEN_RATIO}) AS pass_repetition,
+       (n_tokens >= {MIN_TOKENS} AND n_tokens <= {MAX_TOKENS}
+        AND mean_tok_len >= {MIN_MEAN_LEN} AND mean_tok_len <= {MAX_MEAN_LEN}
+        AND stop_ratio > 0
+        AND top_token_ratio <= {MAX_TOP_TOKEN_RATIO}) AS passes
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# decontamination — flag training docs sharing any 3-token shingle with a
+# held-out benchmark slice (source = 'src0' stands in for the eval suite).
+# Spark shape: explode-distinct shingles on both sides, broadcast the
+# benchmark shingle set (the small relation), semi-join, left-join the
+# flag back. No O(n·m) comparison, no Python.
+# ---------------------------------------------------------------------------
+
+BENCH_SOURCE = "src0"
+DECON_SHINGLE_N = 3
+
+
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            TX.shingles(TX.tokens(F.col("text")), DECON_SHINGLE_N)
+        ).alias("shingle"),
+    )
+    bench_shingles = (
+        sh.filter(F.col("source") == BENCH_SOURCE).select("shingle").distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("source") != BENCH_SOURCE)
+        .join(F.broadcast(bench_shingles), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.filter(F.col("source") != BENCH_SOURCE)
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATION_SQL = f"""
+WITH t AS ({_DUCK_TOKS}),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - {DECON_SHINGLE_N - 2}, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{BENCH_SOURCE}'),
+hits AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.source != '{BENCH_SOURCE}'
+)
+SELECT d.doc_id, d.source,
+       (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source != '{BENCH_SOURCE}'
+"""

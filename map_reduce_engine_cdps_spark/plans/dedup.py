@@ -292,3 +292,83 @@ NGRAM_JACCARD_TOPK_SQL = (
 SELECT doc_a, doc_b AS nearest_doc, jaccard FROM ranked WHERE rn = 1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# near_dup_clusters — the dedup *completion* step: connected components
+# over the LSH near-dup pair graph, so transitively-linked duplicates
+# collapse to one canonical doc (cluster id = min doc_id in component).
+#
+# Spark shape: iterative min-label propagation — per round, one equi-join
+# of labels onto the edge list + a min-aggregate per vertex, with
+# localCheckpoint truncating the lineage so round k doesn't replay rounds
+# 1..k-1. Rounds are bounded by the graph diameter; near-dup components
+# are shallow (dup chains, not paths), so this converges in a handful of
+# rounds. At 100 TB you would swap the body for the large-star/small-star
+# rewrite (O(log n) rounds, same join primitive) and checkpoint to
+# durable storage; the dataflow shape per round is identical.
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 25
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # Undirected: propagate both ways. Materialize once — every round
+    # reuses the edge list, and recomputing the MinHash pipeline per
+    # round would dominate the loop.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "old_comp"), "doc_id"
+            )
+            .filter(F.col("comp") != F.col("old_comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("cluster_id"),
+        (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (" + MINHASH_LSH_PAIRS_SQL + """
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id,
+       (v = min(r)) AS is_canonical
+FROM reach GROUP BY v
+"""
+)

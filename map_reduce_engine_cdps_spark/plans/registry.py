@@ -16,10 +16,12 @@ from map_reduce_engine_cdps_spark.operators import mlpipeline
 from map_reduce_engine_cdps_spark.streaming import stateful as streaming_stateful
 from map_reduce_engine_cdps_spark.streaming import windows as streaming_windows
 from map_reduce_engine_cdps_spark.plans import (
+    curation,
     dedup,
     relational,
     similarity,
     textops,
+    tpch,
     workloads,
 )
 
@@ -124,6 +126,28 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.approx_distinct_users,
         relational.APPROX_DISTINCT_USERS_SQL,
     ),
+    # --- TPC-H-shaped multi-join battery (T35-T38 extended: EXISTS→semi,
+    # scalar correlated subquery→agg+broadcast join, 4-way join top-k) ---
+    "shipping_priority": (tpch.shipping_priority, tpch.SHIPPING_PRIORITY_SQL),
+    "priority_order_counts": (
+        tpch.priority_order_counts,
+        tpch.PRIORITY_ORDER_COUNTS_SQL,
+    ),
+    "small_qty_revenue": (tpch.small_qty_revenue, tpch.SMALL_QTY_REVENUE_SQL),
+    "top_return_customers": (
+        tpch.top_return_customers,
+        tpch.TOP_RETURN_CUSTOMERS_SQL,
+    ),
+    "brand_supplier_counts": (
+        tpch.brand_supplier_counts,
+        tpch.BRAND_SUPPLIER_COUNTS_SQL,
+    ),
+    # --- training-data curation (quality gates + decontamination) ---
+    "quality_filter_flags": (
+        curation.quality_filter_flags,
+        curation.QUALITY_FILTER_FLAGS_SQL,
+    ),
+    "decontamination": (curation.decontamination, curation.DECONTAMINATION_SQL),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
@@ -137,6 +161,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
     "ngram_jaccard_topk": (dedup.ngram_jaccard_topk, dedup.NGRAM_JACCARD_TOPK_SQL),
+    "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     # --- similarity search ---
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),
