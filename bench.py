@@ -30,6 +30,9 @@ HEADLINE = [
     "pricing_summary",
     "danger_topk",
     "revenue_by_nation",
+    "shipping_priority",
+    "priority_order_counts",
+    "top_return_customers",
     "running_order_totals",
     "user_sessions",
     "tumbling_window_counts",
@@ -40,8 +43,11 @@ HEADLINE = [
     "wordcount",
     "text_quality",
     "tfidf_top_terms",
+    "quality_filter_flags",
+    "decontamination",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "near_dup_clusters",
     "simhash_buckets",
     "knn_bruteforce",
     "lsh_ann_topk",

@@ -126,6 +126,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.approx_distinct_users,
         relational.APPROX_DISTINCT_USERS_SQL,
     ),
+    "approx_quantile_check": (
+        relational.approx_quantile_check,
+        relational.APPROX_QUANTILE_CHECK_SQL,
+    ),
     # --- TPC-H-shaped multi-join battery (T35-T38 extended: EXISTS→semi,
     # scalar correlated subquery→agg+broadcast join, 4-way join top-k) ---
     "shipping_priority": (tpch.shipping_priority, tpch.SHIPPING_PRIORITY_SQL),
@@ -199,6 +203,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_user_sessions": (
         streaming_stateful.streaming_user_sessions,
         streaming_stateful.STREAMING_USER_SESSIONS_SQL,
+    ),
+    # --- streaming stateful exact-dedup (state-store dropDuplicates),
+    # oracle-checked against batch SELECT DISTINCT ---
+    "streaming_dedup_events": (
+        streaming_windows.streaming_dedup_events,
+        streaming_windows.STREAMING_DEDUP_EVENTS_SQL,
     ),
 }
 

@@ -1130,3 +1130,40 @@ SELECT event_type, count(DISTINCT user_id) AS exact_users,
        TRUE AS approx_within_5pct
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_check — approx_percentile (t-digest-style sketch) per
+# returnflag, self-validated against the exact interpolated percentile
+# the same way approx_distinct_users validates HLL: the oracle-matched
+# columns are the exact values; booleans assert the sketch landed within
+# 2% relative error. At 100 TB exact percentiles need a full sort per
+# group; the sketch partial-aggregates map-side and merges.
+# ---------------------------------------------------------------------------
+
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("exact_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 2).alias("exact_p95"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("ap50"),
+        F.expr("approx_percentile(l_quantity, 0.95, 10000)").alias("ap95"),
+    )
+    ok = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.02 * F.abs(F.col(e))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        ok("ap50", "exact_p50").alias("p50_within_2pct"),
+        ok("ap95", "exact_p95").alias("p95_within_2pct"),
+    )
+
+
+APPROX_QUANTILE_CHECK_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 2)  AS exact_p50,
+       round(quantile_cont(l_quantity, 0.95), 2) AS exact_p95,
+       TRUE AS p50_within_2pct,
+       TRUE AS p95_within_2pct
+FROM lineitem GROUP BY l_returnflag
+"""

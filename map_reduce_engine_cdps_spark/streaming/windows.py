@@ -59,6 +59,35 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful exact-dedup: ``dropDuplicates`` over the
+    (user_id, event_type) key — the streaming twin of batch DISTINCT,
+    backed by the state store. Emits exactly the distinct key set, so it
+    oracle-checks against plain ``SELECT DISTINCT``. At scale the state
+    store is partitioned by the dedup key (one shuffle), and a real
+    deployment bounds state with ``dropDuplicatesWithinWatermark``; the
+    finite availableNow run here needs no eviction.
+    """
+    stream = stream_events_from_parquet(spark, sf_dir)
+    out = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streaming_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("streaming_dedup_out")
+
+
+STREAMING_DEDUP_EVENTS_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, table: str = "stream_out",
                          window: str = "5 minutes") -> DataFrame:
     """Drive the streaming pipeline to completion (availableNow) into a

@@ -1,0 +1,94 @@
+"""Physical-plan audit: assert the headline queries compile to the plans
+we designed for — broadcast joins where a side is dimension-sized, filter
+pushdown into the parquet scans, no cartesian products, top-k as
+TakeOrderedAndProject (never a global Sort + Limit of the full input).
+
+Run: python tools/plan_audit.py [query ...]   (default: audited set)
+
+This is a development feedback tool, not a test gate: AQE can legally
+change join strategies at runtime, so we audit the *initial* plan for
+structural mistakes (cartesian, missed pushdown) and print join/scan
+summaries for eyeball review.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+from map_reduce_engine_cdps_spark.session import get_spark
+
+# query → expectations. "broadcast": minimum number of broadcast joins in
+# the initial plan; "no_cartesian": fail on CartesianProduct /
+# BroadcastNestedLoopJoin; "topk": expect TakeOrderedAndProject.
+AUDITS: dict[str, dict] = {
+    "pricing_summary": {"pushed": True},
+    "danger_topk": {"topk": True},
+    "revenue_by_nation": {"broadcast": 2, "no_cartesian": True},
+    "shipping_priority": {"broadcast": 1, "no_cartesian": True, "topk": True},
+    "priority_order_counts": {"no_cartesian": True},
+    "small_qty_revenue": {"broadcast": 1, "no_cartesian": True},
+    "top_return_customers": {"broadcast": 2, "no_cartesian": True, "topk": True},
+    "brand_supplier_counts": {"broadcast": 1, "no_cartesian": True},
+    "decontamination": {"broadcast": 1, "no_cartesian": True},
+    "customers_with_orders": {"no_cartesian": True},
+    "customers_without_orders": {"no_cartesian": True},
+    "click_asof_purchase": {"no_cartesian": True},
+    "click_purchase_within_1h": {"no_cartesian": True},
+    "minhash_lsh_pairs": {"no_cartesian": True},
+    "embedding_near_dup": {"no_cartesian": True},
+    "lsh_ann_topk": {"no_cartesian": True},
+}
+
+
+def audit(name: str, sf_dir: str) -> list[str]:
+    spark = get_spark(app_name="plan_audit")
+    fn, _ = _REGISTRY[name]
+    df = fn(spark, sf_dir)
+    df.count()  # execute so AQE finalizes join strategies / codegen
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    problems: list[str] = []
+    exp = AUDITS.get(name, {})
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    if exp.get("broadcast") and n_bhj < exp["broadcast"]:
+        problems.append(f"expected ≥{exp['broadcast']} BroadcastHashJoin, saw {n_bhj}")
+    if exp.get("no_cartesian") and re.search(
+        r"CartesianProduct|BroadcastNestedLoopJoin", plan
+    ):
+        problems.append("cartesian / nested-loop join in plan")
+    if exp.get("topk") and "TakeOrderedAndProject" not in plan:
+        problems.append("top-k did not compile to TakeOrderedAndProject")
+    if exp.get("pushed") and "PushedFilters: []" in plan and "PushedFilters: [" in plan:
+        # every scan with a candidate filter should push something down
+        problems.append("a scan pushed no filters")
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|"
+        r"BroadcastNestedLoopJoin)",
+        plan,
+    )
+    scans = re.findall(r"ReadSchema: (\S+)", plan)
+    print(
+        f"{name}: joins={joins or '-'} "
+        f"scan_widths={[s.count(',') + 1 for s in scans] or '-'}"
+    )
+    return problems
+
+
+def main() -> int:
+    sf_dir = "/root/testdata/sf0.01"
+    names = sys.argv[1:] or list(AUDITS)
+    failures = 0
+    for name in names:
+        problems = audit(name, sf_dir)
+        for p in problems:
+            failures += 1
+            print(f"  PROBLEM {name}: {p}")
+    print(f"{failures} plan problems")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
