@@ -63,6 +63,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "train_test_split": (relational.train_test_split, relational.TRAIN_TEST_SPLIT_SQL),
     "rollup_counts": (relational.rollup_counts, relational.ROLLUP_COUNTS_SQL),
     "cube_counts": (relational.cube_counts, relational.CUBE_COUNTS_SQL),
+    "grouping_sets_counts": (
+        relational.grouping_sets_counts,
+        relational.GROUPING_SETS_COUNTS_SQL,
+    ),
     "running_order_totals": (
         relational.running_order_totals,
         relational.RUNNING_ORDER_TOTALS_SQL,
@@ -159,6 +163,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_fingerprints": (textops.doc_fingerprints, textops.DOC_FINGERPRINTS_SQL),
     "tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_TOP_TERMS_SQL),
     "token_stats": (textops.token_stats, textops.TOKEN_STATS_SQL),
+    "top_bigrams": (textops.top_bigrams, textops.TOP_BIGRAMS_SQL),
     # --- deduplication ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "minhash_signatures": (dedup.minhash_signatures, dedup.MINHASH_SIGNATURES_SQL),
@@ -174,6 +179,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "label_centroid_norms": (
         similarity.label_centroid_norms,
         similarity.LABEL_CENTROID_NORMS_SQL,
+    ),
+    "embedding_quantize_stats": (
+        similarity.embedding_quantize_stats,
+        similarity.EMBEDDING_QUANTIZE_STATS_SQL,
     ),
     # --- compat shim: reference-style 4-hook program, same oracle as the
     # DataFrame wordcount (proves shim ≡ SQL semantics end-to-end) ---

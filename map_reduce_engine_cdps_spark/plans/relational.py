@@ -1167,3 +1167,39 @@ SELECT l_returnflag,
        TRUE AS p95_within_2pct
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# grouping_sets_counts — GROUPING SETS via the spark.sql() surface (the
+# engine's second query API next to the DataFrame builders; same
+# Catalyst plan either way). Single expand + hash-agg: the expand
+# multiplies rows by the number of sets before partial aggregation, so
+# shuffle volume is O(groups × sets) — fine at any corpus size.
+# ---------------------------------------------------------------------------
+
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag),
+                                (l_linestatus),
+                                (l_returnflag, l_linestatus),
+                                ())
+        """
+    )
+
+
+GROUPING_SETS_COUNTS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag),
+                        (l_linestatus),
+                        (l_returnflag, l_linestatus),
+                        ())
+"""

@@ -376,3 +376,50 @@ WITH exploded AS (
 )
 SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_stats — per-vector symmetric int8 quantization
+# (scale = max|x|/127) with reconstruction error, the storage-side
+# primitive for shipping 100 TB of embeddings at 4× compression. Pure
+# JVM array expressions (zip_with/aggregate); per-row compute, no
+# shuffle, no cross-row float accumulation (keeps the oracle hash
+# bit-stable across engines).
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, F.abs))
+    scale = F.greatest(max_abs / F.lit(127.0), F.lit(1e-12))
+    deq = F.transform(x, lambda v: F.round(v / scale) * scale)
+    mae = (
+        F.aggregate(
+            F.zip_with(x, deq, lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size(x)
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("q_scale"),
+        F.round(mae, 6).alias("q_mae"),
+    )
+
+
+EMBEDDING_QUANTIZE_STATS_SQL = """
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> v::DOUBLE) AS x,
+         greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))) / 127.0,
+                  1e-12) AS scale
+  FROM embeddings
+)
+SELECT vec_id, label,
+       round(scale, 6) AS q_scale,
+       round(list_sum(list_transform(x, v -> abs(v - round(v / scale) * scale)))
+             / len(x), 6) AS q_mae
+FROM s
+"""

@@ -270,3 +270,50 @@ SELECT source, count(*) AS n_docs,
        round(avg(n_tokens), 4) AS avg_tokens_per_doc
 FROM d GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# top_bigrams — corpus-wide bigram frequencies (all occurrences, unlike
+# the distinct shingles used for MinHash), top 30. The n-gram counting
+# primitive under phrase mining / LM data prep. One narrow pass builds
+# bigrams per doc (JVM array expressions), one hash-agg shuffles
+# (bigram, partial_count) — O(distinct bigrams), not O(tokens).
+# ---------------------------------------------------------------------------
+
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    grams = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tok, i.cast("int")),
+                F.element_at(tok, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+TOP_BIGRAMS_SQL = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t
+)
+SELECT bigram, count(*) AS n
+FROM g GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 30
+"""
