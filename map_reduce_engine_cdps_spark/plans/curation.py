@@ -184,3 +184,85 @@ SELECT d.doc_id, d.source,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.source != '{BENCH_SOURCE}'
 """
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample — deterministic per-language sampling to a token
+# budget: order docs by a content-independent hash (reproducible
+# "random"), take docs while the running token count stays within
+# budget. The data-mixing primitive for "X tokens of language L".
+# One shuffle on lang; the running sum is a per-partition window.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 3000
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(TX.tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = W.partitionBy("lang").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0)) AS n_tokens,
+         md5(doc_id::VARCHAR) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+# ---------------------------------------------------------------------------
+# source_mixing_weights — per-source resampling weights to reach a
+# uniform target mix: weight = target_share / observed_share. The
+# domain-mixing calculation done before weighted sampling of a training
+# corpus. Tiny aggregate (O(sources) rows); the window total runs on
+# the already-aggregated counts, not the corpus.
+# ---------------------------------------------------------------------------
+
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy())
+    n_sources = F.count(F.lit(1)).over(W.partitionBy())
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(
+            (F.lit(1.0) / n_sources) / (F.col("n_docs") / total), 4
+        ).alias("weight"),
+    )
+
+
+SOURCE_MIXING_WEIGHTS_SQL = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       round((1.0 / (count(*) OVER ())) /
+             (n_docs::DOUBLE / (sum(n_docs) OVER ())), 4) AS weight
+FROM c
+"""

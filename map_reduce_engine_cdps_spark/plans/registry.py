@@ -71,6 +71,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.running_order_totals,
         relational.RUNNING_ORDER_TOTALS_SQL,
     ),
+    "rolling_1h_user_value": (
+        relational.rolling_1h_user_value,
+        relational.ROLLING_1H_USER_VALUE_SQL,
+    ),
     "quantity_percentiles": (
         relational.quantity_percentiles,
         relational.QUANTITY_PERCENTILES_SQL,
@@ -156,6 +160,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.QUALITY_FILTER_FLAGS_SQL,
     ),
     "decontamination": (curation.decontamination, curation.DECONTAMINATION_SQL),
+    "token_budget_sample": (
+        curation.token_budget_sample,
+        curation.TOKEN_BUDGET_SAMPLE_SQL,
+    ),
+    "source_mixing_weights": (
+        curation.source_mixing_weights,
+        curation.SOURCE_MIXING_WEIGHTS_SQL,
+    ),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),

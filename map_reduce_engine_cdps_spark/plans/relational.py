@@ -1203,3 +1203,36 @@ GROUP BY GROUPING SETS ((l_returnflag),
                         (l_returnflag, l_linestatus),
                         ())
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling_1h_user_value — time-RANGE window frame (vs the row-based
+# frames elsewhere): per event, the sum of the same user's values over
+# the trailing hour. One shuffle on user_id; frame evaluation is a
+# per-partition sliding aggregate over epoch seconds. The per-user
+# event-history shape behind rate limiting / fraud features.
+# ---------------------------------------------------------------------------
+
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
+ROLLING_1H_USER_VALUE_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 2) AS trailing_1h_value,
+       count(*) OVER w AS trailing_1h_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
