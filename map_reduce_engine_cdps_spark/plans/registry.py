@@ -231,6 +231,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         streaming_windows.streaming_dedup_events,
         streaming_windows.STREAMING_DEDUP_EVENTS_SQL,
     ),
+    # --- stream-static broadcast enrichment join + windowed agg ---
+    "streaming_segment_counts": (
+        streaming_windows.streaming_segment_counts,
+        streaming_windows.STREAMING_SEGMENT_COUNTS_SQL,
+    ),
 }
 
 

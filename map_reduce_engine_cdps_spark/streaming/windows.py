@@ -88,6 +88,56 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (broadcast — re-resolved per micro-batch, never
+    shuffled against the stream), then windowed counts per market
+    segment. The canonical streaming-ETL enrichment shape; at scale the
+    static side refreshes via Delta/parquet re-read while the stream
+    only ever shuffles on the aggregate keys.
+    Oracle: the identical join + bucketed agg in batch SQL.
+    """
+    stream = stream_events_from_parquet(spark, sf_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    out = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "15 minutes").alias("win"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streaming_segment_counts_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("streaming_segment_counts_out")
+
+
+STREAMING_SEGMENT_COUNTS_SQL = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 900) * 900)::TIMESTAMP,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, table: str = "stream_out",
                          window: str = "5 minutes") -> DataFrame:
     """Drive the streaming pipeline to completion (availableNow) into a
