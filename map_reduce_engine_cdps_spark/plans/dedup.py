@@ -309,20 +309,25 @@ SELECT doc_a, doc_b AS nearest_doc, jaccard FROM ranked WHERE rn = 1
 # durable storage; the dataflow shape per round is identical.
 # ---------------------------------------------------------------------------
 
-def near_dup_clusters(
-    spark: SparkSession, sf_dir: str, max_rounds: int = 25
+def connected_components(
+    vertices: DataFrame, pairs: DataFrame, max_rounds: int = 25
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    """Min-label propagation over an undirected pair graph.
+
+    ``vertices``: one column ``doc_id``; ``pairs``: columns
+    ``doc_a, doc_b``. Returns (doc_id, comp) where comp is the minimum
+    doc_id reachable from doc_id. Factored out of near_dup_clusters so
+    the convergence semantics are unit-testable on hand-built graphs.
+    """
     # Undirected: propagate both ways. Materialize once — every round
-    # reuses the edge list, and recomputing the MinHash pipeline per
+    # reuses the edge list, and recomputing the upstream pipeline per
     # round would dominate the loop.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
+    labels = vertices.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
         eager=True
     )
     for _ in range(max_rounds):
@@ -349,6 +354,15 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 25
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs, pairs, max_rounds=max_rounds)
     return labels.select(
         "doc_id",
         F.col("comp").alias("cluster_id"),

@@ -82,3 +82,19 @@ def test_bucket_weather_cases(spark):
     df = spark.createDataFrame([(c,) for c, _ in cases], "w string")
     got = [r[0] for r in df.select(X.bucket_weather(F.col("w"))).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_connected_components_transitivity(spark):
+    """a~b, b~c must land in one cluster; isolated vertex stays its own;
+    two disjoint chains don't merge."""
+    from map_reduce_engine_cdps_spark.plans.dedup import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(vertices, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
