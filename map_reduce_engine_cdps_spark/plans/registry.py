@@ -79,6 +79,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.quantity_percentiles,
         relational.QUANTITY_PERCENTILES_SQL,
     ),
+    "balance_deciles": (relational.balance_deciles, relational.BALANCE_DECILES_SQL),
     "count_distinct_parts": (
         relational.count_distinct_parts,
         relational.COUNT_DISTINCT_PARTS_SQL,

@@ -1236,3 +1236,48 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# balance_deciles — decile bucketing done the way that survives scale:
+# NOT ntile() (a global window = total sort on one reducer), but
+# (1) one aggregate computing the 9 interpolated decile cutoffs,
+# (2) broadcast of that 1-row cutoff array, (3) per-row bucket
+# assignment by counting cutoffs below the value, (4) ordinary hash-agg
+# per decile. Same math, no global ordering anywhere.
+# ---------------------------------------------------------------------------
+
+def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qs = ", ".join(str(q / 10.0) for q in range(1, 10))
+    cuts = cust.agg(F.expr(f"percentile(c_acctbal, array({qs}))").alias("cuts"))
+    decile = F.lit(1) + F.size(
+        F.filter("cuts", lambda c: c < F.col("c_acctbal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(cuts))
+        .select(decile.alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+BALANCE_DECILES_SQL = """
+WITH cuts AS (
+  SELECT quantile_cont(c_acctbal,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+  FROM customer
+)
+SELECT 1 + len(list_filter(cuts.cuts, x -> x < c_acctbal)) AS decile,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_bal,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer, cuts
+GROUP BY 1
+"""
