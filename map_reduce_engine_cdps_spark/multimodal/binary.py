@@ -208,3 +208,83 @@ def media_features(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("feat_sum"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAME_BYTES = 64  # fake fixed-size frame stride within the payload
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 2, max_frames: int = 4, decode: str = "fake"
+) -> DataFrame:
+    """Video frame sampling: one media row → ≤max_frames frame rows via
+    a one-to-many Arrow mapInPandas (the explode-shaped UDF the brief's
+    frame-sample step needs; reference analogue: the per-image loop of
+    tasks/plants_classifier.py:141-163 generalized to frame sequences).
+
+    The frame *decode* is stubbed like extract_features: a "frame" is a
+    FRAME_BYTES slice of the payload at stride every_n, featurized with
+    the deterministic fake embedder; ``decode="real"`` marks the ffmpeg
+    seek+decode point. The Spark plumbing — pruned (media_id, content)
+    crossing the Arrow boundary, per-batch fan-out, typed frame schema —
+    is the real, tested part. Output size is bounded by max_frames per
+    media row, so the fan-out ratio (and downstream shuffle) is capped.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":
+                # >>> real implementation: ffmpeg/pyav open, seek to
+                # every_n-th frame timestamps, decode ≤max_frames frames.
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg/pyav, absent here"
+                )
+            out_ids, out_idx, out_feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                n_frames = max(len(data) // FRAME_BYTES, 1)
+                taken = 0
+                for f in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    chunk = data[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    out_ids.append(mid)
+                    out_idx.append(f)
+                    out_feats.append(_fake_decode_features(chunk))
+                    taken += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "frame_idx": pd.array(out_idx, dtype="int32"),
+                    "frame_features": out_feats,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def video_frame_samples(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): frame sampling + per-media frame
+    stats over the deterministic synthetic media table."""
+    media = synth_media_df(spark, n=64, partitions=8)
+    frames = sample_frames(media, every_n=2, max_frames=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(
+                F.avg(F.element_at("frame_features", 1)), 6
+            ).alias("avg_feat0"),
+        )
+    )

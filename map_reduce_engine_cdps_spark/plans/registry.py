@@ -214,6 +214,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- multimodal plumbing: binary column + typed metadata +
     # mapInPandas feature extraction (deterministic fake decode) — rows-only ---
     "media_features": (binary.media_features, None),
+    # --- video frame sampling: one-to-many mapInPandas fan-out with
+    # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
+    "video_frame_samples": (binary.video_frame_samples, None),
     # --- Structured Streaming path, oracle-checked against the SAME SQL
     # as its batch twin (streaming ≡ batch ≡ DuckDB) ---
     "streaming_window_counts": (

@@ -72,3 +72,40 @@ def test_one_vs_one_training(spark, sf_dir, tmp_path):
     for r in rows:
         assert again[r["pair_key"]]["coef_norm"] == r["coef_norm"]
         assert again[r["pair_key"]]["train_acc"] == r["train_acc"]
+
+
+def test_sample_frames_bounded_fanout(spark):
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        FRAME_BYTES,
+        sample_frames,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=16, partitions=4)
+    frames = sample_frames(media, every_n=2, max_frames=3)
+    rows = frames.collect()
+    assert rows, "no frames sampled"
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r)
+        assert len(r["frame_features"]) == 16
+        assert r["frame_idx"] % 2 == 0  # stride respected
+    assert all(len(v) <= 3 for v in per_media.values())  # cap respected
+    # determinism: same payload slice → same features
+    again = {(r["media_id"], r["frame_idx"]): r["frame_features"]
+             for r in sample_frames(media, every_n=2, max_frames=3).collect()}
+    for r in rows:
+        assert again[(r["media_id"], r["frame_idx"])] == r["frame_features"]
+
+
+def test_sample_frames_real_decode_raises(spark):
+    import pytest as _pytest
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        sample_frames,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=4, partitions=2)
+    with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        sample_frames(media, decode="real").collect()
