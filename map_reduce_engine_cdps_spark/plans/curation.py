@@ -266,3 +266,50 @@ SELECT source, n_docs,
              (n_docs::DOUBLE / (sum(n_docs) OVER ())), 4) AS weight
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# csv_roundtrip_counts — sink + source exercised through the oracle gate:
+# write the (doc_id, lang, n_chars) projection to CSV (T6/T9-style sink),
+# read it back through the typed CSV reader (T2/T3, explicit schema, ';'
+# sep like the reference's plants scan), aggregate. The oracle runs on
+# the original table, so the round-trip must be lossless for the gate to
+# pass. Scratch dir per run; the write is partitioned (one file per
+# partition), the read re-plans splits — no single-file bottleneck.
+# ---------------------------------------------------------------------------
+
+def csv_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from map_reduce_engine_cdps_spark.sources.readers import read_csv_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    (
+        docs.write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", ";")
+        .csv(out)
+    )
+    back = read_csv_dir(
+        spark,
+        out,
+        schema="doc_id bigint, lang string, n_chars bigint",
+        sep=";",
+        header=True,
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+CSV_ROUNDTRIP_COUNTS_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
+"""

@@ -169,6 +169,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.source_mixing_weights,
         curation.SOURCE_MIXING_WEIGHTS_SQL,
     ),
+    # --- CSV sink + typed reader round-trip through the oracle gate ---
+    "csv_roundtrip_counts": (
+        curation.csv_roundtrip_counts,
+        curation.CSV_ROUNDTRIP_COUNTS_SQL,
+    ),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
