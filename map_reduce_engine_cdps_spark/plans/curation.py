@@ -313,3 +313,109 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks — context-window chunking: slice each document's token
+# array into fixed-size chunks (the tokenize→chunk step in front of any
+# LM training run). Pure built-in array ops (sequence + slice over the
+# token array), one narrow stage; the per-chunk hash keeps the output
+# comparable without shipping chunk text.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(tok) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(tok, (i * CHUNK_TOKENS + 1).cast("int"), CHUNK_TOKENS).alias(
+                "toks"
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", "lang", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.toks").alias("chunk_len"),
+            F.md5(F.concat_ws(" ", "c.toks")).alias("chunk_hash"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, toks,
+         unnest(range(0, cast(ceil(len(toks)::DOUBLE / {CHUNK_TOKENS}) AS BIGINT)))
+           AS chunk_idx
+  FROM t
+)
+SELECT doc_id, lang, chunk_idx,
+       len(toks[chunk_idx * {CHUNK_TOKENS} + 1 : (chunk_idx + 1) * {CHUNK_TOKENS}])
+         AS chunk_len,
+       md5(array_to_string(
+           toks[chunk_idx * {CHUNK_TOKENS} + 1 : (chunk_idx + 1) * {CHUNK_TOKENS}],
+           ' ')) AS chunk_hash
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# pack_chunks_bins — sequence packing: assign chunks (in deterministic
+# doc order) to fixed-capacity token bins per language via running-total
+# offset (bin = floor(start_offset / capacity) — the standard
+# offset-based packing approximation). One shuffle on lang; the packing
+# itself is a window cumsum, no driver loop.
+# ---------------------------------------------------------------------------
+
+BIN_CAPACITY = 128
+
+
+def pack_chunks_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    chunks = doc_chunks(spark, sf_dir)
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = chunks.withColumn(
+        "start_offset", F.sum("chunk_len").over(w) - F.col("chunk_len")
+    ).withColumn(
+        "bin_id", F.floor(F.col("start_offset") / F.lit(BIN_CAPACITY))
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("bin_tokens"),
+    )
+
+
+PACK_CHUNKS_BINS_SQL = (
+    "WITH chunks AS (" + DOC_CHUNKS_SQL + f"""
+), packed AS (
+  SELECT lang,
+         cast(floor((sum(chunk_len) OVER (PARTITION BY lang
+                                          ORDER BY doc_id, chunk_idx
+                                          ROWS UNBOUNDED PRECEDING) - chunk_len)
+                    / {BIN_CAPACITY}) AS BIGINT) AS bin_id,
+         chunk_len
+  FROM chunks
+)
+SELECT lang, bin_id, count(*) AS n_chunks, sum(chunk_len) AS bin_tokens
+FROM packed GROUP BY lang, bin_id
+"""
+)

@@ -169,6 +169,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.source_mixing_weights,
         curation.SOURCE_MIXING_WEIGHTS_SQL,
     ),
+    "doc_chunks": (curation.doc_chunks, curation.DOC_CHUNKS_SQL),
+    "pack_chunks_bins": (curation.pack_chunks_bins, curation.PACK_CHUNKS_BINS_SQL),
     # --- CSV sink + typed reader round-trip through the oracle gate ---
     "csv_roundtrip_counts": (
         curation.csv_roundtrip_counts,
