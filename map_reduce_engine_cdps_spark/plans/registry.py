@@ -207,6 +207,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- compat shim: reference-style 4-hook program, same oracle as the
     # DataFrame wordcount (proves shim ≡ SQL semantics end-to-end) ---
     "wordcount_shim": (workloads.wordcount_shim, textops.WORDCOUNT_SQL),
+    "danger_shim": (workloads.danger_shim, workloads.DANGER_SHIM_SQL),
     # --- ML pipeline (plants workload restatement): iterative numpy
     # trainer inside applyInPandas — non-SQL-expressible, rows-only ---
     "one_vs_one_training": (mlpipeline.one_vs_one_metrics, None),

@@ -178,3 +178,59 @@ def accident_danger_shim(spark: SparkSession, rows: list[dict]) -> list[dict]:
     return run_task(
         spark, rows, acc_map, reduce_func=acc_reduce, num_partitions=4
     ).collect()
+
+
+# ---------------------------------------------------------------------------
+# danger_shim — the danger_topk keying + aggregation run through the
+# 4-hook shim against the REAL events table, oracle-checked (the shim's
+# only other gate entry, wordcount_shim, covers text; this one covers
+# the reference's accident-style numeric path on sf data). Outputs are
+# restricted to count/min/max: exact under any partitioning and
+# reduction order, so the oracle hash can't drift on float-summation
+# order (avg/sum through arbitrary per-partition Python reduction would
+# not be bit-stable vs DuckDB).
+# ---------------------------------------------------------------------------
+
+def danger_map(items: list, worker_id: int) -> list[tuple[str, float]]:
+    out = []
+    for event_type, value, hour in items:
+        vtier = "high" if value >= 150 else ("mid" if value >= 50 else "low")
+        tod = "AM" if hour < 12 else "PM"
+        out.append((f"{event_type}_{vtier}_{tod}", value))
+    return out
+
+
+def danger_reduce(grouped, worker_id: int) -> list[tuple[str, int, float, float]]:
+    return [
+        (key, len(vals), min(vals), max(vals)) for key, vals in grouped
+    ]
+
+
+def danger_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select("event_type", "value", F.hour("ts").alias("h")).rdd.map(
+        lambda r: (r[0], r[1], r[2])
+    )
+    result = run_task(
+        spark, items, danger_map, reduce_func=danger_reduce, num_partitions=8
+    )
+    return spark.createDataFrame(
+        result,
+        schema="grp_key string, cnt long, min_impact double, max_impact double",
+    )
+
+
+DANGER_SHIM_SQL = """
+WITH keyed AS (
+  SELECT concat_ws('_', event_type,
+                   CASE WHEN value >= 150 THEN 'high'
+                        WHEN value >= 50 THEN 'mid'
+                        ELSE 'low' END,
+                   CASE WHEN hour(ts) < 12 THEN 'AM' ELSE 'PM' END) AS grp_key,
+         value
+  FROM events
+)
+SELECT grp_key, count(*) AS cnt, min(value) AS min_impact,
+       max(value) AS max_impact
+FROM keyed GROUP BY grp_key
+"""
