@@ -330,13 +330,17 @@ def connected_components(
     labels = vertices.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
         eager=True
     )
+    # Min-propagation only ever lowers labels, so sum(comp) decreases
+    # strictly until the fixpoint — convergence detection is a single
+    # scalar aggregate per round, not a labels⋈labels diff join.
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_rounds):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -344,16 +348,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("comp", "old_comp"), "doc_id"
-            )
-            .filter(F.col("comp") != F.col("old_comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("comp")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
