@@ -80,6 +80,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.QUANTITY_PERCENTILES_SQL,
     ),
     "balance_deciles": (relational.balance_deciles, relational.BALANCE_DECILES_SQL),
+    "value_histogram": (relational.value_histogram, relational.VALUE_HISTOGRAM_SQL),
+    "quantity_price_corr": (
+        relational.quantity_price_corr,
+        relational.QUANTITY_PRICE_CORR_SQL,
+    ),
+    "geo_mean_price": (relational.geo_mean_price, relational.GEO_MEAN_PRICE_SQL),
+    "latest_event_per_user": (
+        relational.latest_event_per_user,
+        relational.LATEST_EVENT_PER_USER_SQL,
+    ),
     "count_distinct_parts": (
         relational.count_distinct_parts,
         relational.COUNT_DISTINCT_PARTS_SQL,

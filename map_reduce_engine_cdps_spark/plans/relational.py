@@ -1281,3 +1281,114 @@ SELECT 1 + len(list_filter(cuts.cuts, x -> x < c_acctbal)) AS decile,
 FROM customer, cuts
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# value_histogram — fixed-width histogram over events.value (bin =
+# floor(value/width)*width). One hash-agg, O(bins) shuffle: the
+# distributed histogram shape (NOT a driver-side collect+numpy).
+# ---------------------------------------------------------------------------
+
+HIST_BIN_WIDTH = 25.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_lo = F.floor(F.col("value") / HIST_BIN_WIDTH) * HIST_BIN_WIDTH
+    return (
+        ev.select(bin_lo.alias("bin_lo"))
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT floor(value / {HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH} AS bin_lo,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# quantity_price_corr — Pearson correlation + sample covariance per
+# returnflag (co-moment aggregates; partial-merged map-side like any
+# algebraic agg). Rounded to 3 dp on both sides: the co-moment merge
+# order differs between engines, so agreement is to FP-noise level,
+# well inside 3 dp.
+# ---------------------------------------------------------------------------
+
+def quantity_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # "+ 0.0" collapses IEEE negative zero (round can yield -0.0 on one
+    # engine and 0.0 on the other for near-zero correlations).
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 3) + F.lit(0.0)).alias(
+            "qty_price_corr"
+        ),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 1) + F.lit(0.0)).alias(
+            "qty_price_covar"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUANTITY_PRICE_CORR_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 1) + 0.0 AS qty_price_covar,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo_mean_price — geometric mean via exp(avg(ln x)) per brand (the
+# log-space trick that keeps the aggregate algebraic/partial-mergeable;
+# a naive product would overflow and not distribute).
+# ---------------------------------------------------------------------------
+
+def geo_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(F.exp(F.avg(F.log("p_retailprice"))), 2).alias("geo_mean_price"),
+        F.round(F.avg("p_retailprice"), 2).alias("arith_mean_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+GEO_MEAN_PRICE_SQL = """
+SELECT p_brand,
+       round(exp(avg(ln(p_retailprice))), 2) AS geo_mean_price,
+       round(avg(p_retailprice), 2) AS arith_mean_price,
+       count(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# latest_event_per_user — argmax per group (each user's most recent
+# event) via row_number over (ts DESC, event_id DESC): deterministic
+# under ts ties, one shuffle on user_id. The "current state per key"
+# query; at scale identical shape, and Spark's WindowGroupLimit pushes
+# the rank-1 filter down so partitions keep only the top row.
+# ---------------------------------------------------------------------------
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, round(value, 2) AS value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, value FROM ranked WHERE rn = 1
+"""
