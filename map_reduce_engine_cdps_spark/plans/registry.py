@@ -90,6 +90,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.latest_event_per_user,
         relational.LATEST_EVENT_PER_USER_SQL,
     ),
+    "user_funnel": (relational.user_funnel, relational.USER_FUNNEL_SQL),
+    "cohort_retention": (
+        relational.cohort_retention,
+        relational.COHORT_RETENTION_SQL,
+    ),
     "count_distinct_parts": (
         relational.count_distinct_parts,
         relational.COUNT_DISTINCT_PARTS_SQL,

@@ -1392,3 +1392,82 @@ WITH ranked AS (
 )
 SELECT user_id, event_id, event_type, value FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# user_funnel — click→purchase funnel per user: conditional aggregates
+# (count/min/max FILTERed by event type) in ONE pass over events — no
+# per-step self-joins, which is what makes funnels tractable at 100 TB.
+# Output restricted to ints/bools (timestamps only compared, never
+# emitted) so the oracle hash is trivially stable.
+# ---------------------------------------------------------------------------
+
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.when(is_click, 1)).alias("n_clicks"),
+        F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+        F.min(F.when(is_click, F.col("ts"))).alias("first_click"),
+        F.max(F.when(is_purchase, F.col("ts"))).alias("last_purchase"),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("last_purchase") > F.col("first_click"))
+    )
+    return agg.select(
+        "user_id", "n_clicks", "n_purchases", converted.alias("converted")
+    )
+
+
+USER_FUNNEL_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_clicks,
+       count(*) FILTER (event_type = 'purchase') AS n_purchases,
+       (min(ts) FILTER (event_type = 'click') IS NOT NULL
+        AND max(ts) FILTER (event_type = 'purchase') IS NOT NULL
+        AND max(ts) FILTER (event_type = 'purchase')
+            > min(ts) FILTER (event_type = 'click')) AS converted
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention — daily signup-cohort retention: cohort = each
+# user's first active day; count users active at each day offset.
+# Two aggregates + one join where the per-user cohort table is the
+# small side (O(users) rows → broadcast); activity is deduped to
+# (user, day) BEFORE the join so the join input is bounded by
+# users × active-days, not raw events.
+# ---------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    acts = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        acts.join(F.broadcast(firsts), "user_id")
+        .select(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_date").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, min(ts::DATE) AS cohort_date FROM events GROUP BY user_id
+), acts AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+)
+SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', cohort_date, d) AS day_offset,
+       count(*) AS n_users
+FROM acts JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
