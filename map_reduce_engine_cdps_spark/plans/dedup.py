@@ -384,3 +384,50 @@ SELECT v AS doc_id, min(r) AS cluster_id,
 FROM reach GROUP BY v
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs — Levenshtein verification over the LSH candidate
+# pairs (fuzzy-match confirmation, the character-level complement to
+# shingle Jaccard). The O(len²) distance runs ONLY on candidates — the
+# LSH stage bounds the pair count — and on a fixed-length prefix so the
+# per-pair cost is capped. Built-in JVM levenshtein, no Python.
+# ---------------------------------------------------------------------------
+
+PREFIX_LEN = 80
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, PREFIX_LEN).alias("prefix")
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("prefix").alias("prefix_a")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("prefix").alias("prefix_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("prefix_a", "prefix_b").alias("prefix_edit_dist"),
+        )
+    )
+
+
+EDIT_DISTANCE_PAIRS_SQL = (
+    "WITH pairs AS (" + MINHASH_LSH_PAIRS_SQL + f"""
+)
+SELECT doc_a, doc_b, jaccard,
+       levenshtein(substr(da.text, 1, {PREFIX_LEN}),
+                   substr(db.text, 1, {PREFIX_LEN})) AS prefix_edit_dist
+FROM pairs
+JOIN documents da ON da.doc_id = doc_a
+JOIN documents db ON db.doc_id = doc_b
+"""
+)

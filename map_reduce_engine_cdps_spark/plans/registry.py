@@ -100,6 +100,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.COUNT_DISTINCT_PARTS_SQL,
     ),
     "status_pivot": (relational.status_pivot, relational.STATUS_PIVOT_SQL),
+    "status_unpivot": (relational.status_unpivot, relational.STATUS_UNPIVOT_SQL),
     "user_session_duration": (
         relational.user_session_duration,
         relational.USER_SESSION_DURATION_SQL,
@@ -206,6 +207,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
     "ngram_jaccard_topk": (dedup.ngram_jaccard_topk, dedup.NGRAM_JACCARD_TOPK_SQL),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
+    "edit_distance_pairs": (
+        dedup.edit_distance_pairs,
+        dedup.EDIT_DISTANCE_PAIRS_SQL,
+    ),
     # --- similarity search ---
     "knn_bruteforce": (similarity.knn_bruteforce, similarity.KNN_BRUTEFORCE_SQL),
     "lsh_bucket_stats": (similarity.lsh_bucket_stats, similarity.LSH_BUCKET_STATS_SQL),

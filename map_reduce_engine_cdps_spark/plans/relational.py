@@ -1471,3 +1471,25 @@ SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_day,
 FROM acts JOIN firsts USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# status_unpivot — melt the pivoted wide table back to long form via
+# stack() (Spark's unpivot). Pivot/unpivot round-trip: the oracle is the
+# direct long-form aggregate, so the melt must be lossless.
+# ---------------------------------------------------------------------------
+
+def status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = status_pivot(spark, sf_dir)
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'F', qty_f, 'O', qty_o) AS (l_linestatus, sum_qty)"),
+    ).filter(F.col("sum_qty").isNotNull())
+
+
+STATUS_UNPIVOT_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_linestatus IN ('F', 'O')
+GROUP BY l_returnflag, l_linestatus
+"""
