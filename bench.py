@@ -26,6 +26,9 @@ from map_reduce_engine_cdps_spark.session import get_spark
 # minhash-LSH dedup, brute-force/LSH/IVF ANN, grouped-map training,
 # compat shim. (Streaming queries are excluded: fixed-cost microbatch
 # machinery, measured by their own tests.)
+# FROZEN at 27 queries as of round 1 — keep this list stable so
+# BENCH_r{N}.json totals stay comparable across rounds; new operator
+# families get their own timings via tools/, not by growing this set.
 HEADLINE = [
     "pricing_summary",
     "danger_topk",

@@ -1,0 +1,46 @@
+"""Plan-quality gate: the structural properties tools/plan_audit.py
+checks interactively, locked into CI for a fast representative subset
+(sf0.001 so the whole module adds ~15 s). Catches regressions like a
+dimension join silently degrading to sort-merge-with-shuffle or a filter
+no longer reaching the scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = _REGISTRY[name][0](spark, SF_DIR)
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name,n_broadcast",
+    [("revenue_by_nation", 2), ("shipping_priority", 1), ("top_return_customers", 2)],
+)
+def test_dim_joins_broadcast(spark, name, n_broadcast):
+    plan = _plan(spark, name)
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= n_broadcast, name
+    assert not re.search(r"CartesianProduct", plan), name
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "danger_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "no filters pushed to the parquet scan"
+    # column pruning: the scan must not read all 11 lineitem columns
+    schema = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert schema and schema.group(1).count(",") + 1 <= 6
