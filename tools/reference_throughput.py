@@ -1,0 +1,100 @@
+"""Reference-vs-Spark throughput comparison on the wordcount workload.
+
+The reference publishes no benchmark numbers (BASELINE.md), so this
+produces the missing data point: the reference's execution model —
+per-row interpreted Python map, one (word, 1) pair per token through the
+shuffle, dict-of-lists grouping, Python reduce (reference
+engine/worker.py:83-158) — run faithfully in a single process via
+``simulate_locally`` (the property-test spec of that pipeline), WITHOUT
+the reference's JSON/HTTP serialization or barrier costs. That makes the
+number an upper bound on reference throughput: the real engine adds
+JSON encode/decode of every pair plus HTTP round-trips.
+
+Compared against: the engine's Spark wordcount on the same documents at
+the same SF (map-side partial aggregation, codegen, no per-token pair
+materialization).
+
+Run: python tools/reference_throughput.py  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from map_reduce_engine_cdps_spark.compat.mapreduce import simulate_locally
+from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+from map_reduce_engine_cdps_spark.plans.workloads import wc_map, wc_reduce
+from map_reduce_engine_cdps_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+N_WORKERS = 4  # the reference's default topology (docker-compose.yml)
+
+
+def median_of(fn, runs: int = 3) -> float:
+    fn()
+    return round(statistics.median(
+        (lambda: (t := time.perf_counter(), fn(), time.perf_counter() - t)[2])()
+        for _ in range(runs)
+    ), 3)
+
+
+def run_at_multiple(spark, base_df, lines: list[str], mult: int) -> dict:
+    """Time both models on the corpus replicated ``mult`` times."""
+    from functools import reduce as freduce
+
+    from pyspark.sql import functions as F
+
+    big_lines = lines * mult
+
+    def reference_style() -> None:
+        pairs = wc_map(big_lines, 0)
+        simulate_locally(pairs, N_WORKERS, reduce_func=wc_reduce)
+
+    ref_s = median_of(reference_style)
+
+    big_df = freduce(lambda a, b: a.union(b), [base_df] * mult)
+
+    from map_reduce_engine_cdps_spark.functions import text as TX
+
+    def spark_style() -> None:
+        (
+            big_df.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .count()
+        )
+
+    spark_s = median_of(spark_style)
+    return {
+        "multiple": mult,
+        "n_docs": len(big_lines),
+        "reference_model_sec": ref_s,
+        "spark_sec": spark_s,
+        "speedup": round(ref_s / spark_s, 2) if spark_s > 0 else None,
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="reference_throughput")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    lines = [r[0] for r in docs.collect()]
+
+    results = [run_at_multiple(spark, docs, lines, m) for m in (1, 8, 32)]
+    print(json.dumps({
+        "workload": "wordcount",
+        "sf_dir": SF_DIR,
+        "runs": results,
+        "note": "reference number is the reference's execution model "
+                "(per-pair Python map/shuffle/group/reduce, "
+                "engine/worker.py:83-158) WITHOUT its JSON/HTTP shuffle "
+                "costs — an upper bound on reference throughput",
+    }))
+
+
+if __name__ == "__main__":
+    main()
