@@ -121,6 +121,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.click_asof_purchase,
         relational.CLICK_ASOF_PURCHASE_SQL,
     ),
+    # --- same as-of semantics via cogroup().applyInPandas(merge_asof);
+    # SAME oracle SQL → window and cogroup formulations must agree ---
+    "click_asof_cogroup": (
+        relational.click_asof_cogroup,
+        relational.CLICK_ASOF_PURCHASE_SQL,
+    ),
     # --- bucketed range join (equi-join on time bucket, never O(n·m)) ---
     "click_purchase_within_1h": (
         relational.click_purchase_within_1h,

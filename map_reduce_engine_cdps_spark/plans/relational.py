@@ -1493,3 +1493,69 @@ FROM lineitem
 WHERE l_linestatus IN ('F', 'O')
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# click_asof_cogroup — the SAME as-of join via the cogrouped-map API:
+# clicks and purchases co-partitioned on user_id, pandas merge_asof per
+# co-group over Arrow. Oracle-checked against the identical DuckDB ASOF
+# JOIN as click_asof_purchase, proving the union+window formulation and
+# the cogroup formulation agree. The cogroup path is the template for
+# as-of logic the window trick can't express (nearest-by-value,
+# tolerance bands, multi-column priorities — pandas has them natively).
+# Scale: one co-partitioning shuffle on user_id; per-group pandas frames
+# are bounded by per-user event counts.
+# ---------------------------------------------------------------------------
+
+def click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "click_us", "purchase_us", "gap_s"]
+            )
+        left = left.sort_values("ts")
+        # an empty co-group side arrives as a zero-column frame; and the
+        # right key must be renamed or merge_asof folds it into `ts`
+        if right.empty or "ts" not in right.columns:
+            m = left.assign(p_ts=pd.NaT)
+        else:
+            r = right.rename(columns={"ts": "p_ts"}).sort_values("p_ts")
+            m = pd.merge_asof(
+                left, r, left_on="ts", right_on="p_ts", by="user_id",
+                direction="backward",
+            )
+        m = m.dropna(subset=["p_ts"])
+        # normalize to ns first — Arrow may hand us datetime64[us] or [ns]
+        click_us = m["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        purchase_us = m["p_ts"].astype("datetime64[ns]").astype("int64") // 1000
+        gap = (click_us - purchase_us).astype("float64") / 1e6
+        # half-up rounding (pandas .round is half-even; JVM/DuckDB round
+        # half-up on the stored double — gaps are nonnegative here)
+        gap_s = np.floor(gap * 100.0 + 0.5) / 100.0
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "click_us": click_us,
+                "purchase_us": purchase_us,
+                "gap_s": gap_s,
+            }
+        )
+
+    out_schema = (
+        "event_id long, user_id long, click_us long, purchase_us long, gap_s double"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(lambda left, right: merge(left, right), schema=out_schema)
+    )
