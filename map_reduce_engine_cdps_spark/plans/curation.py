@@ -419,3 +419,77 @@ SELECT lang, bin_id, count(*) AS n_chunks, sum(chunk_len) AS bin_tokens
 FROM packed GROUP BY lang, bin_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup — cross-run exact dedup: a "new batch" of documents
+# (doc_id % 10 == 0 stands in for today's crawl) is deduplicated first
+# within itself, then anti-joined on content fingerprint against the
+# already-ingested corpus (the other 90%). This is the standard
+# incremental-ingest shape for a training-data pipeline: the corpus side
+# is only ever touched as a distinct-fingerprint projection, so at 100 TB
+# it's a hash semi/anti join on a 16-byte key — no text ever shuffles,
+# and AQE picks broadcast when the batch is small.
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    existing = docs.filter(F.col("doc_id") % 10 != 0).select(fp).distinct()
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "source", fp)
+    batch_unique = batch.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_batch_dups"),
+    )
+    return batch_unique.join(existing, "fp", "left_anti").select(
+        "doc_id", "fp", "n_batch_dups"
+    )
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH fps AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+), existing AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0
+), batch_unique AS (
+  SELECT fp, min(doc_id) AS doc_id, count(*) AS n_batch_dups
+  FROM fps WHERE doc_id % 10 = 0 GROUP BY fp
+)
+SELECT doc_id, fp, n_batch_dups
+FROM batch_unique
+WHERE fp NOT IN (SELECT fp FROM existing)
+"""
+
+
+# ---------------------------------------------------------------------------
+# jsonl_roundtrip_stats — JSON-lines sink + typed reader exercised
+# through the oracle gate (companion to csv_roundtrip_counts): write a
+# projection of `documents` as JSONL, read it back with an explicit
+# schema (never inferSchema at scale — schema inference is a full extra
+# pass over 100 TB), aggregate. The oracle runs on the original table,
+# so the round-trip must be lossless.
+# ---------------------------------------------------------------------------
+
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).json(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+JSONL_ROUNDTRIP_STATS_SQL = """
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY source
+"""

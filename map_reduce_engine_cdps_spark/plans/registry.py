@@ -198,6 +198,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.csv_roundtrip_counts,
         curation.CSV_ROUNDTRIP_COUNTS_SQL,
     ),
+    # --- cross-run incremental exact dedup (anti-join on fingerprint) ---
+    "incremental_dedup": (
+        curation.incremental_dedup,
+        curation.INCREMENTAL_DEDUP_SQL,
+    ),
+    # --- JSONL sink + explicit-schema reader round-trip ---
+    "jsonl_roundtrip_stats": (
+        curation.jsonl_roundtrip_stats,
+        curation.JSONL_ROUNDTRIP_STATS_SQL,
+    ),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
@@ -206,6 +216,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tfidf_top_terms": (textops.tfidf_top_terms, textops.TFIDF_TOP_TERMS_SQL),
     "token_stats": (textops.token_stats, textops.TOKEN_STATS_SQL),
     "top_bigrams": (textops.top_bigrams, textops.TOP_BIGRAMS_SQL),
+    "doc_repetition_stats": (
+        textops.doc_repetition_stats,
+        textops.DOC_REPETITION_STATS_SQL,
+    ),
     # --- deduplication ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "minhash_signatures": (dedup.minhash_signatures, dedup.MINHASH_SIGNATURES_SQL),
@@ -230,6 +244,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.embedding_quantize_stats,
         similarity.EMBEDDING_QUANTIZE_STATS_SQL,
     ),
+    # --- distributed Lloyd k-means (IVF coarse-quantizer trainer):
+    # iterative fixpoint, not SQL-expressible → rows-only ---
+    "kmeans_lloyd": (similarity.kmeans_lloyd, None),
     # --- compat shim: reference-style 4-hook program, same oracle as the
     # DataFrame wordcount (proves shim ≡ SQL semantics end-to-end) ---
     "wordcount_shim": (workloads.wordcount_shim, textops.WORDCOUNT_SQL),

@@ -423,3 +423,77 @@ SELECT vec_id, label,
              / len(x), 6) AS q_mae
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd — distributed k-means over the embeddings column: Lloyd's
+# algorithm with deterministic seeding (the first K vectors by vec_id),
+# a fixed iteration count, and squared-L2 assignment. Each iteration is
+# one broadcast (K×dim literal centroids — bytes, not data) + one
+# map-side assignment with no shuffle, then one posexplode/groupBy to
+# re-average per (cluster, dimension) — shuffle volume O(n·dim) numeric
+# pairs with partial aggregation, never the gram matrix. The driver only
+# ever holds K centroids. This is exactly how an IVF coarse quantizer
+# for the ANN index gets trained at 100 TB.
+# Iterative fixpoint → not SQL-expressible; rows-only oracle (K rows).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Add `cid` = argmin squared-L2 over the broadcast centroid literals."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return emb.withColumn("cid", best["cid"])
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r.embedding] for r in seeds]
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(emb, cents)
+        comp = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+        )
+        new = {r.cid: list(r.centroid) for r in comp.collect()}
+        cents = [new.get(i, cents[i]) for i in range(KMEANS_K)]
+    final = _assign(emb, cents)
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg(norm), 6).alias("avg_member_norm"),
+        )
+        .orderBy("cid")
+    )

@@ -317,3 +317,66 @@ FROM g GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT 30
 """
+
+
+# ---------------------------------------------------------------------------
+# doc_repetition_stats — Gopher-style within-document repetition gate:
+# the fraction of a document's bigrams that are repeats of an earlier
+# bigram in the same document (1 - distinct/total). High values mark
+# boilerplate / template / spam text that poisons LM training data.
+# Entirely per-row array math (no explode, no shuffle, whole-stage
+# codegen) — at 100 TB this is a pure map over the corpus, so it runs at
+# scan speed and composes with any downstream filter pushdown.
+# ---------------------------------------------------------------------------
+
+MAX_DUP_BIGRAM_FRAC = 0.5
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    grams = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tok, i.cast("int")),
+                F.element_at(tok, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    dup_frac = F.when(n > 0, F.round((n - nd) / n, 6)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        (dup_frac <= MAX_DUP_BIGRAM_FRAC).alias("pass_repetition_gate"),
+    )
+
+
+DOC_REPETITION_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       len(grams) AS n_bigrams,
+       CASE WHEN len(grams) > 0
+            THEN round((len(grams) - len(list_distinct(grams))) / len(grams), 6)
+            ELSE 0.0 END AS dup_bigram_frac,
+       (CASE WHEN len(grams) > 0
+             THEN round((len(grams) - len(list_distinct(grams))) / len(grams), 6)
+             ELSE 0.0 END) <= {MAX_DUP_BIGRAM_FRAC} AS pass_repetition_gate
+FROM g
+"""
