@@ -28,8 +28,17 @@ def _with_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _with_minhash_bands(docs: DataFrame) -> DataFrame:
-    """Add minhash signature components + band keys (md5-seeded minima,
-    reproducible in any engine — see functions/text.py).
+    """Add minhash signature components + band keys, reproducible in any
+    engine (md5-derived minima).
+
+    Hashing cost is the whole game at corpus scale: instead of one md5
+    evaluation per (shingle, component) — N_MINHASH passes of the
+    expensive hash — each shingle is md5'd once per *group of four*
+    components, and each 128-bit digest is split into four 8-hex-char
+    (32-bit) chunks, one per component. The per-component minimum is
+    then a cheap substring+min pass. 32-bit components are the standard
+    MinHash width (collision probability 2^-32 per pair per component —
+    negligible next to banding error).
 
     The input is re-parallelized first when the scan yields fewer
     partitions than cores: signature computation is the CPU-heavy stage
@@ -40,13 +49,29 @@ def _with_minhash_bands(docs: DataFrame) -> DataFrame:
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
     d = _with_shingles(docs)
+    # NB: closures, not default-arg lambdas — F.transform treats a
+    # two-parameter lambda as (element, index).
+    def _md5_seeded(j: int):
+        prefix = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    def _chunk(c: int):
+        pos = c * 8 + 1
+        return lambda h: F.substring(h, pos, 8)
+
+    n_hashes = (N_MINHASH + 3) // 4
+    for j in range(n_hashes):
+        d = d.withColumn(f"_hx{j}", F.transform("shingles", _md5_seeded(j)))
     for s in range(N_MINHASH):
-        d = d.withColumn(f"mh{s}", TX.minhash_sig(F.col("shingles"), s))
+        j, c = divmod(s, 4)
+        d = d.withColumn(
+            f"mh{s}", F.array_min(F.transform(f"_hx{j}", _chunk(c)))
+        )
     n_bands = N_MINHASH // BAND_ROWS
     for b in range(n_bands):
         parts = [F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
         d = d.withColumn(f"band{b}", F.md5(F.concat_ws("|", *parts)))
-    return d
+    return d.drop(*[f"_hx{j}" for j in range(n_hashes)])
 
 
 # ---------------------------------------------------------------------------
@@ -103,13 +128,15 @@ _DUCK_SHINGLES = """
 """
 
 _DUCK_MH = (
-    "list_min(list_transform(shingles, s -> md5('{seed}|' || s)))"
+    "list_min(list_transform(shingles, "
+    "s -> substr(md5('{j}|' || s), {off}, 8)))"
 )
 
 
 def _duck_bands_cte() -> str:
     mh_cols = ",\n         ".join(
-        _DUCK_MH.format(seed=s) + f" AS mh{s}" for s in range(N_MINHASH)
+        _DUCK_MH.format(j=s // 4, off=(s % 4) * 8 + 1) + f" AS mh{s}"
+        for s in range(N_MINHASH)
     )
     n_bands = N_MINHASH // BAND_ROWS
     # concat_ws (not ||) so a null component degrades the same way as

@@ -41,6 +41,9 @@ AUDITS: dict[str, dict] = {
     "minhash_lsh_pairs": {"no_cartesian": True},
     "embedding_near_dup": {"no_cartesian": True},
     "lsh_ann_topk": {"no_cartesian": True},
+    "incremental_dedup": {"broadcast": 1, "no_cartesian": True},
+    "doc_repetition_stats": {},
+    "jsonl_roundtrip_stats": {},
 }
 
 
