@@ -291,6 +291,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         streaming_windows.streaming_segment_counts,
         streaming_windows.STREAMING_SEGMENT_COUNTS_SQL,
     ),
+    # --- stream-stream watermarked interval join; same oracle as the
+    # batch bucketed range join → the two execution models must agree ---
+    "streaming_click_purchase_join": (
+        streaming_windows.streaming_click_purchase_join,
+        relational.CLICK_PURCHASE_WITHIN_1H_SQL,
+    ),
 }
 
 

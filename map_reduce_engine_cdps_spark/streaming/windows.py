@@ -162,3 +162,65 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/relational.py:TUMBLING_WINDOW_COUNTS_SQL) — the streaming and
     batch plans must agree exactly."""
     return run_stream_to_memory(spark, sf_dir, table="streaming_window_counts_out")
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: clicks joined to the
+    purchases of the same user within ±1 h of event time — the streaming
+    twin of the batch bucketed range join
+    (plans/relational.py:click_purchase_within_1h), oracle-checked
+    against the SAME DuckDB SQL, so the two execution models must agree
+    pair-for-pair.
+
+    Scale shape: both sides are keyed on user_id (one shuffle each into
+    the join state store); the symmetric time-range predicate plus the
+    watermark bound state retention to ~2 h of events per side. Without
+    the time condition a stream-stream join would accumulate unbounded
+    state — the range predicate is what makes it a streaming-legal join.
+    """
+    clicks = (
+        stream_events_from_parquet(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events_from_parquet(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.round(
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1e6, 2
+        ).alias("gap_s"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("streaming_cp_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("streaming_cp_join_out")
