@@ -288,3 +288,90 @@ def video_frame_samples(spark, sf_dir: str) -> DataFrame:
             ).alias("avg_feat0"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: windowed feature extraction over opaque PCM payloads — the third
+# modality of the brief (image=extract_features, video=sample_frames,
+# audio=window_audio). One media row → one row per fixed-length sample
+# window with RMS/peak features: the shape every audio training front-end
+# (VAD, loudness filtering, diarization chunking) starts from.
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW_SAMPLES = 64
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+    ]
+)
+
+
+def window_audio(
+    df: DataFrame, window_samples: int = AUDIO_WINDOW_SAMPLES,
+    max_windows: int = 8, decode: str = "fake"
+) -> DataFrame:
+    """Audio windowing: one media row → ≤max_windows windows of
+    window_samples samples each, with per-window RMS and peak.
+
+    The *decode* is stubbed: ``fake`` interprets the payload bytes as
+    int8 PCM (deterministic, no audio libs needed); ``decode="real"``
+    marks the soundfile/ffmpeg resample point. The Spark plumbing —
+    pruned (media_id, content) over Arrow, bounded one-to-many fan-out,
+    typed window schema — is real and tested, mirroring sample_frames.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {decode}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if decode == "real":
+                # >>> real implementation: soundfile/ffmpeg decode +
+                # resample to a fixed rate, then the same windowing.
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffmpeg, absent here"
+                )
+            ids, idxs, ns, rms, peak = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(
+                    np.float64
+                ) / 128.0
+                n_win = max((len(pcm) + window_samples - 1) // window_samples, 1)
+                for w in range(min(n_win, max_windows)):
+                    chunk = pcm[w * window_samples : (w + 1) * window_samples]
+                    if len(chunk) == 0:
+                        continue
+                    ids.append(mid)
+                    idxs.append(w)
+                    ns.append(len(chunk))
+                    rms.append(float(np.sqrt(np.mean(chunk * chunk))))
+                    peak.append(float(np.max(np.abs(chunk))))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+def audio_window_features(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): audio windowing + per-media loudness
+    stats over the deterministic synthetic media table."""
+    media = synth_media_df(spark, n=64, partitions=8)
+    wins = window_audio(media)
+    return wins.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.round(F.max("peak"), 6).alias("max_peak"),
+    )

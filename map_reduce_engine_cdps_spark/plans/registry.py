@@ -262,6 +262,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- Arrow-batched pandas-UDF batch inference (T48 stand-in);
     # python-UDF hash math — rows-only ---
     "doc_embeddings": (binary.doc_embeddings, None),
+    "audio_window_features": (binary.audio_window_features, None),
     # --- multimodal plumbing: binary column + typed metadata +
     # mapInPandas feature extraction (deterministic fake decode) — rows-only ---
     "media_features": (binary.media_features, None),

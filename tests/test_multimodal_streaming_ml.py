@@ -109,3 +109,42 @@ def test_sample_frames_real_decode_raises(spark):
     media = synth_media_df(spark, n=4, partitions=2)
     with _pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         sample_frames(media, decode="real").collect()
+
+
+def test_window_audio_bounded_fanout_and_features(spark):
+    import math
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        synth_media_df,
+        window_audio,
+    )
+
+    media = synth_media_df(spark, n=16, partitions=4)
+    rows = window_audio(media, window_samples=32, max_windows=3).collect()
+    assert rows, "no audio windows produced"
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r)
+        assert 1 <= r["n_samples"] <= 32
+        assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["peak"] <= 1.0
+        assert r["peak"] >= r["rms"] - 1e-12  # peak bounds RMS
+        assert not math.isnan(r["rms"])
+    assert all(len(v) <= 3 for v in per_media.values())  # cap respected
+    # determinism across runs
+    again = {(r["media_id"], r["window_idx"]): (r["rms"], r["peak"])
+             for r in window_audio(media, window_samples=32, max_windows=3).collect()}
+    for r in rows:
+        assert again[(r["media_id"], r["window_idx"])] == (r["rms"], r["peak"])
+
+
+def test_window_audio_real_decode_raises(spark):
+    import pytest as _pytest
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        synth_media_df,
+        window_audio,
+    )
+
+    media = synth_media_df(spark, n=4, partitions=2)
+    with _pytest.raises(Exception, match="NotImplementedError|soundfile|ffmpeg"):
+        window_audio(media, decode="real").collect()
