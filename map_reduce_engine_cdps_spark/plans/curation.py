@@ -493,3 +493,41 @@ SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
        sum(n_chars) AS total_chars
 FROM documents GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted_doc_sample — weighted priority sampling: each document gets a
+# deterministic pseudo-uniform key from a Knuth multiplicative hash of
+# its id, scaled down by its weight (n_chars), and the k smallest keys
+# win — so longer documents are proportionally more likely to be kept.
+# The distributed shape is exactly top-k (TakeOrderedAndProject): each
+# partition keeps its k best candidates, the driver merges k-sized
+# heaps — no global sort, no shuffle of the corpus. All arithmetic is
+# integer ops + one IEEE double division (bit-identical across engines;
+# deliberately NO libm pow/log, which are not cross-engine-stable).
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100
+_KNUTH = 2654435761
+_TWO32 = 4294967296
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_TWO32)
+    priority = u.cast("double") / (F.col("n_chars") + F.lit(1)).cast("double")
+    return (
+        docs.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(SAMPLE_K)
+    )
+
+
+WEIGHTED_DOC_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       CAST((doc_id * {_KNUTH}) % {_TWO32} AS DOUBLE)
+         / CAST(n_chars + 1 AS DOUBLE) AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {SAMPLE_K}
+"""

@@ -203,6 +203,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.incremental_dedup,
         curation.INCREMENTAL_DEDUP_SQL,
     ),
+    # --- weighted priority sampling (top-k shape, no global sort) ---
+    "weighted_doc_sample": (
+        curation.weighted_doc_sample,
+        curation.WEIGHTED_DOC_SAMPLE_SQL,
+    ),
     # --- JSONL sink + explicit-schema reader round-trip ---
     "jsonl_roundtrip_stats": (
         curation.jsonl_roundtrip_stats,

@@ -46,6 +46,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # bucketed saveAsTable targets (keep scratch tables out of the repo)
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -128,3 +128,41 @@ def test_scan_prunes_columns(spark, sf_dir):
     # ReadSchema must not include unused lineitem columns such as l_tax
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "l_tax" not in read_schema[0]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """write_bucketed pre-pays the shuffle: a join of two tables bucketed
+    on the same key/count must plan with zero Exchange operators (the
+    100 TB argument for the bucketing sink — recurring joins on the
+    bucket key are co-located reads)."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+    from map_reduce_engine_cdps_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8)
+    try:
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                spark.table("b_orders").o_orderkey
+                == spark.table("b_lineitem").l_orderkey,
+            )
+            .groupBy("o_custkey")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        # one exchange allowed for the final groupBy on o_custkey;
+        # the join itself must not reshuffle either bucketed side
+        assert n_exchanges <= 1, f"bucketed join reshuffled:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -42,6 +42,7 @@ AUDITS: dict[str, dict] = {
     "embedding_near_dup": {"no_cartesian": True},
     "lsh_ann_topk": {"no_cartesian": True},
     "incremental_dedup": {"broadcast": 1, "no_cartesian": True},
+    "weighted_doc_sample": {"topk": True},
     "doc_repetition_stats": {},
     "jsonl_roundtrip_stats": {},
 }
