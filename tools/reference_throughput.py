@@ -79,16 +79,80 @@ def run_at_multiple(spark, base_df, lines: list[str], mult: int) -> dict:
     }
 
 
+def run_danger_at_multiple(spark, base_ev, items: list, mult: int) -> dict:
+    """Time both models on the accident-style numeric aggregation
+    (composite-key count/min/max, reference tasks/accident_analysis.py
+    shape) on the events table replicated ``mult`` times."""
+    from functools import reduce as freduce
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.plans.workloads import (
+        danger_map,
+        danger_reduce,
+    )
+
+    big_items = items * mult
+
+    def reference_style() -> None:
+        pairs = danger_map(big_items, 0)
+        simulate_locally(pairs, N_WORKERS, reduce_func=danger_reduce)
+
+    ref_s = median_of(reference_style)
+
+    big_df = freduce(lambda a, b: a.union(b), [base_ev] * mult)
+
+    def spark_style() -> None:
+        key = F.concat_ws(
+            "_",
+            F.col("event_type"),
+            F.when(F.col("value") >= 150, "high")
+            .when(F.col("value") >= 50, "mid")
+            .otherwise("low"),
+            F.when(F.hour("ts") < 12, "AM").otherwise("PM"),
+        )
+        (
+            big_df.groupBy(key.alias("grp_key"))
+            .agg(F.count(F.lit(1)), F.min("value"), F.max("value"))
+            .count()
+        )
+
+    spark_s = median_of(spark_style)
+    return {
+        "multiple": mult,
+        "n_events": len(big_items),
+        "reference_model_sec": ref_s,
+        "spark_sec": spark_s,
+        "speedup": round(ref_s / spark_s, 2) if spark_s > 0 else None,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="reference_throughput")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
     lines = [r[0] for r in docs.collect()]
 
     results = [run_at_multiple(spark, docs, lines, m) for m in (1, 8, 32)]
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    items = [
+        (r[0], r[1], r[2])
+        for r in ev.select(
+            "event_type", "value",
+            __import__("pyspark.sql.functions", fromlist=["hour"]).hour("ts"),
+        ).collect()
+    ]
+    danger_results = [
+        run_danger_at_multiple(spark, ev, items, m) for m in (1, 4, 16)
+    ]
     print(json.dumps({
-        "workload": "wordcount",
+        "workloads": {
+            "wordcount": results,
+            "danger_numeric_agg": danger_results,
+        },
         "sf_dir": SF_DIR,
-        "runs": results,
         "note": "reference number is the reference's execution model "
                 "(per-pair Python map/shuffle/group/reduce, "
                 "engine/worker.py:83-158) WITHOUT its JSON/HTTP shuffle "
