@@ -121,6 +121,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.click_asof_purchase,
         relational.CLICK_ASOF_PURCHASE_SQL,
     ),
+    # --- SCD-1 dimension upsert (full-outer merge + coalesce) ---
+    "customer_upsert": (
+        relational.customer_upsert,
+        relational.CUSTOMER_UPSERT_SQL,
+    ),
     # --- same as-of semantics via cogroup().applyInPandas(merge_asof);
     # SAME oracle SQL → window and cogroup formulations must agree ---
     "click_asof_cogroup": (

@@ -1559,3 +1559,73 @@ def click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(lambda left, right: merge(left, right), schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_upsert — SCD-1 merge (upsert) expressed in pure DataFrame ops:
+# a batch of dimension updates (stand-in: customers with c_custkey % 7
+# == 0, account balance re-stated) merged into the base dimension —
+# updated rows take the new values, unmatched base rows pass through,
+# net-new keys insert. Spark has no MERGE INTO on raw parquet, so the
+# canonical formulation is full-outer join + coalesce, which is exactly
+# what table formats compile MERGE to. Scale: one shuffle of each side
+# on the join key (or broadcast when the update batch is small — the
+# common case for dimension maintenance; AQE decides).
+# ---------------------------------------------------------------------------
+
+def customer_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all money math in integer cents: double rounding of x*1.1 lands on
+    # binary-float boundaries differently per engine, and double sums
+    # drift with partition order — integers do neither
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select(
+        "c_custkey", "c_name", cents.alias("bal_cents"), "c_mktsegment"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("u_key"),
+        F.col("c_name").alias("u_name"),
+        (F.round(cents.cast("double") * 1.1).cast("long") + 10000).alias("u_cents"),
+        F.lit("RESTATED").alias("u_seg"),
+    )
+    merged = base.join(
+        updates, base.c_custkey == updates.u_key, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "u_key").alias("c_custkey"),
+        F.coalesce("u_name", "c_name").alias("c_name"),
+        F.coalesce("u_cents", "bal_cents").alias("bal_cents"),
+        F.coalesce("u_seg", "c_mktsegment").alias("c_mktsegment"),
+        F.when(F.col("u_key").isNotNull(), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("merge_action"),
+    )
+    return merged.groupBy("merge_action", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_cents").alias("total_bal_cents"),
+    )
+
+
+CUSTOMER_UPSERT_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         c_mktsegment
+  FROM customer
+), updates AS (
+  SELECT c_custkey AS u_key, c_name AS u_name,
+         CAST(round(bal_cents * 1.1) AS BIGINT) + 10000 AS u_cents,
+         'RESTATED' AS u_seg
+  FROM base WHERE c_custkey % 7 = 0
+), merged AS (
+  SELECT coalesce(b.c_custkey, u.u_key) AS c_custkey,
+         coalesce(u.u_name, b.c_name) AS c_name,
+         coalesce(u.u_cents, b.bal_cents) AS bal_cents,
+         coalesce(u.u_seg, b.c_mktsegment) AS c_mktsegment,
+         CASE WHEN u.u_key IS NOT NULL THEN 'updated'
+              ELSE 'unchanged' END AS merge_action
+  FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.u_key
+)
+SELECT merge_action, c_mktsegment, count(*) AS n,
+       sum(bal_cents) AS total_bal_cents
+FROM merged GROUP BY merge_action, c_mktsegment
+"""
