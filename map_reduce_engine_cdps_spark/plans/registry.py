@@ -182,6 +182,32 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch.brand_supplier_counts,
         tpch.BRAND_SUPPLIER_COUNTS_SQL,
     ),
+    "volume_shipping": (tpch.volume_shipping, tpch.VOLUME_SHIPPING_SQL),
+    "nation_market_share": (
+        tpch.nation_market_share,
+        tpch.NATION_MARKET_SHARE_SQL,
+    ),
+    "product_type_profit": (
+        tpch.product_type_profit,
+        tpch.PRODUCT_TYPE_PROFIT_SQL,
+    ),
+    "promo_revenue_share": (
+        tpch.promo_revenue_share,
+        tpch.PROMO_REVENUE_SHARE_SQL,
+    ),
+    "large_volume_customers": (
+        tpch.large_volume_customers,
+        tpch.LARGE_VOLUME_CUSTOMERS_SQL,
+    ),
+    "disjunctive_part_revenue": (
+        tpch.disjunctive_part_revenue,
+        tpch.DISJUNCTIVE_PART_REVENUE_SQL,
+    ),
+    "waiting_suppliers": (tpch.waiting_suppliers, tpch.WAITING_SUPPLIERS_SQL),
+    "idle_rich_customers": (
+        tpch.idle_rich_customers,
+        tpch.IDLE_RICH_CUSTOMERS_SQL,
+    ),
     # --- training-data curation (quality gates + decontamination) ---
     "quality_filter_flags": (
         curation.quality_filter_flags,

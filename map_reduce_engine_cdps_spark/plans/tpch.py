@@ -211,3 +211,475 @@ GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
 LIMIT 50
 """
+
+# ---------------------------------------------------------------------------
+# volume_shipping — Q7 shape: revenue flow between two trading nations
+# by ship year. lineitem ⨝ supplier ⨝ nation(supp) ⨝ orders ⨝ customer ⨝
+# nation(cust), keeping only the two (supp, cust) nation orderings.
+# Scale: both nation joins broadcast (25 rows); the nation-pair filter
+# lands on the joined stream before the aggregate, so the single
+# shuffle carries only (supp_nation, cust_nation, year) groups.
+# ---------------------------------------------------------------------------
+
+NATION_A = "NATION_5"
+NATION_B = "NATION_12"
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == NATION_A)
+                & (F.col("cust_nation") == NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == NATION_B)
+                & (F.col("cust_nation") == NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue, count(*) AS n_lines
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE (sn.n_name = '{NATION_A}' AND cn.n_name = '{NATION_B}')
+     OR (sn.n_name = '{NATION_B}' AND cn.n_name = '{NATION_A}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_market_share — Q8 shape: one nation's share of PROMO-part
+# revenue inside one region, per order year. The share is a conditional
+# aggregate over the joined stream (sum(case)/sum), not a self-join.
+# Scale: part is the only selective side (filtered on p_type) and
+# broadcasts; region/nation broadcast; one shuffle on the year groups.
+# ---------------------------------------------------------------------------
+
+SHARE_REGION = "ASIA"
+SHARE_NATION = "NATION_8"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == SHARE_REGION
+    )
+    cust_nation = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_nation, orders.o_custkey == cust_nation.c_custkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == SHARE_NATION, vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'PROMO'
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    WHERE r_name = '{SHARE_REGION}'
+  )
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# product_type_profit — Q9 shape adapted to this schema (no partsupp →
+# supply cost proxied as 60% of p_retailprice per unit): profit by
+# supplier nation and order year over STANDARD-type parts.
+# Scale: part (filtered) and supplier/nation broadcast against the
+# fact; single shuffle on (nation, year).
+# ---------------------------------------------------------------------------
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = 'STANDARD'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# promo_revenue_share — Q14 shape: percentage of revenue from PROMO
+# parts per ship month of 1996. The part join broadcasts; the month
+# grouping is a conditional aggregate — no second scan, no self-join.
+# ---------------------------------------------------------------------------
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+SELECT month(l_shipdate) AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY month(l_shipdate)
+ORDER BY ship_month
+"""
+
+
+# ---------------------------------------------------------------------------
+# large_volume_customers — Q18 shape: orders whose total quantity
+# exceeds a threshold (GROUP BY + HAVING on the fact), joined back to
+# customer and orders for the report. The having-filtered key set is
+# tiny, so it broadcasts into the second join — the fact table is
+# aggregated once and never re-shuffled.
+# ---------------------------------------------------------------------------
+
+QTY_THRESHOLD = 150
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > QTY_THRESHOLD)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > {QTY_THRESHOLD}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# disjunctive_part_revenue — Q19 shape: revenue under a 3-arm
+# disjunction of (brand, size-range, quantity-range) conjunctions.
+# The whole OR-of-ANDs is one residual predicate on a single broadcast
+# join — Catalyst pushes the per-table conjuncts it can derive
+# (p_size bounds, l_quantity bounds) into both scans.
+# ---------------------------------------------------------------------------
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(5, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(10, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+DISJUNCTIVE_PART_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 5 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# ---------------------------------------------------------------------------
+# waiting_suppliers — Q21 shape adapted (no receipt/commit dates →
+# "late" = shipped >90 days after order date): suppliers who were the
+# ONLY late supplier in a multi-supplier order. EXISTS → left_semi,
+# NOT EXISTS → left_anti, both on (orderkey, suppkey≠) conditions.
+# Scale: the distinct (orderkey, suppkey) projections shrink the fact
+# before the self-joins; all joins are key-partitioned on l_orderkey so
+# AQE can co-locate the three legs on one shuffle layout.
+# ---------------------------------------------------------------------------
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("is_late")).alias("is_late"))
+    )
+    late = pairs.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    others = pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    lonely_late = (
+        late.join(
+            others,
+            (late.l_orderkey == others.o_key) & (late.l_suppkey != others.o_supp),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (late.l_orderkey == late_others.o_key)
+            & (late.l_suppkey != late_others.o_supp),
+            "left_anti",
+        )
+    )
+    return (
+        lonely_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN TRUE ELSE FALSE END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), late AS (
+  SELECT l_orderkey, l_suppkey FROM pairs WHERE is_late
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.l_orderkey = l1.l_orderkey AND p.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# idle_rich_customers — Q22 shape: customers with above-average
+# positive balances and no orders in the dataset's final two years
+# (every customer here has SOME order, so "no orders ever" is vacuous),
+# reported per market segment. The scalar average comes from a 1-row
+# aggregate cross-joined (broadcast) onto customer; "idle" is a
+# left_anti join against the date-filtered orders projection.
+# Scale: anti join shuffles customer and the filtered o_custkey
+# projection on the key — both far smaller than the fact tables.
+# ---------------------------------------------------------------------------
+
+IDLE_CUTOFF = "2000-01-01"
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = f"""
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+  AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
