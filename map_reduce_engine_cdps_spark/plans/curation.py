@@ -531,3 +531,40 @@ FROM documents
 ORDER BY priority ASC, doc_id ASC
 LIMIT {SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# partitioned_pruned_stats — hive-partitioned parquet sink + pruned
+# re-read (reference distribute_to_nodes, scripts/plants_dataset.ipynb
+# cell 18, done the Spark way): write events partitioned by event_type,
+# read back ONE partition and aggregate. The re-read scan lists only
+# the event_type=click directory — at 100 TB the layout turns a full
+# corpus scan into a single-partition scan, which is the whole point of
+# choosing a partition column that matches the query predicates.
+# tests/test_sources_sinks_metrics.py asserts the pruning structurally
+# (PartitionFilters in the scan node); this query pins the semantics.
+# ---------------------------------------------------------------------------
+
+def partitioned_pruned_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="part_events_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    clicks = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    return clicks.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+PARTITIONED_PRUNED_STATS_SQL = """
+SELECT user_id % 10 AS user_bucket, count(*) AS n_clicks,
+       round(sum(value), 2) AS total_value,
+       max(event_id) AS max_event_id
+FROM events WHERE event_type = 'click'
+GROUP BY user_id % 10
+"""

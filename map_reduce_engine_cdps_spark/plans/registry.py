@@ -244,6 +244,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.jsonl_roundtrip_stats,
         curation.JSONL_ROUNDTRIP_STATS_SQL,
     ),
+    # --- hive-partitioned parquet sink + partition-pruned re-read ---
+    "partitioned_pruned_stats": (
+        curation.partitioned_pruned_stats,
+        curation.PARTITIONED_PRUNED_STATS_SQL,
+    ),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),
