@@ -33,6 +33,18 @@ AUDITS: dict[str, dict] = {
     "small_qty_revenue": {"broadcast": 1, "no_cartesian": True},
     "top_return_customers": {"broadcast": 2, "no_cartesian": True, "topk": True},
     "brand_supplier_counts": {"broadcast": 1, "no_cartesian": True},
+    "volume_shipping": {"broadcast": 4, "no_cartesian": True},
+    "nation_market_share": {"broadcast": 4, "no_cartesian": True},
+    "product_type_profit": {"broadcast": 3, "no_cartesian": True},
+    "promo_revenue_share": {"broadcast": 1, "no_cartesian": True, "pushed": True},
+    "large_volume_customers": {"broadcast": 2, "no_cartesian": True, "topk": True},
+    "disjunctive_part_revenue": {"broadcast": 1, "no_cartesian": True},
+    "waiting_suppliers": {"broadcast": 1, "no_cartesian": True, "topk": True},
+    # scalar-average cross join is a 1-row BroadcastNestedLoopJoin by
+    # design (the canonical scalar-subquery plan) — don't flag it
+    "idle_rich_customers": {},
+    "customer_upsert": {"no_cartesian": True},
+    "partitioned_pruned_stats": {},
     "decontamination": {"broadcast": 1, "no_cartesian": True},
     "customers_with_orders": {"no_cartesian": True},
     "customers_without_orders": {"no_cartesian": True},
