@@ -44,3 +44,41 @@ def test_filter_pushdown_reaches_scan(spark):
     # column pruning: the scan must not read all 11 lineitem columns
     schema = re.search(r"ReadSchema: struct<([^>]*)", plan)
     assert schema and schema.group(1).count(",") + 1 <= 6
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a hive-partitioned fact on its partition column against a
+    filtered dim must inject a dynamicpruningexpression into the scan's
+    PartitionFilters — at 100 TB this is what turns 'scan every
+    partition then join' into 'scan only the partitions the dim
+    selects', without the query author naming them statically."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "dpp_events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", "keep"), ("purchase", "keep"), ("view", "drop"),
+         ("error", "drop"), ("signup", "drop")],
+        "event_type string, tag string",
+    )
+    j = (
+        fact.join(dim.filter(F.col("tag") == "keep"), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = {r["event_type"]: r["n"] for r in j.collect()}
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    # semantics: only the two kept partitions survive
+    expect = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["event_type"] in ("click", "purchase")
+    }
+    assert rows == expect
