@@ -126,6 +126,21 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.customer_upsert,
         relational.CUSTOMER_UPSERT_SQL,
     ),
+    # --- time-series gap filling (sequence spine + zero-fill join) ---
+    "dense_event_timeline": (
+        relational.dense_event_timeline,
+        relational.DENSE_EVENT_TIMELINE_SQL,
+    ),
+    # --- declarative constraint audit (PK/FK/domain/null checks) ---
+    "data_quality_audit": (
+        relational.data_quality_audit,
+        relational.DATA_QUALITY_AUDIT_SQL,
+    ),
+    # --- SCD-2 interval build (gaps-and-islands, one shuffle) ---
+    "order_status_runs": (
+        relational.order_status_runs,
+        relational.ORDER_STATUS_RUNS_SQL,
+    ),
     # --- same as-of semantics via cogroup().applyInPandas(merge_asof);
     # SAME oracle SQL → window and cogroup formulations must agree ---
     "click_asof_cogroup": (

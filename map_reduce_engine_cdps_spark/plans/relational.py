@@ -1629,3 +1629,204 @@ SELECT merge_action, c_mktsegment, count(*) AS n,
        sum(bal_cents) AS total_bal_cents
 FROM merged GROUP BY merge_action, c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# dense_event_timeline — time-series gap filling: per event_type, build
+# the dense 15-minute bucket spine from its min to max bucket with
+# sequence()+explode, then left-join the actual counts and zero-fill.
+# No driver-side loop generates the spine: it's O(types) sequence calls
+# whose total size is bounded by the time span, not the event volume,
+# and the counts side is already aggregated before the join — so the
+# join is spine ⨝ O(groups), never spine ⨝ raw events. Buckets stay
+# epoch-second longs end-to-end (no tz/format ambiguity on the wire).
+# ---------------------------------------------------------------------------
+
+def dense_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 900) * 900).alias("bucket")
+    counts = ev.select("event_type", bucket).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("b0", "b1", F.lit(900))).alias("bucket"),
+        )
+    )
+    return (
+        spine.join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            (F.coalesce("n", F.lit(0)) == 0).alias("is_gap"),
+        )
+    )
+
+
+DENSE_EVENT_TIMELINE_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_type,
+         unnest(generate_series(min(bucket), max(bucket), 900)) AS bucket
+  FROM counts GROUP BY event_type
+)
+SELECT s.event_type, s.bucket, coalesce(c.n, 0) AS n,
+       coalesce(c.n, 0) = 0 AS is_gap
+FROM spine s LEFT JOIN counts c
+  ON s.event_type = c.event_type AND s.bucket = c.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# data_quality_audit — declarative constraint audit over the warehouse
+# (the Deequ/dbt-test shape): PK uniqueness, FK integrity, domain and
+# null checks, each returning a violation count, unioned into one small
+# report. Every check is a single scan-aggregate or key anti-join —
+# nothing materializes more than (check_name, count) per check, so the
+# audit costs one pass over each audited column at any scale.
+# ---------------------------------------------------------------------------
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def named(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n_violations").cast("long").alias("n_violations"))
+
+    pk_dup = named(
+        "customer_pk_unique",
+        cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    fk_orders = named(
+        "orders_custkey_fk",
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    fk_lineitem = named(
+        "lineitem_orderkey_fk",
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    domain_discount = named(
+        "lineitem_discount_domain",
+        li.filter(~F.col("l_discount").between(0.0, 1.0))
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    null_user = named(
+        "events_user_not_null",
+        ev.filter(F.col("user_id").isNull())
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    qty_positive = named(
+        "lineitem_quantity_positive",
+        li.filter(F.col("l_quantity") <= 0)
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+    )
+    report = pk_dup
+    for part in (fk_orders, fk_lineitem, domain_discount, null_user, qty_positive):
+        report = report.unionByName(part)
+    return report
+
+
+DATA_QUALITY_AUDIT_SQL = """
+SELECT 'customer_pk_unique' AS check_name,
+       (SELECT count(*) FROM (
+          SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1
+        )) AS n_violations
+UNION ALL
+SELECT 'orders_custkey_fk',
+       (SELECT count(*) FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       (SELECT count(*) FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+UNION ALL
+SELECT 'lineitem_discount_domain',
+       (SELECT count(*) FROM lineitem WHERE l_discount NOT BETWEEN 0.0 AND 1.0)
+UNION ALL
+SELECT 'events_user_not_null',
+       (SELECT count(*) FROM events WHERE user_id IS NULL)
+UNION ALL
+SELECT 'lineitem_quantity_positive',
+       (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_status_runs — SCD-2-style interval building (gaps-and-islands):
+# per customer, collapse consecutive same-status orders into validity
+# runs with the row_number-difference trick — two window passes on the
+# same (c_custkey ordered by date) layout, so Spark plans ONE shuffle
+# and evaluates both windows over it. The output is one row per run
+# (valid_from/valid_to/n_orders), i.e. the effective-dated history a
+# dimension table would store — built without any self-join.
+# ---------------------------------------------------------------------------
+
+def order_status_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_status = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        (F.row_number().over(w_all) - F.row_number().over(w_status)).alias("grp"),
+    )
+    return (
+        runs.groupBy("o_custkey", "o_orderstatus", "grp")
+        .agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .drop("grp")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("n_orders").alias("n_orders"),
+            F.max("n_orders").alias("longest_run"),
+            F.min("valid_from").alias("first_from"),
+            F.max("valid_to").alias("last_to"),
+        )
+    )
+
+
+ORDER_STATUS_RUNS_SQL = """
+WITH runs AS (
+  SELECT o_custkey, o_orderstatus,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS valid_from,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS valid_to,
+         count(*) AS n_orders
+  FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+         - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                              ORDER BY o_orderdate, o_orderkey) AS grp
+    FROM orders
+  ) t
+  GROUP BY o_custkey, o_orderstatus, grp
+)
+SELECT o_orderstatus, count(*) AS n_runs, sum(n_orders) AS n_orders,
+       max(n_orders) AS longest_run, min(valid_from) AS first_from,
+       max(valid_to) AS last_to
+FROM runs GROUP BY o_orderstatus
+"""
