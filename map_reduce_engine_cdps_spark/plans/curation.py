@@ -568,3 +568,36 @@ SELECT user_id % 10 AS user_bucket, count(*) AS n_clicks,
 FROM events WHERE event_type = 'click'
 GROUP BY user_id % 10
 """
+
+
+# ---------------------------------------------------------------------------
+# orc_roundtrip_stats — ORC sink + typed re-read (third columnar/text
+# format after parquet and CSV/JSONL; Spark ships the ORC reader —
+# vectorized, predicate-pushdown-capable — with no extra deps). Same
+# loss-check contract as the other roundtrips: aggregate the re-read
+# data and let the oracle compare against the parquet original.
+# ---------------------------------------------------------------------------
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    out = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    ords.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORC_ROUNDTRIP_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""

@@ -264,6 +264,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.partitioned_pruned_stats,
         curation.PARTITIONED_PRUNED_STATS_SQL,
     ),
+    # --- ORC sink + typed re-read round-trip ---
+    "orc_roundtrip_stats": (
+        curation.orc_roundtrip_stats,
+        curation.ORC_ROUNDTRIP_STATS_SQL,
+    ),
+    # --- lag()-based inter-arrival gaps per user ---
+    "event_interarrival_stats": (
+        relational.event_interarrival_stats,
+        relational.EVENT_INTERARRIVAL_STATS_SQL,
+    ),
     # --- text analysis (T10-T13 + training-data extensions) ---
     "wordcount": (textops.wordcount, textops.WORDCOUNT_SQL),
     "text_quality": (textops.text_quality, textops.TEXT_QUALITY_SQL),

@@ -1830,3 +1830,47 @@ SELECT o_orderstatus, count(*) AS n_runs, sum(n_orders) AS n_orders,
        max(valid_to) AS last_to
 FROM runs GROUP BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# event_interarrival_stats — lag()-based inter-arrival analysis: per
+# user ordered by event time, the gap to the previous event, aggregated
+# per event_type. One shuffle on user_id for the window, then a
+# reshuffle of the O(users × types) lag projection for the aggregate —
+# the projection drops the payload before the second exchange.
+# Ties on ts are broken by event_id so the lag is deterministic.
+# ---------------------------------------------------------------------------
+
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg(F.col("gap_us") / 1e6), 2).alias("avg_gap_s"),
+        F.max((F.col("gap_us") / 1e6).cast("double")).alias("max_gap_s"),
+        F.min((F.col("gap_us") / 1e6).cast("double")).alias("min_gap_s"),
+    )
+
+
+EVENT_INTERARRIVAL_STATS_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(gap_us / 1e6), 2) AS avg_gap_s,
+       max(gap_us / 1e6) AS max_gap_s,
+       min(gap_us / 1e6) AS min_gap_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
