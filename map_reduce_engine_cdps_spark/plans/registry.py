@@ -219,6 +219,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch.DISJUNCTIVE_PART_REVENUE_SQL,
     ),
     "waiting_suppliers": (tpch.waiting_suppliers, tpch.WAITING_SUPPLIERS_SQL),
+    "forecast_revenue": (tpch.forecast_revenue, tpch.FORECAST_REVENUE_SQL),
+    "top_revenue_supplier": (
+        tpch.top_revenue_supplier,
+        tpch.TOP_REVENUE_SUPPLIER_SQL,
+    ),
     "idle_rich_customers": (
         tpch.idle_rich_customers,
         tpch.IDLE_RICH_CUSTOMERS_SQL,

@@ -683,3 +683,97 @@ AND NOT EXISTS (
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# forecast_revenue — Q6 shape: pure filter + global agg over the fact
+# table. The whole predicate (shipdate range, discount band, quantity
+# cap) pushes into the parquet scan; no shuffle at all — a single
+# partial/final agg. The shape that scales perfectly: at 100 TB this is
+# a scan-rate-bound query with zero exchange.
+# ---------------------------------------------------------------------------
+
+FORECAST_YEAR_START = "1996-01-01"
+FORECAST_YEAR_END = "1997-01-01"
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(FORECAST_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(FORECAST_YEAR_END).cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = f"""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{FORECAST_YEAR_END} 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_revenue_supplier — Q15 shape: revenue per supplier over one
+# quarter, then the supplier(s) achieving the max (the reference's
+# latent global-sort/top-k, engine/master.py:117-118, generalized to a
+# ties-preserving max). DataFrame form: aggregate once, broadcast the
+# 1-row max back — two shuffles total, both on tiny post-agg data.
+# ---------------------------------------------------------------------------
+
+QUARTER_START = "1996-01-01"
+QUARTER_END = "1996-04-01"
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(QUARTER_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(QUARTER_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_REVENUE_SUPPLIER_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{QUARTER_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{QUARTER_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
