@@ -46,6 +46,29 @@ def test_filter_pushdown_reaches_scan(spark):
     assert schema and schema.group(1).count(",") + 1 <= 6
 
 
+def test_forecast_revenue_is_scan_bound(spark):
+    """Q6 shape: the whole predicate must reach the parquet scan and the
+    plan must contain no join — at 100 TB this query is pure scan-rate,
+    one partial/final agg, zero wide exchange."""
+    plan = _plan(spark, "forecast_revenue")
+    # the plan printer truncates long filter lists ("…"), so don't
+    # require the closing bracket
+    m = re.search(r"PushedFilters: \[(.*?)(?:\], |\.\.\.)", plan)
+    assert m and "l_shipdate" in m.group(1) and "l_discount" in m.group(1)
+    assert "Join" not in plan
+    schema = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert schema and schema.group(1).count(",") + 1 <= 4
+
+
+def test_top_revenue_supplier_broadcasts(spark):
+    """Q15 shape: the 1-row max and the supplier dim must both arrive as
+    broadcasts; the per-supplier aggregate is the only data-sized
+    shuffle."""
+    plan = _plan(spark, "top_revenue_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """Joining a hive-partitioned fact on its partition column against a
     filtered dim must inject a dynamicpruningexpression into the scan's
