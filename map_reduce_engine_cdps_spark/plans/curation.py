@@ -601,3 +601,71 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join_stats — co-located join via table bucketing, the
+# pre-shuffle technique the reference approximates by manually placing
+# data per worker (reference docker-compose.yml:20-23,
+# scripts/plants_dataset.ipynb cell 18 distribute_to_nodes). Both sides
+# are written `bucketBy(N, join_key)` + sortBy, so the subsequent
+# sort-merge join reads bucket i of each table into the same task — NO
+# Exchange on either side (locked by
+# tests/test_plan_quality.py::test_bucketed_join_has_no_exchange).
+# At 100 TB this is the difference between re-shuffling the fact table
+# on every join and paying the partitioning cost once at write time for
+# every downstream consumer. The merge hint keeps the demonstration
+# honest at test scale (where orders would otherwise broadcast).
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    for name, df, key in (
+        ("bucketed_lineitem", li, "l_orderkey"),
+        ("bucketed_orders", ords, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.repartition(N_BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .saveAsTable(name)
+        )
+    bl = spark.table("bucketed_lineitem")
+    bo = spark.table("bucketed_orders")
+    return (
+        bl.hint("merge")
+        .join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+BUCKETED_JOIN_STATS_SQL = """
+SELECT o_orderstatus, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -274,6 +274,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.orc_roundtrip_stats,
         curation.ORC_ROUNDTRIP_STATS_SQL,
     ),
+    # --- bucketed tables: co-located sort-merge join, zero exchange ---
+    "bucketed_join_stats": (
+        curation.bucketed_join_stats,
+        curation.BUCKETED_JOIN_STATS_SQL,
+    ),
     # --- lag()-based inter-arrival gaps per user ---
     "event_interarrival_stats": (
         relational.event_interarrival_stats,

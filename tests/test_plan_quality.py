@@ -69,6 +69,20 @@ def test_top_revenue_supplier_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides are written bucketBy(8, join_key), so the sort-merge
+    join must consume the bucketed scans directly — any Exchange feeding
+    the join means the write-time partitioning was wasted. The only
+    allowed exchange is the tiny post-join groupBy on o_orderstatus."""
+    plan = _plan(spark, "bucketed_join_stats")
+    join_part = plan.split("SortMergeJoin")[-1]  # subtree feeding the join
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_part, join_part[:1500]
+    # post-agg hash exchange + final orderBy range exchange only
+    assert len(re.findall(r"Exchange", plan)) <= 2
+    assert re.search(r"Bucketed: true", plan)
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """Joining a hive-partitioned fact on its partition column against a
     filtered dim must inject a dynamicpruningexpression into the scan's
