@@ -466,7 +466,15 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
 
 
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # The embedding table is scanned KMEANS_ITERS+2 times (seed pick,
+    # one assign per iteration, final assign) — cache it once instead of
+    # re-reading parquet per Lloyd round. MEMORY_AND_DISK so a 100 TB
+    # run degrades to local-disk re-read, never recompute-from-source.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()
+    )
     seeds = emb.filter(F.col("vec_id") < KMEANS_K).orderBy("vec_id").collect()
     cents = [[float(x) for x in r.embedding] for r in seeds]
     for _ in range(KMEANS_ITERS):
