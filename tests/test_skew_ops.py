@@ -83,3 +83,42 @@ def test_salted_agg_spreads_hot_key(spark):
         salted.filter(F.col("k") == "hot").select("_salt").distinct().count()
     )
     assert n_partials > 1
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """SCALE.md's standing claim is that AQE skew-join bounds hot-key
+    damage without manual salting. Lock it: a sort-merge join whose
+    left side is one giant key must come out of AQE with the skewed
+    partition split (the SortMergeJoin node is marked skew=true).
+    Thresholds are lowered to make a ~MB-scale hot key count as skewed;
+    the mechanism is identical at TB scale."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            (F.col("id") % 1000 * (F.col("id") % 1000 > 900).cast("bigint"))
+            .alias("k")  # >90% of rows land on k=0
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        # collect() (not count()) so j's OWN adaptive plan executes and
+        # finalizes — count() compiles a separate query execution
+        j = left.join(right, "k").select("k")
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
