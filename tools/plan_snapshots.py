@@ -62,6 +62,31 @@ SNAPSHOTS: dict[str, str] = {
         "`TakeOrderedAndProject` with per-partition heaps; no global "
         "sort, no shuffle of the corpus."
     ),
+    "forecast_revenue": (
+        "TPC-H Q6 shape — the scan-rate yardstick. The full conjunctive "
+        "predicate reaches the parquet scan (`PushedFilters` on "
+        "shipdate/discount/quantity), the `ReadSchema` is 4 of 11 "
+        "columns, and the only exchange is the 1-row `SinglePartition` "
+        "final aggregate. At 100 TB this query is bounded by I/O "
+        "bandwidth alone: zero wide shuffle, zero join."
+    ),
+    "top_revenue_supplier": (
+        "TPC-H Q15 shape: the fact aggregates once to O(|supplier|) "
+        "rows, the ties-preserving max arrives as a broadcast 1-row "
+        "aggregate (`BroadcastNestedLoopJoin` over one row, the "
+        "canonical scalar-subquery plan), and the supplier dim joins as "
+        "`BroadcastHashJoin`. Never a global sort, never a second fact "
+        "scan."
+    ),
+    "bucketed_join_stats": (
+        "Both fact tables are written `bucketBy(8, orderkey)` + sortBy, "
+        "so the `SortMergeJoin` consumes the bucketed scans directly — "
+        "`Bucketed: true`, zero `Exchange` under the join. The write-time "
+        "shuffle is paid once and amortizes across every downstream "
+        "orderkey join; at 100 TB the bucket count scales with cluster "
+        "width (e.g. 4096) and recurring fact-fact joins stop paying "
+        "the dominant shuffle."
+    ),
     "volume_shipping": (
         "TPC-H Q7 shape, 6-table join: all four dimension legs "
         "(supplier, nation ×2, the nation-pair filter) compile to "
