@@ -83,6 +83,45 @@ def test_bucketed_join_has_no_exchange(spark):
     assert re.search(r"Bucketed: true", plan)
 
 
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime bloom-filter injection: a shuffle join whose build side is
+    selectively filtered must push a bloom_filter_agg of the build keys
+    into the probe side's scan stage, so non-joining fact rows die
+    before the exchange. At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching slice.
+    Thresholds lowered because the default application-side floor is
+    10 GB; the injected plan shape is scale-independent."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        ords = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(ords, li.l_orderkey == ords.o_orderkey).select("l_quantity")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan.lower() or "bloomFilter" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """Joining a hive-partitioned fact on its partition column against a
     filtered dim must inject a dynamicpruningexpression into the scan's
