@@ -10,6 +10,7 @@ decides which later queries prune and which joins pre-co-locate).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -57,6 +58,34 @@ def filter_rewrite_csv(
     df.join(keep_keys, on=key, how="left_semi").write.mode(mode).option(
         "header", "true"
     ).csv(out_path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a fragmented dataset into
+    ~``target_file_bytes`` files. The chronic failure mode of streaming
+    / incremental ingestion at scale — a 100 TB table accreted in
+    per-microbatch files pays per-file open/footer costs on every scan
+    and floods the driver's file index. Sizing uses the dataset's real
+    on-disk bytes (not a row-count guess), and the rewrite is a single
+    narrow-free repartition + write. Returns the output file count.
+
+    Deliberately round-robin (`repartition(n)` without columns): balanced
+    output sizes regardless of value skew. Use `write_partitioned` /
+    `write_bucketed` instead when a keyed layout is wanted.
+    """
+    df = spark.read.format(fmt).load(path)
+    # sum of leaf-file sizes via the relation's file index — no data scan
+    total_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = -(-total_bytes // target_file_bytes) if total_bytes else 1
+    df.repartition(n).write.format(fmt).mode("overwrite").save(out_path)
+    out = spark.read.format(fmt).load(out_path)
+    return out.select(F.input_file_name()).distinct().count()
 
 
 def gather(df: DataFrame, limit: int | None = None) -> list:

@@ -166,3 +166,27 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Fragment events into ~40 tiny files, compact to the target size,
+    and check (a) the file count collapses to the byte-derived minimum,
+    (b) no rows are lost or duplicated."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+    from map_reduce_engine_cdps_spark.sources.writers import compact_small_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(40).write.parquet(frag)
+    n_frag = len([p for p in (tmp_path / "fragmented").glob("*.parquet")])
+    assert n_frag >= 40
+
+    out = str(tmp_path / "compacted")
+    n_out = compact_small_files(spark, frag, out, target_file_bytes=1 << 20)
+    assert n_out < n_frag / 4
+
+    before = ev.groupBy("event_type").count().collect()
+    after = spark.read.parquet(out).groupBy("event_type").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
