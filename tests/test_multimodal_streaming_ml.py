@@ -211,3 +211,77 @@ def test_streaming_checkpoint_incremental_restart(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got2 == exp2
+
+
+def test_foreach_batch_upsert_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch epoch-log sink: (a) the streamed store resolves to
+    the same latest-row-per-key table a batch query computes, (b) a
+    redelivered epoch (simulated retry with the same epoch_id)
+    overwrites its own directory instead of duplicating rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+    from map_reduce_engine_cdps_spark.streaming.sinks import (
+        epoch_log_upsert_sink,
+        read_latest,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(24).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    store = str(tmp_path / "store")
+    sink = epoch_log_upsert_sink(store)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")  # force multiple epochs
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    latest = read_latest(spark, store, ["user_id"], "ts")
+    w_expect = (
+        ev.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("ts"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    got = sorted(tuple(r) for r in latest.collect())
+    exp = sorted(tuple(r) for r in w_expect.collect())
+    assert got == exp
+
+    # simulated at-least-once redelivery: re-deliver epoch 0's exact
+    # content with the same epoch_id — the store must be unchanged
+    # (overwritten, not appended)
+    epochs = sorted(
+        int(p.name.split("=")[1]) for p in (tmp_path / "store").glob("epoch=*")
+    )
+    assert len(epochs) > 1, "maxFilesPerTrigger should force several epochs"
+    n_before = spark.read.option("basePath", store).parquet(
+        store + "/epoch=*"
+    ).count()
+    # materialize before redelivering — can't overwrite a path while
+    # lazily reading from it
+    src0 = spark.read.parquet(f"{store}/epoch={epochs[0]}")
+    epoch0 = spark.createDataFrame(src0.collect(), src0.schema)
+    sink(epoch0, epochs[0])
+    n_after = spark.read.option("basePath", store).parquet(
+        store + "/epoch=*"
+    ).count()
+    assert n_after == n_before
+    again = sorted(tuple(r) for r in read_latest(
+        spark, store, ["user_id"], "ts"
+    ).collect())
+    assert again == exp
