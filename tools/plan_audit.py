@@ -57,6 +57,10 @@ AUDITS: dict[str, dict] = {
     "weighted_doc_sample": {"topk": True},
     "doc_repetition_stats": {},
     "jsonl_roundtrip_stats": {},
+    "forecast_revenue": {"pushed": True},
+    # scalar-max cross join is a 1-row BroadcastNestedLoopJoin by design
+    "top_revenue_supplier": {"broadcast": 1},
+    "bucketed_join_stats": {"no_cartesian": True},
 }
 
 
