@@ -108,3 +108,24 @@ def simhash16(tok: Column) -> Column:
         F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))),
         "",
     )
+
+
+def window_hashes(tok: Column, w: int = 10) -> Column:
+    """Positional w-token window hashes (NOT distinct — every offset).
+
+    The primitive behind exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): two
+    docs sharing any w-token window share a verbatim span. md5 of the
+    joined window so the DuckDB oracle is bit-identical.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (w - 1)),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(tok, (i + k).cast("int")) for k in range(w)]
+            )
+        ),
+    )
+    return F.when(F.size(tok) >= w, grams).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -458,3 +458,81 @@ JOIN documents da ON da.doc_id = doc_a
 JOIN documents db ON db.doc_id = doc_b
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans — exact-substring dedup (Lee et al. 2022): flag docs
+# containing verbatim w-token spans that also appear in other docs — the
+# span-level complement to doc-level MinHash (a doc can be globally
+# unique yet carry boilerplate paragraphs).
+#
+# Spark shape: explode positional window hashes (O(tokens) rows, but
+# each row is just (md5, doc_id) — never text), one groupBy on whash to
+# find cross-doc windows, one groupBy back on doc_id for the stats. At
+# 100 TB the standard trick is hash-mod sampling (keep windows where
+# crc32(whash) % k == 0) — an unbiased span-coverage estimate at 1/k
+# shuffle cost; kept exact here so the oracle can verify bit-identical.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 10
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        F.explode(TX.window_hashes(TX.tokens(F.col("text")), SPAN_W)).alias(
+            "whash"
+        ),
+    )
+    shared = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("whash")
+    )
+    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dups = (
+        wins.join(shared, "whash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        totals.join(dups, "doc_id")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {SPAN_W - 1}, 0) + 1),
+           i -> md5(array_to_string(toks[i : i + {SPAN_W - 1}], ' ')))) AS whash
+  FROM t
+), shared AS (
+  SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+), totals AS (
+  SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id
+), dups AS (
+  SELECT doc_id, count(*) AS n_dup_windows
+  FROM w JOIN shared USING (whash) GROUP BY doc_id
+)
+SELECT totals.doc_id, n_windows, n_dup_windows,
+       round(n_dup_windows * 1.0 / n_windows, 4) AS dup_ratio
+FROM totals JOIN dups USING (doc_id)
+ORDER BY totals.doc_id
+"""
