@@ -669,3 +669,60 @@ JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# source_lang_entropy — per-source language-mix profile: Shannon entropy
+# of the language histogram, distinct-language count, majority language
+# (deterministic tie-break on lang desc). The corpus-balance diagnostic
+# behind mixing decisions: a source whose entropy collapses between
+# crawls changed its composition. Two chained groupBys, shuffles carry
+# only (source, lang, count) rows — O(sources × langs), never documents.
+# ---------------------------------------------------------------------------
+
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("source")
+    p = F.col("n") / F.sum("n").over(w)
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.desc("n"), F.desc("lang"))
+        ),
+    ).withColumn("plogp", -p * F.log2(p))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.sum("plogp"), 4).alias("lang_entropy"),
+            F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias(
+                "majority_lang"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY source, lang
+), ranked AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang DESC) AS rn,
+         n * 1.0 / sum(n) OVER (PARTITION BY source) AS p
+  FROM counts
+)
+SELECT source, sum(n) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       round(sum(-p * log2(p)), 4) AS lang_entropy,
+       max(CASE WHEN rn = 1 THEN lang END) AS majority_lang
+FROM ranked GROUP BY source ORDER BY source
+"""
