@@ -303,6 +303,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
     "ngram_jaccard_topk": (dedup.ngram_jaccard_topk, dedup.NGRAM_JACCARD_TOPK_SQL),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
+    # --- per-dimension embedding distribution profile ---
+    "embedding_dim_stats": (
+        similarity.embedding_dim_stats,
+        similarity.EMBEDDING_DIM_STATS_SQL,
+    ),
     # --- per-source language-mix entropy profile ---
     "source_lang_entropy": (
         curation.source_lang_entropy,

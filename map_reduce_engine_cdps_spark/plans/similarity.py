@@ -505,3 +505,45 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension distribution profile of the
+# embedding table: mean, std, min/max per coordinate. The embedding-
+# table health check (dead dimensions, scale drift between encoder
+# versions, un-normalized batches) run before any ANN index build.
+# posexplode + groupBy(pos): one shuffle of (pos, val) pairs, output
+# cardinality = vector width — the same distributed-vector-stats shape
+# as label_centroid_norms, but corpus-global and moment-complete.
+# ---------------------------------------------------------------------------
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("dim_mean"),
+            F.round(F.stddev_pop("val"), 6).alias("dim_std"),
+            F.round(F.min("val"), 6).alias("dim_min"),
+            F.round(F.max("val"), 6).alias("dim_max"),
+        )
+        .orderBy("pos")
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH e AS (
+  SELECT t.pos - 1 AS pos, embedding[t.pos]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(pos)
+)
+SELECT pos, count(*) AS n,
+       round(avg(val), 6) AS dim_mean,
+       round(stddev_pop(val), 6) AS dim_std,
+       round(min(val), 6) AS dim_min,
+       round(max(val), 6) AS dim_max
+FROM e GROUP BY pos ORDER BY pos
+"""
