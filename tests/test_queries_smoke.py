@@ -98,3 +98,29 @@ def test_connected_components_transitivity(spark):
         for r in connected_components(vertices, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_window_hashes_edges(spark):
+    """Short-doc guard (Spark's sequence() counts DOWN when stop < 1):
+    size < w → empty array, size == w → exactly one window, size == w+1
+    → two overlapping windows whose hashes differ."""
+    import hashlib
+
+    from map_reduce_engine_cdps_spark.functions import text as TX
+
+    rows = [
+        ("a b c",),                      # 3 tokens < w
+        ("a b c d",),                    # == w
+        ("a b c d e",),                  # w + 1
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        r[0]
+        for r in df.select(
+            TX.window_hashes(TX.tokens(F.col("text")), 4)
+        ).collect()
+    ]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[0] == []
+    assert got[1] == [md5("a b c d")]
+    assert got[2] == [md5("a b c d"), md5("b c d e")]
