@@ -726,3 +726,62 @@ SELECT source, sum(n) AS n_docs,
        max(CASE WHEN rn = 1 THEN lang END) AS majority_lang
 FROM ranked GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# winsorized_price_stats — per-group percentile clipping (winsorization),
+# the standard numeric-outlier containment before stats/training. Two
+# passes: an exact-percentile aggregate to O(groups) cutoff rows
+# (broadcast back — dimension-sized), then a clipped re-aggregate of the
+# fact. At 100 TB swap pass 1 to approx_percentile for a single-scan
+# sketch; kept exact here so the DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.greatest(F.least(F.col("l_extendedprice"), F.col("hi")), F.col("lo"))
+        .alias("clipped_price"),
+        (
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi"))
+        ).cast("long").alias("is_clipped"),
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("is_clipped").alias("n_clipped"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            F.round(F.avg("clipped_price"), 4).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WINSORIZED_PRICE_STATS_SQL = """
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) AS lo,
+         quantile_cont(l_extendedprice, 0.99) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS n_rows,
+       sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                THEN 1 ELSE 0 END) AS n_clipped,
+       round(avg(l_extendedprice), 4) AS mean_raw,
+       round(avg(greatest(least(l_extendedprice, hi), lo)), 4)
+         AS mean_winsorized
+FROM lineitem l JOIN cuts USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""

@@ -308,6 +308,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.embedding_dim_stats,
         similarity.EMBEDDING_DIM_STATS_SQL,
     ),
+    # --- per-group winsorization (percentile clipping) ---
+    "winsorized_price_stats": (
+        curation.winsorized_price_stats,
+        curation.WINSORIZED_PRICE_STATS_SQL,
+    ),
     # --- per-source language-mix entropy profile ---
     "source_lang_entropy": (
         curation.source_lang_entropy,
