@@ -190,3 +190,51 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     before = ev.groupBy("event_type").count().collect()
     after = spark.read.parquet(out).groupBy("event_type").count().collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_zorder_layout_gives_both_columns_locality(spark, tmp_path):
+    """Write the same 2-D data (a) range-sorted by a Morton key and
+    (b) sorted by x alone, into 16 files each. Under Z-order every file
+    must cover a small rectangle of BOTH dimensions (so parquet min/max
+    stats prune on either predicate); under the single-key sort, y's
+    per-file span stays ~the full domain."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.functions.layout import (
+        scale_to_int,
+        zorder_key,
+    )
+
+    n, files = 1 << 16, 16
+    df = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 2654435761) % 256).alias("y"),  # decorrelated
+    )
+    zed = df.withColumn(
+        "zkey",
+        zorder_key(
+            scale_to_int(F.col("x"), 0, 255, 8),
+            scale_to_int(F.col("y"), 0, 255, 8),
+            8,
+        ),
+    )
+
+    def mean_span(src, col):
+        per_file = (
+            spark.read.parquet(src)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        return per_file.agg(F.avg("span")).first()[0]
+
+    z_path = str(tmp_path / "zorder")
+    zed.repartitionByRange(files, "zkey").drop("zkey").write.parquet(z_path)
+    x_path = str(tmp_path / "xsort")
+    df.repartitionByRange(files, "x").write.parquet(x_path)
+
+    # single-key layout: x tight, y spans the whole domain
+    assert mean_span(x_path, "x") <= 32
+    assert mean_span(x_path, "y") >= 224
+    # z-order layout: BOTH dimensions localized well below full range
+    assert mean_span(z_path, "x") <= 128
+    assert mean_span(z_path, "y") <= 128
