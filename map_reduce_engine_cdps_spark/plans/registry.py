@@ -274,6 +274,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.orc_roundtrip_stats,
         curation.ORC_ROUNDTRIP_STATS_SQL,
     ),
+    # --- period-over-period monthly revenue (12-month lag) ---
+    "monthly_revenue_yoy": (
+        relational.monthly_revenue_yoy,
+        relational.MONTHLY_REVENUE_YOY_SQL,
+    ),
     # --- bucketed tables: co-located sort-merge join, zero exchange ---
     "bucketed_join_stats": (
         curation.bucketed_join_stats,

@@ -1874,3 +1874,46 @@ SELECT event_type, count(*) AS n_gaps,
 FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# monthly_revenue_yoy — period-over-period reporting: monthly revenue
+# with a 12-month lag and YoY percentage. The aggregate reduces the fact
+# table to O(months) rows FIRST; the unpartitioned lag window then runs
+# over those ~80 rows — a deliberate single-partition window on
+# post-aggregate data (the anti-pattern warning applies to windows over
+# raw facts, not over a dimension-sized result).
+# ---------------------------------------------------------------------------
+
+def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 2).alias("yoy_pct"),
+    ).orderBy("month")
+
+
+MONTHLY_REVENUE_YOY_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+       round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+             / lag(revenue, 12) OVER (ORDER BY month) * 100, 2) AS yoy_pct
+FROM monthly ORDER BY month
+"""
