@@ -375,3 +375,78 @@ def audio_window_features(spark, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 6).alias("avg_rms"),
         F.round(F.max("peak"), 6).alias("max_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image header metadata — REAL decode, no media libraries needed.
+# PNG/JPEG/GIF dimensions live in fixed header structures, so width/
+# height/format extraction is pure byte parsing — the part of the
+# multimodal pipeline that does not have to be stubbed in this
+# container. Runs as an Arrow-batched pandas UDF over the binary
+# column: per-file cost is O(header bytes) regardless of image size,
+# and the scan never materializes pixels (at 100 TB of images this is
+# the triage pass that routes files to the heavyweight decode).
+# ---------------------------------------------------------------------------
+
+def _parse_image_dims(payload) -> tuple:
+    """(format, width, height) from header bytes; (None, None, None) if
+    unrecognized/truncated."""
+    if payload is None:
+        return (None, None, None)
+    b = bytes(payload)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            # IHDR: width/height big-endian uint32 at offsets 16/20
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        if b[:2] == b"\xff\xd8":
+            # JPEG: walk markers to a start-of-frame (SOF0..SOF15,
+            # excluding DHT/DAC/RST) carrying height/width
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                i += 2 + max(seg_len, 2)
+    except (IndexError, ValueError):
+        pass
+    return (None, None, None)
+
+
+def image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Append (img_format, img_width, img_height) parsed from headers."""
+    meta_schema = T.StructType(
+        [
+            T.StructField("img_format", T.StringType()),
+            T.StructField("img_width", T.IntegerType()),
+            T.StructField("img_height", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(meta_schema)
+    def dims(content: pd.Series) -> pd.DataFrame:
+        parsed = [_parse_image_dims(c) for c in content]
+        return pd.DataFrame(
+            parsed, columns=["img_format", "img_width", "img_height"]
+        )
+
+    return df.withColumn("_m", dims(F.col(content_col))).select(
+        "*", "_m.img_format", "_m.img_width", "_m.img_height"
+    ).drop("_m")

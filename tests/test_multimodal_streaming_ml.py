@@ -285,3 +285,36 @@ def test_foreach_batch_upsert_exactly_once(spark, sf_dir, tmp_path):
         spark, store, ["user_id"], "ts"
     ).collect())
     assert again == exp
+
+
+def test_image_dims_header_parsing(spark):
+    """Real (not stubbed) metadata decode: PNG / GIF / JPEG dimensions
+    parsed from genuine header bytes via the Arrow-batched UDF; garbage
+    bytes come back null."""
+    import struct
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import image_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 1080, 1920)  # height, width
+        + b"\x03" + b"\x00" * 9
+    )
+    rows = [("png", png), ("gif", gif), ("jpeg", jpeg), ("junk", b"notanimage")]
+    df = spark.createDataFrame(rows, "name string, content binary")
+    got = {
+        r["name"]: (r["img_format"], r["img_width"], r["img_height"])
+        for r in image_dims(df).collect()
+    }
+    assert got["png"] == ("png", 640, 480)
+    assert got["gif"] == ("gif", 320, 200)
+    assert got["jpeg"] == ("jpeg", 1920, 1080)
+    assert got["junk"] == (None, None, None)
