@@ -238,3 +238,23 @@ def test_zorder_layout_gives_both_columns_locality(spark, tmp_path):
     # z-order layout: BOTH dimensions localized well below full range
     assert mean_span(z_path, "x") <= 128
     assert mean_span(z_path, "y") <= 128
+
+
+def test_zorder_key_is_bijective(spark):
+    """Morton interleave must be a bijection on (x, y) — any collision
+    would merge unrelated rectangles and silently weaken pruning.
+    Exhaustive over the full 6-bit × 6-bit domain."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.functions.layout import zorder_key
+
+    n = 64
+    df = (
+        spark.range(n * n)
+        .select((F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+        .withColumn("z", zorder_key(F.col("x"), F.col("y"), 6))
+    )
+    assert df.select("z").distinct().count() == n * n
+    # and the key stays within 2*bits bits
+    hi = df.agg(F.max("z")).first()[0]
+    assert 0 <= hi < (1 << 12)
