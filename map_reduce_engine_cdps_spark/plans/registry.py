@@ -274,6 +274,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.orc_roundtrip_stats,
         curation.ORC_ROUNDTRIP_STATS_SQL,
     ),
+    # --- distribution-position windows (percent_rank/cume_dist) ---
+    "priority_price_position": (
+        relational.priority_price_position,
+        relational.PRIORITY_PRICE_POSITION_SQL,
+    ),
     # --- period-over-period monthly revenue (12-month lag) ---
     "monthly_revenue_yoy": (
         relational.monthly_revenue_yoy,

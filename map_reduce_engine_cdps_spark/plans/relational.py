@@ -1917,3 +1917,47 @@ SELECT month, n_orders, revenue,
              / lag(revenue, 12) OVER (ORDER BY month) * 100, 2) AS yoy_pct
 FROM monthly ORDER BY month
 """
+
+
+# ---------------------------------------------------------------------------
+# priority_price_position — distribution-position window functions
+# (percent_rank / cume_dist / first_value), completing the rank family:
+# each order's price position within its priority class, plus the gap to
+# the class's most expensive order. One shuffle on the partition key;
+# the total order (price desc, orderkey asc) makes every value
+# deterministic across engines.
+# ---------------------------------------------------------------------------
+
+def priority_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 10)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(
+                F.first_value("o_totalprice").over(w) - F.col("o_totalprice"),
+                2,
+            ).alias("gap_to_top"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+PRIORITY_PRICE_POSITION_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(first_value(o_totalprice) OVER w - o_totalprice, 2)
+         AS gap_to_top
+FROM orders
+WHERE o_custkey < 10
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+ORDER BY o_orderpriority, o_orderkey
+"""
