@@ -274,6 +274,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.orc_roundtrip_stats,
         curation.ORC_ROUNDTRIP_STATS_SQL,
     ),
+    # --- native session windows (F.session_window) ---
+    "session_window_counts": (
+        relational.session_window_counts,
+        relational.SESSION_WINDOW_COUNTS_SQL,
+    ),
     # --- distribution-position windows (percent_rank/cume_dist) ---
     "priority_price_position": (
         relational.priority_price_position,

@@ -1961,3 +1961,57 @@ WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice DESC, o_orderkey ASC)
 ORDER BY o_orderpriority, o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# session_window_counts — NATIVE session windows (F.session_window):
+# the declarative twin of user_sessions' manual gaps-and-islands. The
+# oracle reproduces Spark's exact boundary rule (a session closes when
+# the gap is >= the 30 min duration, measured in microseconds) with
+# islands SQL — two formulations, one answer. Native session windows
+# matter at scale because they run as a single groupBy with
+# merge-on-overlap session state, not a two-window island scan.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOW_COUNTS_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_start
+"""
