@@ -64,3 +64,25 @@ def run_with_metrics(df: DataFrame, name: str = "query") -> QueryMetrics:
         num_stages=stages,
         shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
+
+
+def run_with_observed_metrics(
+    df: DataFrame,
+    metric_exprs: dict[str, "object"],
+    name: str = "query",
+) -> tuple[list, dict]:
+    """Execute ``df`` collecting in-flight metrics via ``Observation`` —
+    aggregates computed on the rows as they stream past, with NO second
+    job (``run_with_metrics`` re-counts; at 100 TB that doubles the
+    scan). The Spark-native version of the reference's per-phase
+    counters (map_output_count / unique_keys,
+    reference engine/worker.py:175-182).
+
+    ``metric_exprs``: name → aggregate Column. Returns (rows, metrics).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(k) for k, c in metric_exprs.items()])
+    rows = observed.collect()
+    return rows, obs.get

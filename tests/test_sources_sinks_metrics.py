@@ -258,3 +258,23 @@ def test_zorder_key_is_bijective(spark):
     # and the key stays within 2*bits bits
     hi = df.agg(F.max("z")).first()[0]
     assert 0 <= hi < (1 << 12)
+
+
+def test_run_with_observed_metrics(spark, sf_dir):
+    """Observation metrics must match a separately computed aggregate,
+    while running inside the ONE job that produced the rows."""
+    from map_reduce_engine_cdps_spark.operators.metrics import (
+        run_with_observed_metrics,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    rows, metrics = run_with_observed_metrics(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "total_qty": F.sum("l_quantity"),
+        },
+    )
+    assert metrics["n_rows"] == len(rows)
+    assert abs(metrics["total_qty"] - sum(r[0] for r in rows)) < 1e-6
