@@ -19,6 +19,7 @@ from map_reduce_engine_cdps_spark.plans import (
     curation,
     dedup,
     relational,
+    semistructured,
     similarity,
     textops,
     tpch,
@@ -405,6 +406,32 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_click_purchase_join": (
         streaming_windows.streaming_click_purchase_join,
         relational.CLICK_PURCHASE_WITHIN_1H_SQL,
+    ),
+    # --- Spark 4 VariantType: parse-once binary variant + typed path
+    # extraction over the events.props JSON column ---
+    "variant_props_stats": (
+        semistructured.variant_props_stats,
+        semistructured.VARIANT_PROPS_STATS_SQL,
+    ),
+    "variant_typeof_profile": (
+        semistructured.variant_typeof_profile,
+        semistructured.VARIANT_TYPEOF_PROFILE_SQL,
+    ),
+    # --- Python UDTF lateral table functions; udtf_doc_chunks shares
+    # doc_chunks' oracle → built-in and UDTF formulations must agree ---
+    "udtf_doc_chunks": (
+        semistructured.udtf_doc_chunks,
+        curation.DOC_CHUNKS_SQL,
+    ),
+    "udtf_doc_sentences": (
+        semistructured.udtf_doc_sentences,
+        semistructured.UDTF_DOC_SENTENCES_SQL,
+    ),
+    # --- custom Python DataSource (declared schema + its own split
+    # plan); oracle recomputes the deterministic generator in SQL ---
+    "pyds_synthetic_stats": (
+        semistructured.pyds_synthetic_stats,
+        semistructured.PYDS_SYNTHETIC_STATS_SQL,
     ),
 }
 
