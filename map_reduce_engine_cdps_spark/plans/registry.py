@@ -433,6 +433,29 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         semistructured.pyds_synthetic_stats,
         semistructured.PYDS_SYNTHETIC_STATS_SQL,
     ),
+    # --- TPC-H battery completion: Q5, Q12, Q13 direct; Q2/Q11/Q20
+    # adapted (no partsupp table — lineitem is the part↔supplier link) ---
+    "local_supplier_volume": (
+        tpch.local_supplier_volume,
+        tpch.LOCAL_SUPPLIER_VOLUME_SQL,
+    ),
+    "linestatus_priority_counts": (
+        tpch.linestatus_priority_counts,
+        tpch.LINESTATUS_PRIORITY_COUNTS_SQL,
+    ),
+    "customer_order_distribution": (
+        tpch.customer_order_distribution,
+        tpch.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    ),
+    "min_cost_supplier": (tpch.min_cost_supplier, tpch.MIN_COST_SUPPLIER_SQL),
+    "important_part_value": (
+        tpch.important_part_value,
+        tpch.IMPORTANT_PART_VALUE_SQL,
+    ),
+    "dominant_part_suppliers": (
+        tpch.dominant_part_suppliers,
+        tpch.DOMINANT_PART_SUPPLIERS_SQL,
+    ),
 }
 
 

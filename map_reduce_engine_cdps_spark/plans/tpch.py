@@ -777,3 +777,358 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
 """
+
+# ---------------------------------------------------------------------------
+# local_supplier_volume — Q5 shape: revenue per nation where supplier and
+# customer share the nation, region-filtered, one order-year. Region and
+# nation broadcast everywhere; the only large-large join (orders ⨝
+# lineitem) shuffles on orderkey once; the c_nationkey = s_nationkey
+# equality is a join condition, not a post-filter, so Catalyst keeps it
+# in the hash-join key set.
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_YEAR_START = "1996-01-01"
+Q5_YEAR_END = "1997-01-01"
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_YEAR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_YEAR_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_YEAR_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{Q5_YEAR_END} 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# linestatus_priority_counts — Q12 shape (adapted: the dataset has no
+# l_shipmode column, so l_linestatus serves as the grouping attribute):
+# per linestatus shipped in a year, conditional counts of high- vs
+# low-priority orders. The conditional CASE aggregation happens inside
+# the partial agg — one shuffle of O(groups), never a second pass.
+# ---------------------------------------------------------------------------
+
+Q12_YEAR_START = "1997-01-01"
+Q12_YEAR_END = "1998-01-01"
+
+
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_YEAR_END).cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+LINESTATUS_PRIORITY_COUNTS_SQL = f"""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '{Q12_YEAR_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q12_YEAR_END} 00:00:00'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_order_distribution — Q13 shape: LEFT join customer→orders,
+# per-customer order count, then the distribution of those counts.
+# Two aggregations, each one shuffle; the first keys on c_custkey (high
+# cardinality, well-spread), the second on the tiny count domain —
+# that second shuffle is O(distinct counts), trivial at any scale.
+# ---------------------------------------------------------------------------
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# min_cost_supplier — Q2 shape (adapted: the dataset has no partsupp
+# table, so the part↔supplier cost relation is derived from observed
+# lineitem unit prices): for SMALL-type parts in one region, the
+# supplier(s) offering the minimum average unit price. The correlated
+# "= (SELECT min(...))" becomes a window min over the per-(part, supp)
+# aggregate — one shuffle on (partkey, suppkey), then a partkey-local
+# window; supplier/nation/region broadcast.
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "SMALL"
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q2_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q2_TYPE)
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+            .alias("unit_cost")
+        )
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+MIN_COST_SUPPLIER_SQL = f"""
+WITH cost AS (
+  SELECT p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = '{Q2_TYPE}'
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = '{Q2_REGION}'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT p_partkey, s_name, s_acctbal, n_name, unit_cost
+FROM cost
+WHERE unit_cost = (SELECT min(unit_cost) FROM cost c2
+                   WHERE c2.p_partkey = cost.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# important_part_value — Q11 shape (adapted: shipped-value-by-part from
+# lineitem stands in for partsupp stock value): parts whose total shipped
+# value from suppliers of one region exceeds a multiple of the mean
+# per-part value (mean-relative rather than Q11's fraction-of-total so
+# the predicate stays selective-but-nonempty at every scale factor). The
+# scalar subquery is a 1-row aggregate of the SAME pre-aggregated
+# per-part relation, cross-joined (broadcast) back — the heavy fact scan
+# happens exactly once.
+# ---------------------------------------------------------------------------
+
+Q11_REGION = "AMERICA"
+Q11_MEAN_MULT = 2.0
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q11_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "raw_value"
+            )
+        )
+    )
+    per_part = per_part.persist()
+    total = per_part.agg(
+        (F.avg("raw_value") * F.lit(Q11_MEAN_MULT)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("raw_value", 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+IMPORTANT_PART_VALUE_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey AS partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS raw_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = '{Q11_REGION}'
+  GROUP BY 1
+)
+SELECT partkey, round(raw_value, 2) AS part_value
+FROM pv
+WHERE raw_value > (SELECT avg(raw_value) * {Q11_MEAN_MULT} FROM pv)
+ORDER BY part_value DESC, partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# dominant_part_suppliers — Q20 shape (adapted: "availqty > half of
+# shipped qty" becomes "this supplier shipped > 30% of the part's total
+# shipped quantity", derivable without partsupp): suppliers in one
+# region dominating supply of PROMO-type parts in a year. Per-(part,
+# supp) and per-part aggregates come off the SAME shuffled pass
+# (window over the grouped result), then a broadcast semi join filters
+# the supplier dimension.
+# ---------------------------------------------------------------------------
+
+Q20_REGION = "AFRICA"
+Q20_TYPE = "PROMO"
+Q20_SHARE = 0.30
+Q20_YEAR_START = "1997-01-01"
+Q20_YEAR_END = "1998-01-01"
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q20_TYPE)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+    )
+    per_ps = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = W.partitionBy("l_partkey")
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > F.lit(Q20_SHARE) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q20_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+DOMINANT_PART_SUPPLIERS_SQL = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = '{Q20_TYPE}'
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q20_YEAR_END} 00:00:00'
+  GROUP BY 1, 2
+), dominant AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, supp_qty,
+           sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM per_ps
+  ) WHERE supp_qty > {Q20_SHARE} * part_qty
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = '{Q20_REGION}'
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+"""
