@@ -456,6 +456,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch.dominant_part_suppliers,
         tpch.DOMINANT_PART_SUPPLIERS_SQL,
     ),
+    # --- ANN completeness metric: recall@K of the LSH path vs exact ---
+    "ann_recall_eval": (similarity.ann_recall_eval, similarity.ANN_RECALL_EVAL_SQL),
+    # --- mapInArrow surface: RecordBatch-native numpy compute ---
+    "arrow_norm_stats": (
+        similarity.arrow_norm_stats,
+        similarity.ARROW_NORM_STATS_SQL,
+    ),
+    # --- CCNet-style unigram-LM document quality scoring ---
+    "unigram_logprob_scores": (
+        textops.unigram_logprob_scores,
+        textops.UNIGRAM_LOGPROB_SCORES_SQL,
+    ),
 }
 
 

@@ -547,3 +547,140 @@ SELECT pos, count(*) AS n,
        round(max(val), 6) AS dim_max
 FROM e GROUP BY pos ORDER BY pos
 """
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — the ANN completeness metric: recall@K of the LSH
+# bucketed path against the exact brute-force top-K, per query. This is
+# the query every ANN deployment runs before trusting the index; at
+# 100 TB the exact side runs on a small held-out query sample (here: the
+# same N_QUERIES sample) while the LSH side is the production path.
+# Shape: both rankings reuse the shared single-pass formulations above;
+# the comparison is a broadcast-sized join on (query_id, cand_id).
+# ---------------------------------------------------------------------------
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = knn_bruteforce(spark, sf_dir)  # query_id, cand_id, cos_sim, rank
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    q = d.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = d.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    lshk = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(lshk, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(TOP_K), 4
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH sims_exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+), exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM sims_exact
+  ) WHERE rank <= {TOP_K}
+), b AS (
+  SELECT e.vec_id, e.embedding, {_duck_bucket('e')} AS bucket
+  FROM embeddings e
+), sims_lsh AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM (SELECT * FROM b WHERE vec_id < {N_QUERIES}) q
+  JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+), lshk AS (
+  SELECT query_id, cand_id, 1 AS hit FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id ASC) AS rn
+    FROM sims_lsh
+  ) WHERE rn <= {TOP_K}
+)
+SELECT e.query_id,
+       sum(coalesce(l.hit, 0)) AS n_hits,
+       round(sum(coalesce(l.hit, 0)) / {TOP_K}.0, 4) AS recall_at_k
+FROM exact e
+LEFT JOIN lshk l ON e.query_id = l.query_id AND e.cand_id = l.cand_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# arrow_norm_stats — mapInArrow surface: per-batch pyarrow/numpy compute
+# over the embedding column without pandas conversion overhead (the
+# lowest-overhead Python escape hatch — RecordBatch in, RecordBatch
+# out). Per-label aggregation of L2 norms afterwards is plain DataFrame.
+# At 100 TB the batch shape is the contract: O(batch) peak memory per
+# task, no per-row Python calls, zero-copy Arrow buffers both ways.
+# ---------------------------------------------------------------------------
+
+def arrow_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            labels = batch.column("label")
+            embs = batch.column("embedding")
+            # list<float> → (n, dim) ndarray; rows are fixed-length here,
+            # guaranteed by the embeddings table contract (FIXTURES.md)
+            flat = np.asarray(embs.flatten(), dtype=np.float64)
+            n = len(batch)
+            dim = flat.size // n if n else 0
+            l2 = np.sqrt((flat.reshape(n, dim) ** 2).sum(axis=1)) if n else flat
+            yield pa.RecordBatch.from_arrays(
+                [labels, pa.array(l2, type=pa.float64())], ["label", "l2_norm"]
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    out = emb.mapInArrow(norms, "label int, l2_norm double")
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("l2_norm"), 4).alias("avg_norm"),
+        F.round(F.max("l2_norm"), 4).alias("max_norm"),
+    )
+
+
+ARROW_NORM_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE))) AS l2_norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(l2_norm), 4) AS avg_norm,
+       round(max(l2_norm), 4) AS max_norm
+FROM n GROUP BY label
+"""

@@ -380,3 +380,57 @@ SELECT doc_id,
              ELSE 0.0 END) <= {MAX_DUP_BIGRAM_FRAC} AS pass_repetition_gate
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob_scores — CCNet-style LM quality scoring with a unigram
+# model: vocabulary + frequencies from the corpus itself, each document
+# scored by its mean token negative log-probability (low = fluent/common
+# wording, high = rare/garbled). Two aggregations (vocab build, per-doc
+# score) + one join of tokens→logp. At 100 TB the frequency table is
+# top-V pruned (V ~ 1e6 rows) and broadcast, so the scoring pass is
+# shuffle-free; here the full vocab is small enough to broadcast as-is.
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "word", (-F.log(F.col("c") / F.col("t"))).alias("neg_logp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("neg_logp"), 4).alias("avg_neg_logp"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SCORES_SQL = """
+WITH toks AS (
+  SELECT doc_id, w.word
+  FROM (
+    SELECT doc_id,
+           list_filter(list_transform(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0),
+             x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0) AS words
+    FROM documents
+  ), unnest(words) AS w(word)
+), freq AS (
+  SELECT word, count(*) AS c FROM toks GROUP BY word
+), tot AS (
+  SELECT sum(c) AS t FROM freq
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(c::DOUBLE / t::DOUBLE)), 4) AS avg_neg_logp
+FROM toks JOIN freq USING (word) CROSS JOIN tot
+GROUP BY doc_id
+"""
