@@ -785,3 +785,46 @@ FROM lineitem l JOIN cuts USING (l_returnflag)
 GROUP BY l.l_returnflag
 ORDER BY l.l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# xml_roundtrip_stats — Spark 4 native XML sink + source through the
+# oracle gate (same pattern as csv/jsonl/orc roundtrips: the oracle runs
+# on the original table, so the round-trip must be lossless). XML is the
+# interchange format of legacy enterprise feeds; the scan parallelizes
+# per-file like any text source, so ingest width = file count.
+# ---------------------------------------------------------------------------
+
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="xml_roundtrip_")
+    (
+        docs.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id bigint, source string, n_chars bigint")
+        .load(out)
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+XML_ROUNDTRIP_STATS_SQL = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY source
+"""

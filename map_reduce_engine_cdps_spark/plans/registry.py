@@ -468,6 +468,21 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.unigram_logprob_scores,
         textops.UNIGRAM_LOGPROB_SCORES_SQL,
     ),
+    # --- Spark 4 native XML sink + source roundtrip ---
+    "xml_roundtrip_stats": (
+        curation.xml_roundtrip_stats,
+        curation.XML_ROUNDTRIP_STATS_SQL,
+    ),
+    # --- hypertable-style minute/hour/day rollup in one grouped pass ---
+    "multi_resolution_rollup": (
+        relational.multi_resolution_rollup,
+        relational.MULTI_RESOLUTION_ROLLUP_SQL,
+    ),
+    # --- tokenizer vocab coverage / OOV rate ---
+    "vocab_coverage_stats": (
+        textops.vocab_coverage_stats,
+        textops.VOCAB_COVERAGE_STATS_SQL,
+    ),
 }
 
 

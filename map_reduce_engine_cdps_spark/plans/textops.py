@@ -434,3 +434,70 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM toks JOIN freq USING (word) CROSS JOIN tot
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage_stats — tokenizer-vocabulary coverage: build the top-V
+# corpus vocabulary (count desc, word asc tie-break), then per language
+# measure what fraction of token occurrences the vocab covers (the
+# OOV-rate check run before committing to a tokenizer). The vocab is
+# O(V) and broadcast; coverage is a conditional aggregate on the token
+# stream — no second shuffle on the corpus.
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 30
+
+
+def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(VOCAB_SIZE)
+        .select("word")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).alias("n_covered"),
+            F.round(
+                F.sum(F.coalesce("in_vocab", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_STATS_SQL = f"""
+WITH toks AS (
+  SELECT lang, w.word
+  FROM (
+    SELECT lang,
+           list_filter(list_transform(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0),
+             x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0) AS words
+    FROM documents
+  ), unnest(words) AS w(word)
+), vocab AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS c FROM toks GROUP BY word
+    ORDER BY c DESC, word ASC LIMIT {VOCAB_SIZE}
+  )
+)
+SELECT lang, count(*) AS n_tokens,
+       sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 1 ELSE 0 END)
+         AS n_covered,
+       round(sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS coverage
+FROM toks GROUP BY lang
+"""
