@@ -18,7 +18,12 @@ tuples lazily so a split never materializes in Python memory.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -49,6 +54,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:  # noqa: ANN001
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: ANN001, ANN201
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options) -> None:  # noqa: ANN001
@@ -65,6 +73,37 @@ class SyntheticEventsReader(DataSourceReader):
     def read(self, partition: _RangePartition):  # noqa: ANN201
         for i in range(partition.start, partition.end):
             yield _row(i)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: offsets are plain row indexes,
+    each microbatch emits up to rowsPerBatch rows. Offset bookkeeping is
+    the engine's (checkpointed); the reader is stateless between calls —
+    exactly the contract that makes a custom stream resumable: replaying
+    (start, end) MUST reproduce identical rows, which holds because
+    generation is a pure function of the row index."""
+
+    def __init__(self, options) -> None:  # noqa: ANN001
+        self.num_rows = int(options.get("numRows", 10_000))
+        self.rows_per_batch = int(options.get("rowsPerBatch", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):  # noqa: ANN201
+        # Materialized (not a generator): the simple-reader protocol
+        # prefetches on the driver and ships the batch pickled, so rows
+        # must be picklable; rowsPerBatch bounds driver memory.
+        lo = start["idx"]
+        hi = min(lo + self.rows_per_batch, self.num_rows)
+        return [_row(i) for i in range(lo, hi)], {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: ANN201
+        # Replay path after failure: must equal the original read.
+        return [_row(i) for i in range(start["idx"], end["idx"])]
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register(spark) -> None:  # noqa: ANN001

@@ -90,3 +90,67 @@ def test_pyds_schema_and_determinism(spark):
     assert rows[3]["user_id"] == (3 * 37) % 97
     assert rows[3]["event_type"] == "click"
     assert rows[4]["value"] == ((4 * 4) % 1000) / 10.0
+
+
+def test_pyds_streaming_reader_drains_and_replays(spark):
+    """Streaming face of the custom source: microbatches advance by
+    offset until the synthetic feed is exhausted, and the final counts
+    equal the batch read of the same numRows — stream ≡ batch for a
+    pure-function-of-offset source."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    pyds.register(spark)
+    n_rows = 3000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("numRows", n_rows)
+        .option("rowsPerBatch", 700)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pyds_stream_drain")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = spark.table("pyds_stream_drain").agg(F.sum("n")).collect()[0][0]
+            if got == n_rows:
+                break
+            time.sleep(1)
+        assert got == n_rows, f"stream drained only {got}/{n_rows} rows"
+    finally:
+        q.stop()
+    streamed = {
+        (r["event_type"], r["n"], r["s"])
+        for r in spark.table("pyds_stream_drain").collect()
+    }
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("numRows", n_rows)
+        .load()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    assert streamed == {tuple(r) for r in batch.collect()}
+
+
+def test_pyds_stream_replay_determinism():
+    """readBetweenOffsets (the failure-replay path) must reproduce
+    exactly the rows the original polls produced."""
+    r = pyds.SyntheticEventsStreamReader({"numRows": "100", "rowsPerBatch": "30"})
+    polled, off = [], r.initialOffset()
+    while off["idx"] < 100:
+        rows, off2 = r.read(off)
+        polled.extend(rows)
+        off = off2
+    assert len(polled) == 100
+    assert polled == list(r.readBetweenOffsets({"idx": 0}, {"idx": 100}))
