@@ -16,6 +16,7 @@ from map_reduce_engine_cdps_spark.operators import mlpipeline
 from map_reduce_engine_cdps_spark.streaming import stateful as streaming_stateful
 from map_reduce_engine_cdps_spark.streaming import windows as streaming_windows
 from map_reduce_engine_cdps_spark.plans import (
+    analytics,
     curation,
     dedup,
     relational,
@@ -482,6 +483,29 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_coverage_stats": (
         textops.vocab_coverage_stats,
         textops.VOCAB_COVERAGE_STATS_SQL,
+    ),
+    # --- advanced analytics: regression aggs, moments, sketches,
+    # recursive CTE, collations, SQL variables (plans/analytics.py) ---
+    "regr_price_qty": (analytics.regr_price_qty, analytics.REGR_PRICE_QTY_SQL),
+    "quantity_moments": (
+        analytics.quantity_moments,
+        analytics.QUANTITY_MOMENTS_SQL,
+    ),
+    "hll_sketch_users": (
+        analytics.hll_sketch_users,
+        analytics.HLL_SKETCH_USERS_SQL,
+    ),
+    "monthly_gapfill_revenue": (
+        analytics.monthly_gapfill_revenue,
+        analytics.MONTHLY_GAPFILL_REVENUE_SQL,
+    ),
+    "collated_lang_counts": (
+        analytics.collated_lang_counts,
+        analytics.COLLATED_LANG_COUNTS_SQL,
+    ),
+    "sql_variable_pricey_parts": (
+        analytics.sql_variable_pricey_parts,
+        analytics.SQL_VARIABLE_PRICEY_PARTS_SQL,
     ),
 }
 

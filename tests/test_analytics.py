@@ -1,0 +1,91 @@
+"""Semantic tests for plans/analytics.py (regression aggregates,
+moments, HLL sketches, recursive-CTE gap-fill, collations, SQL
+variables). The registry smoke test already proves each runs; these
+pin the semantics the oracle hash can't see (self-validation booleans,
+calendar contiguity, collation strictness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_engine_cdps_spark.plans import analytics
+
+
+def test_quantity_moments_builtins_agree(spark, sf_dir):
+    rows = analytics.quantity_moments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Spark's skewness()/kurtosis() are the population formulas —
+        # must agree with the explicit power-sum computation.
+        assert r.builtin_skew_ok and r.builtin_kurt_ok, r
+
+
+def test_hll_merged_sketch_tracks_exact(spark, sf_dir):
+    rows = analytics.hll_sketch_users(spark, sf_dir).collect()
+    assert rows
+    assert all(r.merged_sketch_within_5pct for r in rows)
+
+
+def test_monthly_gapfill_calendar_is_contiguous(spark, sf_dir):
+    df = analytics.monthly_gapfill_revenue(spark, sf_dir)
+    months = [r.month for r in df.select("month").orderBy("month").collect()]
+    assert len(months) == len(set(months))
+    first_y, first_m = map(int, months[0].split("-"))
+    expect = []
+    y, m = first_y, first_m
+    for _ in months:
+        expect.append(f"{y:04d}-{m:02d}")
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    # no gaps: the recursive calendar is one row per month, inclusive
+    assert months == expect
+
+
+def test_gapfill_zero_months_have_zero_orders(spark, sf_dir):
+    df = analytics.monthly_gapfill_revenue(spark, sf_dir)
+    zero = df.filter(F.col("order_cnt") == 0)
+    assert zero.filter(F.col("revenue") != 0.0).count() == 0
+
+
+def test_collation_is_case_insensitive_but_distinct_cs_is_not(spark, sf_dir):
+    rows = analytics.collated_lang_counts(spark, sf_dir).collect()
+    assert rows
+    # collated distinct can never exceed case-sensitive distinct
+    assert all(r.distinct_langs_ci <= r.distinct_langs_cs for r in rows)
+    # and the collated en-count must equal an independent lower()-based
+    # recount (collation in the engine ≡ normalization in user code)
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mangled = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("lang"))
+    ).otherwise(F.col("lang"))
+    expect = {
+        r.source: r.n
+        for r in docs.filter(F.lower(mangled) == "en")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.source: r.en_docs for r in rows if r.en_docs} == expect
+
+
+def test_sql_variable_threshold_actually_filters(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    total = load_table(spark, sf_dir, "part").count()
+    pricey = (
+        analytics.sql_variable_pricey_parts(spark, sf_dir)
+        .agg(F.sum("pricey_parts"))
+        .first()[0]
+    )
+    assert 0 < pricey < total
+
+
+def test_regr_r2_bounded(spark, sf_dir):
+    rows = analytics.regr_price_qty(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n > 0
