@@ -314,3 +314,163 @@ FROM part
 WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
 GROUP BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# locf_event_values — last-observation-carried-forward: only purchase
+# events carry a meaningful reading; every event row gets the latest
+# purchase value at-or-before it for its user, via
+# last_value(...) IGNORE NULLS over a ROWS running frame (classic
+# sensor/time-series forward fill). The order key is (ts, event_id) so
+# the fill is deterministic under timestamp ties. One shuffle by
+# user_id, then a sorted in-partition scan — the running frame is
+# streaming (no buffering), so partition memory is O(1) per row and
+# the shape survives any scale-up where single users fit a partition.
+# ---------------------------------------------------------------------------
+
+def locf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    reading = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.last(reading, ignorenulls=True).over(w), 4
+        ).alias("filled_value"),
+    )
+
+
+LOCF_EVENT_VALUES_SQL = """
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS filled_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# lateral_top_orders — correlated LATERAL subquery (SQL:2016 / Spark
+# ANSI LATERAL): the top-2 orders by totalprice for every customer with
+# orders, written as the per-row subquery a SQL user would state, with
+# (totalprice DESC, orderkey) ordering so ties are deterministic.
+# Catalyst decorrelates this into a window/aggregate — no per-customer
+# re-execution — so the physical plan is the same rank-filter it would
+# pick for row_number() <= 2; the LATERAL form is pure surface.
+# ---------------------------------------------------------------------------
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+LATERAL_TOP_ORDERS_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t ON TRUE
+"""
+
+
+# ---------------------------------------------------------------------------
+# freq_items_check — heavy hitters: the exact event types above 15%
+# relative frequency (oracle-matched), each asserting membership in the
+# one-pass df.stat.freqItems sketch (Karp-Papadimitriou-Shenker). The
+# sketch guarantees no false negatives at the given support, so the
+# boolean is provably TRUE; at 100 TB the sketch is a single pass with
+# O(1/support) state per partition vs the exact path's full shuffle.
+# ---------------------------------------------------------------------------
+
+def freq_items_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch_items = ev.stat.freqItems(["event_type"], 0.15).first()[0]
+    total = ev.count()
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 0.15 * total)
+    )
+    return exact.select(
+        "event_type",
+        "cnt",
+        F.col("event_type").isin([str(x) for x in sketch_items]).alias(
+            "in_sketch"
+        ),
+    )
+
+
+FREQ_ITEMS_CHECK_SQL = """
+SELECT event_type, count(*) AS cnt, TRUE AS in_sketch
+FROM events
+GROUP BY event_type
+HAVING count(*) >= 0.15 * (SELECT count(*) FROM events)
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_status_map_roundtrip — map-typed column surface: per customer,
+# build a status→revenue map with map_from_entries(collect_list(..)),
+# prune small entries with map_filter (higher-order lambda), round with
+# transform_values, then explode back to rows. Semantically identical
+# to a HAVING-filtered group-by (the oracle), proving the map algebra
+# is lossless. The map stays (customer-local) small — bounded by the
+# status-domain cardinality — so collect_list here is safe at any
+# scale, unlike collecting raw rows.
+# ---------------------------------------------------------------------------
+
+def order_status_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    per_status = od.groupBy("o_custkey", "o_orderstatus").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    mapped = per_status.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "rev"))
+        ).alias("m")
+    )
+    pruned = mapped.select(
+        "o_custkey",
+        F.transform_values(
+            F.map_filter("m", lambda _k, v: v > 150000.0),
+            lambda _k, v: F.round(v, 2),
+        ).alias("m"),
+    )
+    return pruned.select(
+        "o_custkey", F.explode("m").alias("status", "revenue")
+    )
+
+
+ORDER_STATUS_MAP_ROUNDTRIP_SQL = """
+SELECT o_custkey, o_orderstatus AS status,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY o_custkey, o_orderstatus
+HAVING sum(o_totalprice) > 150000.0
+"""

@@ -507,6 +507,22 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.sql_variable_pricey_parts,
         analytics.SQL_VARIABLE_PRICEY_PARTS_SQL,
     ),
+    "locf_event_values": (
+        analytics.locf_event_values,
+        analytics.LOCF_EVENT_VALUES_SQL,
+    ),
+    "lateral_top_orders": (
+        analytics.lateral_top_orders,
+        analytics.LATERAL_TOP_ORDERS_SQL,
+    ),
+    "freq_items_check": (
+        analytics.freq_items_check,
+        analytics.FREQ_ITEMS_CHECK_SQL,
+    ),
+    "order_status_map_roundtrip": (
+        analytics.order_status_map_roundtrip,
+        analytics.ORDER_STATUS_MAP_ROUNDTRIP_SQL,
+    ),
 }
 
 

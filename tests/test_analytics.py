@@ -83,6 +83,90 @@ def test_sql_variable_threshold_actually_filters(spark, sf_dir):
     assert 0 < pricey < total
 
 
+def test_locf_purchases_keep_own_value(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    filled = analytics.locf_event_values(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.round("value", 4).alias("own")
+    )
+    j = filled.join(purchases, "event_id")
+    assert j.filter(F.col("filled_value") != F.col("own")).count() == 0
+
+
+def test_locf_null_only_before_first_purchase(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seen = ev.select(
+        "event_id",
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .over(w)
+        .alias("purchase_seen"),
+    )
+    j = analytics.locf_event_values(spark, sf_dir).join(seen, "event_id")
+    assert (
+        j.filter(
+            F.col("filled_value").isNull() & (F.col("purchase_seen") == 1)
+        ).count()
+        == 0
+    )
+    assert (
+        j.filter(
+            F.col("filled_value").isNotNull() & (F.col("purchase_seen") == 0)
+        ).count()
+        == 0
+    )
+
+
+def test_lateral_top_orders_at_most_two_per_customer(spark, sf_dir):
+    df = analytics.lateral_top_orders(spark, sf_dir)
+    over = (
+        df.groupBy("c_custkey").count().filter(F.col("count") > 2).count()
+    )
+    assert over == 0
+    # decorrelated plan: no nested-loop/cartesian join anywhere
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_freq_items_sketch_has_no_false_negatives(spark, sf_dir):
+    rows = analytics.freq_items_check(spark, sf_dir).collect()
+    assert rows
+    assert all(r.in_sketch for r in rows)
+
+
+def test_map_roundtrip_matches_direct_having(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    got = {
+        (r.o_custkey, r.status): r.revenue
+        for r in analytics.order_status_map_roundtrip(spark, sf_dir).collect()
+    }
+    od = load_table(spark, sf_dir, "orders")
+    direct = {
+        (r.o_custkey, r.o_orderstatus): r.revenue
+        for r in od.groupBy("o_custkey", "o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("raw"))
+        .filter(F.col("raw") > 150000.0)
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.round("raw", 2).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
 def test_regr_r2_bounded(spark, sf_dir):
     rows = analytics.regr_price_qty(spark, sf_dir).collect()
     assert rows

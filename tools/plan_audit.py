@@ -61,6 +61,14 @@ AUDITS: dict[str, dict] = {
     # scalar-max cross join is a 1-row BroadcastNestedLoopJoin by design
     "top_revenue_supplier": {"broadcast": 1},
     "bucketed_join_stats": {"no_cartesian": True},
+    # LATERAL must decorrelate to WindowGroupLimit + hash join, never a
+    # per-row nested loop
+    "lateral_top_orders": {"broadcast": 1, "no_cartesian": True},
+    # full-table moment aggregation: no filter to push; the audit value
+    # is the 3-column pruned scan (checked by scan_widths in output)
+    "regr_price_qty": {},
+    "monthly_gapfill_revenue": {"no_cartesian": True},
+    "locf_event_values": {"no_cartesian": True},
 }
 
 
