@@ -474,3 +474,51 @@ FROM orders
 GROUP BY o_custkey, o_orderstatus
 HAVING sum(o_totalprice) > 150000.0
 """
+
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transitions over each
+# user's event sequence: lead() per user gives (from,to) bigrams; one
+# agg yields counts and row-normalized probabilities. The sequence
+# window shuffles on user_id once (bounded state per user); the bigram
+# agg shuffles 25 keys (|event_type|^2) — trivially map-side-combined.
+# Same journey-analytics family as user_funnel / cohort_retention.
+# ---------------------------------------------------------------------------
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                                    "event_type")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("to_type", F.lead("event_type").over(seq)).where(
+        F.col("to_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("prob"),
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), counts AS (
+  SELECT event_type AS from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+         AS prob
+FROM counts
+"""

@@ -828,3 +828,132 @@ SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle — deterministic per-epoch training-data shuffle. Every
+# epoch gets an independent, reproducible pseudo-random permutation of
+# the corpus keyed by md5(doc_id:epoch) — the standard seeded-shuffle
+# used by dataloaders, restated as a relational plan (the reference's
+# shuffle_func contract, engine/worker.py:93-99, is the same idea: a
+# deterministic key→placement function).
+#
+# Scale: the registry query top-Ks per epoch for the oracle, but the
+# real materialization path (epoch_shuffle_write below) never does a
+# global sort — md5 keys are uniform, so repartitionByRange on the key
+# gives balanced files and sortWithinPartitions finishes the order
+# per-file; readers stream files in name order. One shuffle per epoch,
+# no driver bottleneck, works at 100 TB.
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 3
+EPOCH_TOPK = 64
+
+
+def _epoch_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    return docs.crossJoin(epochs).withColumn(
+        "shuffle_key", F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch")))
+    )
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    keyed = _epoch_keyed(spark, sf_dir)
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w).cast("long"))
+        .where(F.col("position") <= EPOCH_TOPK)
+        .select("epoch", "position", "doc_id")
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH epochs AS (SELECT CAST(range AS INTEGER) AS epoch FROM range({N_EPOCHS})),
+keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5(concat(CAST(d.doc_id AS VARCHAR), ':', CAST(e.epoch AS VARCHAR))) AS k
+  FROM documents d CROSS JOIN epochs e
+)
+SELECT epoch, position, doc_id FROM (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS position
+  FROM keyed
+) WHERE position <= {EPOCH_TOPK}
+"""
+
+
+def epoch_shuffle_write(spark: SparkSession, sf_dir: str, out_dir: str,
+                        epoch: int, n_files: int = 8) -> None:
+    """Materialize one fully-shuffled epoch without a global sort:
+    range-partition on the uniform md5 key (balanced by construction),
+    sort within each partition only. Readers consume files in name
+    order for a globally shuffled stream."""
+    keyed = _epoch_keyed(spark, sf_dir).where(F.col("epoch") == epoch)
+    (
+        keyed.repartitionByRange(n_files, "shuffle_key")
+        .sortWithinPartitions("shuffle_key")
+        .drop("epoch")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_interleave — deterministic weighted interleave of sources for a
+# training mixture (stride scheduling): source s with weight w_s emits
+# its i-th document at virtual time (i - 0.5) / w_s, so a weight-2
+# source appears twice as often as a weight-1 source at every prefix of
+# the stream. Within a source, order is the seeded md5 shuffle. This is
+# the deterministic restatement of weighted-sampling dataloaders
+# (cf. source_mixing_weights, which computes the weights).
+#
+# Scale: stride position is a per-source window (shuffle partitioned by
+# source — bounded cardinality, no skew since sources are balanced);
+# the global top-K is the only total order and is bounded by K. A full
+# materialization would repartitionByRange on vtime like epoch_shuffle.
+# ---------------------------------------------------------------------------
+
+INTERLEAVE_TOPK = 200
+
+
+def source_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # weight = 1 + (numeric source suffix mod 3): deterministic 1/2/3 mix
+    weight = 1 + F.regexp_extract("source", r"(\d+)", 1).cast("long") % 3
+    keyed = docs.withColumn("w", weight).withColumn(
+        "k", F.md5(F.col("doc_id").cast("string"))
+    )
+    per_src = Window.partitionBy("source").orderBy("k", "doc_id")
+    vtime = (F.row_number().over(per_src) - F.lit(0.5)) / F.col("w")
+    glob = Window.orderBy("vtime", "source", "doc_id")
+    return (
+        keyed.withColumn("vtime", vtime)
+        .withColumn("rank", F.row_number().over(glob).cast("long"))
+        .where(F.col("rank") <= INTERLEAVE_TOPK)
+        .select("rank", "doc_id", "source", F.round("vtime", 6).alias("vtime"))
+    )
+
+
+SOURCE_INTERLEAVE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         1 + CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 3 AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), timed AS (
+  SELECT doc_id, source,
+         (row_number() OVER (PARTITION BY source ORDER BY k, doc_id) - 0.5) / w
+           AS vtime
+  FROM keyed
+)
+SELECT rank, doc_id, source, round(vtime, 6) AS vtime FROM (
+  SELECT doc_id, source, vtime,
+         row_number() OVER (ORDER BY vtime, source, doc_id) AS rank
+  FROM timed
+) WHERE rank <= {INTERLEAVE_TOPK}
+"""

@@ -246,6 +246,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "doc_chunks": (curation.doc_chunks, curation.DOC_CHUNKS_SQL),
     "pack_chunks_bins": (curation.pack_chunks_bins, curation.PACK_CHUNKS_BINS_SQL),
+    "epoch_shuffle": (curation.epoch_shuffle, curation.EPOCH_SHUFFLE_SQL),
+    "source_interleave": (curation.source_interleave, curation.SOURCE_INTERLEAVE_SQL),
+    "event_transition_matrix": (
+        analytics.event_transition_matrix,
+        analytics.EVENT_TRANSITION_MATRIX_SQL,
+    ),
     # --- CSV sink + typed reader round-trip through the oracle gate ---
     "csv_roundtrip_counts": (
         curation.csv_roundtrip_counts,

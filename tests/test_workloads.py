@@ -142,3 +142,86 @@ def test_acc_map_reduce_hooks_direct():
     assert res["cnt"] == 1 and res["danger_score"] == round(
         round(impact, 2) * 0.69, 2
     )
+
+
+# --- epoch shuffle / source interleave / transition matrix semantics ---
+
+
+def test_epoch_shuffle_is_per_epoch_permutation(spark, sf_dir, tmp_path):
+    from map_reduce_engine_cdps_spark.plans import curation
+
+    df = curation.epoch_shuffle(spark, sf_dir).collect()
+    by_epoch = {}
+    for r in df:
+        by_epoch.setdefault(r["epoch"], []).append((r["position"], r["doc_id"]))
+    assert set(by_epoch) == {0, 1, 2}
+    orders = {e: [d for _, d in sorted(v)] for e, v in by_epoch.items()}
+    # deterministic: same call twice gives identical order
+    again = curation.epoch_shuffle(spark, sf_dir).collect()
+    orders2 = {}
+    for r in again:
+        orders2.setdefault(r["epoch"], []).append((r["position"], r["doc_id"]))
+    assert orders == {e: [d for _, d in sorted(v)] for e, v in orders2.items()}
+    # epochs genuinely differ (md5 keyed on epoch)
+    assert orders[0] != orders[1] != orders[2]
+    # write path: no global sort, but file-name order == key order and
+    # the doc multiset is preserved exactly
+    out = str(tmp_path / "epoch0")
+    curation.epoch_shuffle_write(spark, sf_dir, out, epoch=0, n_files=4)
+    back = spark.read.parquet(out)
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert back.count() == n_docs
+    assert back.select("doc_id").distinct().count() == n_docs
+    import glob
+
+    files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(files) == 4
+    last_max = ""
+    for f in files:  # range partitioning ⇒ keys ascend across files
+        pdf = spark.read.parquet(f).select("shuffle_key").toPandas()
+        assert pdf["shuffle_key"].is_monotonic_increasing
+        assert pdf["shuffle_key"].iloc[0] >= last_max
+        last_max = pdf["shuffle_key"].iloc[-1]
+
+
+def test_source_interleave_stride_semantics(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans import curation
+
+    rows = sorted(
+        curation.source_interleave(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # stride scheduling: in any prefix, a weight-w source has emitted
+    # floor(vtime_max * w) ± 1 docs; check relative rates w=3 vs w=1
+    prefix = rows[:120]
+    from collections import Counter
+
+    def weight(src):
+        import re
+
+        return 1 + int(re.search(r"(\d+)", src).group(1)) % 3
+
+    cnt = Counter(r["source"] for r in prefix)
+    w1 = [s for s in cnt if weight(s) == 1]
+    w3 = [s for s in cnt if weight(s) == 3]
+    assert w1 and w3
+    avg1 = sum(cnt[s] for s in w1) / len(w1)
+    avg3 = sum(cnt[s] for s in w3) / len(w3)
+    assert 2.0 <= avg3 / avg1 <= 4.0  # ~3× emission rate
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans import analytics
+
+    rows = analytics.event_transition_matrix(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0
+        psum[r["from_type"]] += r["prob"]
+    for ft, s in psum.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
