@@ -247,6 +247,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (curation.doc_chunks, curation.DOC_CHUNKS_SQL),
     "pack_chunks_bins": (curation.pack_chunks_bins, curation.PACK_CHUNKS_BINS_SQL),
     "epoch_shuffle": (curation.epoch_shuffle, curation.EPOCH_SHUFFLE_SQL),
+    "bm25_scores": (textops.bm25_scores, textops.BM25_SCORES_SQL),
+    "inverted_index_stats": (
+        textops.inverted_index_stats,
+        textops.INVERTED_INDEX_STATS_SQL,
+    ),
+    "embedding_covariance": (
+        similarity.embedding_covariance,
+        similarity.EMBEDDING_COVARIANCE_SQL,
+    ),
     "source_interleave": (curation.source_interleave, curation.SOURCE_INTERLEAVE_SQL),
     "event_transition_matrix": (
         analytics.event_transition_matrix,

@@ -684,3 +684,63 @@ SELECT label, count(*) AS n_vecs,
        round(max(l2_norm), 4) AS max_norm
 FROM n GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding_covariance — distributed second-moment statistics over the
+# embedding matrix: per-dimension means plus the upper triangle of the
+# 4×4 covariance (and correlation) of the leading dimensions. This is
+# the X^T X building block of PCA / whitening, expressed as one
+# partial-combinable aggregate: each partition accumulates sums /
+# cross-products, one 1-row exchange merges them — the exact pattern
+# that scales a full d×d Gram matrix to 100 TB (for large d, swap the
+# per-pair built-ins for a mapInPandas partial outer-product with the
+# same merge shape). Float32 elements are cast to double BEFORE any
+# arithmetic so Spark and DuckDB accumulate identically.
+# ---------------------------------------------------------------------------
+
+_COV_DIMS = 4
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = [
+        F.element_at("embedding", i + 1).cast("double").alias(f"x{i + 1}")
+        for i in range(_COV_DIMS)
+    ]
+    proj = emb.select(*d)
+    aggs = [
+        F.round(F.avg(f"x{i + 1}"), 6).alias(f"mean_{i + 1}")
+        for i in range(_COV_DIMS)
+    ]
+    for i in range(1, _COV_DIMS + 1):
+        for j in range(i, _COV_DIMS + 1):
+            aggs.append(
+                F.round(F.covar_pop(f"x{i}", f"x{j}"), 6).alias(f"cov_{i}_{j}")
+            )
+            if i != j:
+                aggs.append(
+                    F.round(F.corr(f"x{i}", f"x{j}"), 6).alias(f"corr_{i}_{j}")
+                )
+    return proj.agg(*aggs)
+
+
+def _cov_sql() -> str:
+    cols = [
+        f"round(avg(x{i}), 6) AS mean_{i}" for i in range(1, _COV_DIMS + 1)
+    ]
+    for i in range(1, _COV_DIMS + 1):
+        for j in range(i, _COV_DIMS + 1):
+            cols.append(f"round(covar_pop(x{i}, x{j}), 6) AS cov_{i}_{j}")
+            if i != j:
+                cols.append(f"round(corr(x{i}, x{j}), 6) AS corr_{i}_{j}")
+    proj = ", ".join(
+        f"embedding[{i}]::DOUBLE AS x{i}" for i in range(1, _COV_DIMS + 1)
+    )
+    return (
+        "WITH proj AS (SELECT " + proj + " FROM embeddings)\n"
+        "SELECT " + ",\n       ".join(cols) + "\nFROM proj"
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = _cov_sql()

@@ -501,3 +501,126 @@ SELECT lang, count(*) AS n_tokens,
              / count(*)::DOUBLE, 4) AS coverage
 FROM toks GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores — Okapi BM25 retrieval against a deterministic query (the
+# corpus's 3 highest-collection-frequency terms): the IR upgrade of
+# tfidf_top_terms with document-length normalization (k1=1.2, b=0.75).
+# Scale: tf/df/doclen are partial-combinable groupBys; avgdl and the
+# 3-term query relation are tiny broadcasts, so the probe side never
+# shuffles — the only wide exchange is tf's (doc_id, word) agg. Top-20
+# is a single ordered limit (TakeOrdered, no global sort).
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    query = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("word"))
+        .limit(3)
+        .select("word")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / (F.col("tf") + norm)
+    return (
+        tf.join(F.broadcast(query), "word")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(dfreq.join(F.broadcast(query), "word")), "word")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_query_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+BM25_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), toks2 AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM doclen),
+query AS (
+  SELECT word FROM toks2 GROUP BY word
+  ORDER BY count(*) DESC, word ASC LIMIT 3
+)
+SELECT doc_id,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ({_BM25_K1} + 1.0)
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))), 6)
+         AS bm25,
+       count(*) AS n_query_terms_hit
+FROM tf JOIN query USING (word) JOIN doclen USING (doc_id)
+     JOIN dfreq USING (word) CROSS JOIN n CROSS JOIN avgdl
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_stats — posting-list construction (the canonical
+# map-reduce workload one step past wordcount, reference
+# tasks/example_wordcount.py lineage): token → document frequency,
+# collection frequency, and the head of the sorted posting list.
+# Scale: collect_list is bounded per word by the posting-head slice
+# only AFTER sorting — at 100 TB the full list per hot token is the
+# skew risk, so the plan aggregates (word, doc_id) first (partial
+# combine kills in-doc repeats), then builds the capped head; the
+# full-index materialization would write bucketed-by-word parquet
+# instead of collecting.
+# ---------------------------------------------------------------------------
+
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    per_doc = toks.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5), ","
+        ).alias("posting_head"),
+    )
+
+
+INVERTED_INDEX_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), per_doc AS (
+  SELECT word, doc_id, count(*) AS tf FROM toks
+  WHERE length(word) > 0 GROUP BY 1, 2
+)
+SELECT word, count(*) AS df, sum(tf) AS cf,
+       array_to_string((list_sort(list(doc_id)))[1:5], ',') AS posting_head
+FROM per_doc GROUP BY word
+"""

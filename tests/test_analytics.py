@@ -173,3 +173,44 @@ def test_regr_r2_bounded(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0
         assert r.n > 0
+
+
+def test_bm25_descending_positive(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans import textops
+
+    rows = textops.bm25_scores(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_query_terms_hit"] <= 3 for r in rows)
+
+
+def test_inverted_index_postings_sorted(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans import textops
+
+    rows = textops.inverted_index_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cf"] >= r["df"] >= 1
+        head = [int(x) for x in r["posting_head"].split(",")]
+        assert head == sorted(head)
+        assert len(head) == min(r["df"], 5)
+
+
+def test_embedding_covariance_psd_properties(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans import similarity
+
+    [row] = similarity.embedding_covariance(spark, sf_dir).collect()
+    d = row.asDict()
+    for i in range(1, 5):
+        assert d[f"cov_{i}_{i}"] >= 0
+        for j in range(i + 1, 5):
+            assert -1.0 <= d[f"corr_{i}_{j}"] <= 1.0
+            # corr consistency: cov_ij ≈ corr_ij * sqrt(var_i var_j)
+            import math
+
+            expect = d[f"corr_{i}_{j}"] * math.sqrt(
+                d[f"cov_{i}_{i}"] * d[f"cov_{j}_{j}"]
+            )
+            assert abs(d[f"cov_{i}_{j}"] - expect) < 1e-3
