@@ -247,6 +247,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (curation.doc_chunks, curation.DOC_CHUNKS_SQL),
     "pack_chunks_bins": (curation.pack_chunks_bins, curation.PACK_CHUNKS_BINS_SQL),
     "epoch_shuffle": (curation.epoch_shuffle, curation.EPOCH_SHUFFLE_SQL),
+    "pareto_orders": (relational.pareto_orders, relational.PARETO_ORDERS_SQL),
     "bm25_scores": (textops.bm25_scores, textops.BM25_SCORES_SQL),
     "inverted_index_stats": (
         textops.inverted_index_stats,

@@ -2069,3 +2069,77 @@ SELECT CASE WHEN minute_b IS NOT NULL THEN 'minute'
 FROM b
 GROUP BY GROUPING SETS ((minute_b), (hour_b), (day_b))
 """
+
+
+# ---------------------------------------------------------------------------
+# pareto_orders — 2-D skyline: orders not dominated on (earlier date,
+# higher price). The naive formulation is an O(n²) dominance self-join;
+# this is the linear-after-sort restatement, built as a two-level scan
+# so no window ever collapses the fact table to one partition (a bare
+# `Window.orderBy` would — Spark warns and serializes):
+#   1. bucket days into coarse ranges; the strict-prev running max runs
+#      per-bucket (partitionBy bucket → parallel);
+#   2. per-bucket maxes (one row per bucket) get a prefix max over
+#      earlier buckets — a tiny global window — broadcast-joined back;
+#   3. max_prev = greatest(within-bucket prev, earlier-bucket prefix).
+# Same-day dominance is a day-partitioned max. Zero self-joins; the
+# only global window touches |buckets| rows — survives 100 TB where
+# the anti-join skyline explodes quadratically.
+# ---------------------------------------------------------------------------
+
+_PARETO_BUCKET_DAYS = 256
+
+
+def pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_day"),
+            "o_totalprice",
+        )
+        .withColumn(
+            "day_n", F.datediff("o_day", F.lit("1970-01-01").cast("date"))
+        )
+        .withColumn("bucket", F.floor(F.col("day_n") / _PARETO_BUCKET_DAYS))
+    )
+    prev_in = (
+        W.partitionBy("bucket")
+        .orderBy("day_n")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    same = W.partitionBy("day_n")
+    bmax = orders.groupBy("bucket").agg(F.max("o_totalprice").alias("bmax"))
+    prefix = bmax.withColumn(
+        "prev_bucket_max",
+        F.max("bmax").over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)),
+    ).select("bucket", "prev_bucket_max")
+    flagged = (
+        orders.withColumn("max_prev_in", F.max("o_totalprice").over(prev_in))
+        .withColumn("max_same", F.max("o_totalprice").over(same))
+        .join(F.broadcast(prefix), "bucket")
+        .withColumn("max_prev", F.greatest("max_prev_in", "prev_bucket_max"))
+    )
+    return flagged.where(
+        (F.col("max_prev").isNull() | (F.col("o_totalprice") > F.col("max_prev")))
+        & (F.col("o_totalprice") >= F.col("max_same"))
+    ).select("o_orderkey", "o_day", F.round("o_totalprice", 2).alias("price"))
+
+
+PARETO_ORDERS_SQL = """
+WITH days AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_day, o_totalprice,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_n
+  FROM orders
+), flagged AS (
+  SELECT o_orderkey, o_day, o_totalprice,
+         max(o_totalprice) OVER (ORDER BY day_n
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev,
+         max(o_totalprice) OVER (PARTITION BY day_n) AS max_same
+  FROM days
+)
+SELECT o_orderkey, o_day, round(o_totalprice, 2) AS price
+FROM flagged
+WHERE (max_prev IS NULL OR o_totalprice > max_prev)
+  AND o_totalprice >= max_same
+"""

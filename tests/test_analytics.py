@@ -214,3 +214,38 @@ def test_embedding_covariance_psd_properties(spark, sf_dir):
                 d[f"cov_{i}_{i}"] * d[f"cov_{j}_{j}"]
             )
             assert abs(d[f"cov_{i}_{j}"] - expect) < 1e-3
+
+
+def test_pareto_front_dominance(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans import relational
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    front = relational.pareto_orders(spark, sf_dir).collect()
+    assert front
+    # no front point dominates another front point
+    pts = [(r["o_day"], r["price"]) for r in front]
+    for a in pts:
+        for b in pts:
+            if a != b:
+                assert not (
+                    a[0] <= b[0] and a[1] >= b[1] and (a[0] < b[0] or a[1] > b[1])
+                ), (a, b)
+    # every non-front order is dominated by some front point
+    import pyspark.sql.functions as F
+
+    all_rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("d"),
+            F.round("o_totalprice", 2).alias("p"),
+        )
+        .collect()
+    )
+    front_set = set(pts)
+    for r in all_rows:
+        if (r["d"], r["p"]) in front_set:
+            continue
+        assert any(
+            f[0] <= r["d"] and f[1] >= r["p"] and (f[0] < r["d"] or f[1] > r["p"])
+            for f in pts
+        ), (r["d"], r["p"])

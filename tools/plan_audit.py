@@ -69,6 +69,15 @@ AUDITS: dict[str, dict] = {
     "regr_price_qty": {},
     "monthly_gapfill_revenue": {"no_cartesian": True},
     "locf_event_values": {"no_cartesian": True},
+    # tiny-side crossJoins (3-row epoch relation / 1-row n+avgdl) are
+    # 1-row BroadcastNestedLoopJoins by design — audit broadcasts only
+    "epoch_shuffle": {},
+    "source_interleave": {},
+    "event_transition_matrix": {},
+    "bm25_scores": {"broadcast": 2},
+    "inverted_index_stats": {},
+    "embedding_covariance": {},
+    "pareto_orders": {"broadcast": 1, "no_cartesian": True},
 }
 
 
