@@ -522,3 +522,94 @@ SELECT from_type, to_type, n,
          AS prob
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# cms_user_event_counts — Count-Min Sketch expressed relationally: depth-3
+# × width-256 counters keyed by md5 prefixes, probe = min over depths,
+# validated against exact per-user counts (estimate ≥ exact always; the
+# query surfaces the overshoot). The counter build is a map-side-combined
+# groupBy collapsing ANY corpus to ≤768 rows — the standard way to get
+# heavy-hitter counts out of 100 TB with one tiny exchange; the probe
+# side broadcasts those counters. Top-25 is a TakeOrdered, not a sort.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 3
+_CMS_HEXW = 2  # 2 hex chars → 256 buckets per depth row
+
+
+def _cms_bucket(j: int, col: str):
+    return F.substring(F.md5(F.concat(F.lit(f"{j}|"), F.col(col).cast("string"))),
+                       1, _CMS_HEXW)
+
+
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hits = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket(j, "user_id").alias("bucket")
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("h")
+    ).select("h.j", "h.bucket")
+    counters = hits.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        "user_id",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket(j, "user_id").alias("bucket")
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "exact", "h.j", "h.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("c").alias("estimate"))
+    )
+    return (
+        est.withColumn("overshoot", F.col("estimate") - F.col("exact"))
+        .orderBy(F.desc("estimate"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+def _cms_sql() -> str:
+    def bucket(j: int, col: str) -> str:
+        return f"substr(md5(concat('{j}|', CAST({col} AS VARCHAR))), 1, {_CMS_HEXW})"
+
+    hit_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j, 'user_id')} AS bucket FROM events"
+        for j in range(_CMS_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, exact, {j} AS j, {bucket(j, 'user_id')} AS bucket FROM exact"
+        for j in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH hits AS ({hit_rows}),
+counters AS (SELECT j, bucket, count(*) AS c FROM hits GROUP BY j, bucket),
+exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id),
+probes AS ({probe_rows}),
+est AS (
+  SELECT user_id, exact, min(c) AS estimate
+  FROM probes JOIN counters USING (j, bucket)
+  GROUP BY user_id, exact
+)
+SELECT user_id, exact, estimate, estimate - exact AS overshoot
+FROM est ORDER BY estimate DESC, user_id ASC LIMIT 25
+"""
+
+
+CMS_USER_EVENT_COUNTS_SQL = _cms_sql()

@@ -258,6 +258,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.EMBEDDING_COVARIANCE_SQL,
     ),
     "source_interleave": (curation.source_interleave, curation.SOURCE_INTERLEAVE_SQL),
+    "cms_user_event_counts": (
+        analytics.cms_user_event_counts,
+        analytics.CMS_USER_EVENT_COUNTS_SQL,
+    ),
     "event_transition_matrix": (
         analytics.event_transition_matrix,
         analytics.EVENT_TRANSITION_MATRIX_SQL,

@@ -249,3 +249,44 @@ def test_pareto_front_dominance(spark, sf_dir):
             f[0] <= r["d"] and f[1] >= r["p"] and (f[0] < r["d"] or f[1] > r["p"])
             for f in pts
         ), (r["d"], r["p"])
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """CMS estimate >= exact for every user (not just the top-25 the
+    registry query returns) — the defining sketch guarantee."""
+    from map_reduce_engine_cdps_spark.plans import analytics as A
+    import pyspark.sql.functions as F
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    hits = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), A._cms_bucket(j, "user_id").alias("bucket"))
+                    for j in range(A._CMS_DEPTH)
+                ]
+            )
+        ).alias("h")
+    ).select("h.j", "h.bucket")
+    counters = hits.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        "user_id",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), A._cms_bucket(j, "user_id").alias("bucket"))
+                    for j in range(A._CMS_DEPTH)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "exact", "h.j", "h.bucket")
+    est = (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("c").alias("estimate"))
+    )
+    bad = est.where(F.col("estimate") < F.col("exact")).count()
+    assert bad == 0
