@@ -613,3 +613,171 @@ FROM est ORDER BY estimate DESC, user_id ASC LIMIT 25
 
 
 CMS_USER_EVENT_COUNTS_SQL = _cms_sql()
+
+
+# ---------------------------------------------------------------------------
+# mad_value_outliers — robust outlier detection per event type: median,
+# median-absolute-deviation, and the count of |x - med| > 3·1.4826·MAD
+# points (the robust z-score rule; 1.4826 scales MAD to σ under
+# normality). Two grouped medians + two broadcast joins of the tiny
+# per-type stats — the fact table never shuffles beyond the 5-key agg.
+# At 100 TB the exact medians swap for approx_percentile sketches with
+# identical plan shape (see approx_quantile_check).
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3 * 1.4826
+
+
+def mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.median("adev").alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    outl = (
+        dev.join(
+            F.broadcast(mad.select("event_type", F.col("mad").alias("mad0"))),
+            "event_type",
+        )
+        .where(F.col("adev") > F.lit(_MAD_K) * F.col("mad0"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return mad.join(outl, "event_type", "left").select(
+        "event_type",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        F.round(
+            F.coalesce("n_outliers", F.lit(0)) / F.col("n"), 6
+        ).alias("outlier_rate"),
+    )
+
+
+MAD_VALUE_OUTLIERS_SQL = f"""
+WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, any_value(med) AS med, median(adev) AS mad, count(*) AS n
+  FROM dev GROUP BY 1
+),
+outl AS (
+  SELECT d.event_type, count(*) AS n_outliers
+  FROM dev d JOIN mad m USING (event_type)
+  WHERE d.adev > {_MAD_K} * m.mad GROUP BY 1
+)
+SELECT event_type, n, round(med, 6) AS med, round(mad, 6) AS mad,
+       coalesce(n_outliers, 0) AS n_outliers,
+       round(coalesce(n_outliers, 0)::DOUBLE / n, 6) AS outlier_rate
+FROM mad LEFT JOIN outl USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# interpolated_event_values — linear interpolation on a regular 6-hour
+# grid per user (the gap-fill LOCF can't do: values BETWEEN readings).
+# Union the per-user spine with the events, then two running frames
+# (prev non-null / next non-null) give the bracketing readings; the
+# interpolant is prev + (next-prev)·Δt-fraction. One shuffle on
+# user_id; spine size is O(users × span/6h), independent of event
+# volume. Same-ts collisions order events before spine points, so a
+# grid point on a reading returns the reading exactly on both engines.
+# ---------------------------------------------------------------------------
+
+def interpolated_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    spine = (
+        span.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", "t0"),
+                    F.col("t1"),
+                    F.expr("interval 6 hours"),
+                )
+            ).alias("ts"),
+        )
+        .withColumn("value", F.lit(None).cast("double"))
+        .withColumn("is_spine", F.lit(1))
+    )
+    pts = ev.withColumn("is_spine", F.lit(0)).unionByName(spine)
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_spine")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_spine")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("value").isNotNull(), F.col("ts"))
+    braced = (
+        pts.withColumn("prev_v", F.last("value", ignorenulls=True).over(wp))
+        .withColumn("prev_t", F.last(ev_ts, ignorenulls=True).over(wp))
+        .withColumn("next_v", F.first("value", ignorenulls=True).over(wn))
+        .withColumn("next_t", F.first(ev_ts, ignorenulls=True).over(wn))
+        .where(
+            (F.col("is_spine") == 1)
+            & F.col("prev_t").isNotNull()
+            & F.col("next_t").isNotNull()
+        )
+    )
+    num = (F.unix_micros("ts") - F.unix_micros("prev_t")).cast("double")
+    den = (F.unix_micros("next_t") - F.unix_micros("prev_t")).cast("double")
+    interp = F.when(den == 0, F.col("prev_v")).otherwise(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (num / den)
+    )
+    return braced.select(
+        "user_id", "ts", F.round(interp, 4).alias("interp_value")
+    )
+
+
+INTERPOLATED_EVENT_VALUES_SQL = """
+WITH span AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1),
+spine AS (
+  SELECT user_id, t.g AS ts, CAST(NULL AS DOUBLE) AS value, 1 AS is_spine
+  FROM span, unnest(generate_series(date_trunc('hour', t0), t1, INTERVAL 6 HOUR)) AS t(g)
+),
+pts AS (
+  SELECT user_id, ts, value, 0 AS is_spine FROM events
+  UNION ALL SELECT user_id, ts, value, is_spine FROM spine
+),
+win AS (
+  SELECT user_id, ts, is_spine,
+    last_value(value IGNORE NULLS) OVER w_prev AS prev_v,
+    last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER w_prev AS prev_t,
+    first_value(value IGNORE NULLS) OVER w_next AS next_v,
+    first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER w_next AS next_t
+  FROM pts
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY ts, is_spine
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY ts, is_spine
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts,
+       round(CASE WHEN epoch_us(next_t) = epoch_us(prev_t) THEN prev_v
+                  ELSE prev_v + (next_v - prev_v) *
+                       (epoch_us(ts) - epoch_us(prev_t))::DOUBLE /
+                       (epoch_us(next_t) - epoch_us(prev_t))::DOUBLE
+             END, 4) AS interp_value
+FROM win
+WHERE is_spine = 1 AND prev_t IS NOT NULL AND next_t IS NOT NULL
+"""

@@ -258,6 +258,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.EMBEDDING_COVARIANCE_SQL,
     ),
     "source_interleave": (curation.source_interleave, curation.SOURCE_INTERLEAVE_SQL),
+    "mad_value_outliers": (
+        analytics.mad_value_outliers,
+        analytics.MAD_VALUE_OUTLIERS_SQL,
+    ),
+    "interpolated_event_values": (
+        analytics.interpolated_event_values,
+        analytics.INTERPOLATED_EVENT_VALUES_SQL,
+    ),
     "cms_user_event_counts": (
         analytics.cms_user_event_counts,
         analytics.CMS_USER_EVENT_COUNTS_SQL,

@@ -290,3 +290,43 @@ def test_cms_never_undercounts(spark, sf_dir):
     )
     bad = est.where(F.col("estimate") < F.col("exact")).count()
     assert bad == 0
+
+
+def test_mad_outliers_sane(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans import analytics
+
+    rows = analytics.mad_value_outliers(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event_type
+    for r in rows:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] <= r["n"]
+        assert abs(r["outlier_rate"] - r["n_outliers"] / r["n"]) < 1e-5
+        # robust rule: never flags more than a quarter of a group
+        assert r["outlier_rate"] < 0.25
+
+
+def test_interpolation_brackets_readings(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from map_reduce_engine_cdps_spark.plans import analytics
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    out = analytics.interpolated_event_values(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # every interpolated value lies within the user's observed range
+    rng = ev.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = (
+        out.join(rng, "user_id")
+        .where(
+            (F.col("interp_value") < F.col("lo") - 1e-6)
+            | (F.col("interp_value") > F.col("hi") + 1e-6)
+        )
+        .count()
+    )
+    assert bad == 0
+    # grid points are 6h-aligned relative to a truncated-hour origin
+    [r] = out.select(
+        F.max(F.minute("ts")).alias("mx_m"), F.max(F.second("ts")).alias("mx_s")
+    ).collect()
+    assert r["mx_m"] == 0 and r["mx_s"] == 0
