@@ -30,17 +30,27 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet table from a test-data scale-factor directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos (legacy conf, set
-    per-session so it also works on a driver-provided session) and
-    convert to a microsecond TimestampType column.
+    ``events.ts`` has been written two ways by the data generator:
+    parquet TIMESTAMP(NANOS) (Spark's vectorized reader rejects it —
+    read as raw nanos via the legacy conf and truncate to micros) and
+    plain TIMESTAMP_NTZ. Either way the downstream contract is a
+    session-tz TimestampType column whose UTC instant equals the stored
+    wall-clock, so watermarks/windows/unix_micros all behave identically
+    to the DuckDB oracle (which is tz-naive). Confs are set per-session
+    so this also works on a driver-provided session.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer div: `/` is double division and drifts ±1µs at ns
-        # magnitudes (53-bit mantissa); DuckDB truncates ns→µs, so must we
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer div: `/` is double division and drifts ±1µs at ns
+            # magnitudes (53-bit mantissa); DuckDB truncates ns→µs, so must we
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # wall-clock-is-UTC: pin session tz so NTZ→LTZ keeps the instant
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -51,10 +51,14 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch.schema
     return stream
 
