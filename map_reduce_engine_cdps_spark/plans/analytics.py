@@ -781,3 +781,138 @@ SELECT user_id, ts,
 FROM win
 WHERE is_spine = 1 AND prev_t IS NOT NULL AND next_t IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_value — exact median of `value` over each user's last
+# 5 events (row frame). Windowed percentile is a per-partition sort +
+# frame walk: one shuffle on user_id, no self-join, no collect. At
+# 100 TB the same frame runs unchanged (user partitions are small);
+# only a heavy-hitter user would warrant splitting, which AQE flags.
+# Frame order (ts, event_id) is a verified unique key of events.
+# ---------------------------------------------------------------------------
+
+
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med5"),
+    )
+
+
+ROLLING_MEDIAN_VALUE_SQL = """
+SELECT user_id, event_id,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_type_trigrams — per-user ordered event-type trigrams (Markov
+# order-3 sequence mining; extends event_transition_matrix from
+# bigrams). Two lead() windows share one (user_id) shuffle+sort, then a
+# hash aggregate over O(|types|³)-bounded keys. No self-joins — the
+# naive formulation is events⋈events⋈events on adjacent positions.
+# ---------------------------------------------------------------------------
+
+
+def event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("trigram"),
+        F.lead("event_type", 2).over(w).alias("_t3"),
+    ).filter(F.col("_t3").isNotNull())
+    return tri.groupBy("trigram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+EVENT_TYPE_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_gap_stats — distribution of days between a customer's
+# consecutive orders, rolled up per market segment: one lag() window on
+# the orders shuffle (custkey), one join to customer for the segment
+# (broadcast at test SF; shuffle-hash at 100 TB — both sides are keyed
+# on custkey so bucketing co-locates it), one segment aggregate.
+# Median of integer gaps interpolates at .5 — exact in both engines.
+# ---------------------------------------------------------------------------
+
+
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap"),
+            F.round(F.median("gap_days"), 4).alias("med_gap"),
+            F.max("gap_days").alias("max_gap"),
+        )
+    )
+
+
+ORDER_GAP_STATS_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER w AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT c_mktsegment,
+       count(*) AS n_gaps,
+       round(avg(gap_days), 4) AS avg_gap,
+       round(median(gap_days), 4) AS med_gap,
+       max(gap_days) AS max_gap
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""

@@ -1,0 +1,139 @@
+"""Graph analytics over relational edge lists.
+
+The reference has no graph surface at all (its only "graph-shaped"
+compute is the species pair-assignment heuristic,
+reference tasks/plants_classifier.py:57-96, which SURVEY.md §2.7 T50
+supersedes with a join). This module is a declared engine extension:
+iterative algorithms expressed as DataFrame loops where the *edge
+aggregation* is the distributed heavy pass and the *iteration state*
+stays O(|V|) — the standard Spark pattern for PageRank-class workloads.
+
+Scale stance: at 100 TB the 5-way join + (src, dst) aggregation is the
+only pass that touches the fact tables; everything after operates on a
+|V|×|V|-bounded table (625 rows here) with the rank vector broadcast
+into every iteration, so adding iterations never re-scans the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+_DAMPING = 0.85
+_ITERATIONS = 4
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation→nation trade edge list: customer nation buys from supplier
+    nation, weighted by lineitem revenue. One distributed 5-way join +
+    one (src, dst) hash aggregate; dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                      F.col("n_name").alias("src"))),
+            cust.c_nationkey == F.col("ck"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                      F.col("n_name").alias("dst"))),
+            supp.s_nationkey == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("rev").alias("w"))
+    )
+
+
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph, fixed 4 iterations,
+    damping 0.85.
+
+    The rank vector (25 rows) is broadcast into each iteration's join
+    against the persisted normalized edge table, so each step is a tiny
+    broadcast-hash-join + hash-aggregate — no re-scan of lineitem, no
+    growing shuffle. Out-edge normalization uses a per-src window over
+    the aggregated edges (O(|V|²) rows)."""
+    edges = _trade_edges(spark, sf_dir)
+    ep = edges.withColumn(
+        "p", F.col("w") / F.sum("w").over(W.partitionBy("src"))
+    ).select("src", "dst", "p").persist()
+    nodes = ep.select(F.col("src").alias("n_name")).distinct().persist()
+    n_nodes = nodes.count()  # driver-side scalar bound, like the
+    # recursion bounds in analytics.monthly_gapfill_revenue
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    for _ in range(_ITERATIONS):
+        mass = (
+            ep.join(
+                F.broadcast(ranks.select(F.col("n_name").alias("src_name"), "pr")),
+                F.col("src") == F.col("src_name"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(mass, nodes.n_name == mass.dst, "left")
+            .select(
+                "n_name",
+                (
+                    F.lit((1.0 - _DAMPING) / n_nodes)
+                    + F.lit(_DAMPING) * F.coalesce("mass", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("n_name", F.round("pr", 6).alias("pagerank"))
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-iteration oracle: one CTE per PageRank step (a
+    recursive CTE would need aggregation in the recursive term)."""
+    base = """
+WITH edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+         SUM(l_extendedprice * (1 - l_discount)) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+),
+ep AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges),
+nodes AS (SELECT DISTINCT src AS n_name FROM edges),
+nc AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT n_name, CAST(1.0 AS DOUBLE) / (SELECT n FROM nc) AS pr FROM nodes)"""
+    prev = "r0"
+    steps = []
+    for i in range(1, _ITERATIONS + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT nodes.n_name,
+         CAST({1.0 - _DAMPING} AS DOUBLE) / (SELECT n FROM nc)
+         + CAST({_DAMPING} AS DOUBLE) * COALESCE(SUM({prev}.pr * ep.p), 0) AS pr
+  FROM nodes
+  LEFT JOIN ep ON ep.dst = nodes.n_name
+  LEFT JOIN {prev} ON {prev}.n_name = ep.src
+  GROUP BY nodes.n_name
+)""")
+        prev = f"r{i}"
+    return base + "".join(steps) + f"""
+SELECT n_name, round(pr, 6) AS pagerank FROM {prev}
+"""
+
+
+NATION_TRADE_PAGERANK_SQL = _pagerank_sql()

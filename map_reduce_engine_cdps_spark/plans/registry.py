@@ -19,6 +19,7 @@ from map_reduce_engine_cdps_spark.plans import (
     analytics,
     curation,
     dedup,
+    graph,
     relational,
     semistructured,
     similarity,
@@ -550,6 +551,24 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "order_status_map_roundtrip": (
         analytics.order_status_map_roundtrip,
         analytics.ORDER_STATUS_MAP_ROUNDTRIP_SQL,
+    ),
+    # --- graph analytics (engine extension; reference has none) ---
+    "nation_trade_pagerank": (
+        graph.nation_trade_pagerank,
+        graph.NATION_TRADE_PAGERANK_SQL,
+    ),
+    # --- sequence / windowed-distribution analytics ---
+    "rolling_median_value": (
+        analytics.rolling_median_value,
+        analytics.ROLLING_MEDIAN_VALUE_SQL,
+    ),
+    "event_type_trigrams": (
+        analytics.event_type_trigrams,
+        analytics.EVENT_TYPE_TRIGRAMS_SQL,
+    ),
+    "order_gap_stats": (
+        analytics.order_gap_stats,
+        analytics.ORDER_GAP_STATS_SQL,
     ),
 }
 
