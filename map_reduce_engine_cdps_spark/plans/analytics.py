@@ -916,3 +916,168 @@ FROM gaps JOIN customer ON o_custkey = c_custkey
 WHERE gap_days IS NOT NULL
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# brand_nation_chi2 — Pearson chi-square test of independence between
+# part brand and supplier nation over lineitem line counts. The
+# contingency table is one hash-aggregate (O(brands × nations) cells);
+# marginals and the statistic are computed from that table alone, never
+# re-scanning the fact. Zero cells are handled via the identity
+# Σ_all (o-e)²/e = Σ_observed [(o-e)²/e] + (n - Σ_observed e), used
+# identically in both engines so the value hash is stable.
+# ---------------------------------------------------------------------------
+
+
+def brand_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    obs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    from pyspark.sql.window import Window as W
+
+    total = obs.agg(F.sum("o").alias("n"))
+    with_marg = (
+        obs.select(
+            "p_brand",
+            "n_name",
+            "o",
+            F.sum("o").over(W.partitionBy("p_brand")).alias("rt"),
+            F.sum("o").over(W.partitionBy("n_name")).alias("ct"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    return with_marg.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+            + (F.max("n") - F.sum("e")),
+            6,
+        ).alias("chi2"),
+        ((F.count_distinct("p_brand") - 1) * (F.count_distinct("n_name") - 1)).alias(
+            "dof"
+        ),
+        F.max("n").alias("n"),
+    )
+
+
+BRAND_NATION_CHI2_SQL = """
+WITH obs AS (
+  SELECT p_brand, n_name, count(*) AS o
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT p_brand, n_name, o,
+         sum(o) OVER (PARTITION BY p_brand) AS rt,
+         sum(o) OVER (PARTITION BY n_name) AS ct,
+         sum(o) OVER () AS n
+  FROM obs
+),
+cells AS (SELECT *, rt * ct / CAST(n AS DOUBLE) AS e FROM marg)
+SELECT round(sum((o - e) * (o - e) / e) + (max(n) - sum(e)), 6) AS chi2,
+       (count(DISTINCT p_brand) - 1) * (count(DISTINCT n_name) - 1) AS dof,
+       max(n) AS n
+FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# lineitem_profile — declarative column profiling (null rate, distinct
+# count, min/max as strings) for a mixed-type column set, in ONE scan:
+# all per-column aggregates sit in a single hash-aggregate row, then
+# unpivot to one row per column via stack(). The naive per-column
+# UNION ALL formulation (the oracle) scans the table once per column.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_s, max_s)"
+    )
+
+
+LINEITEM_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s,
+       CAST(max({c}) AS VARCHAR) AS max_s
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+# ---------------------------------------------------------------------------
+# mv_revenue_maintenance — incremental materialized-view maintenance:
+# the monthly revenue MV is kept as combinable partial aggregates
+# (count + sum), so a new batch folds in by unioning its partials and
+# re-aggregating — never re-scanning the base history. Verified by
+# splitting orders at a cutoff date, maintaining base+delta, and
+# oracle-checking against the one-shot full aggregate. At 100 TB this
+# is the difference between touching one day's partition and replaying
+# years of history.
+# ---------------------------------------------------------------------------
+
+_MV_CUTOFF = "1997-01-01"
+
+
+def mv_revenue_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < _MV_CUTOFF))
+    delta = partials(orders.filter(F.col("o_orderdate") >= _MV_CUTOFF))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("revenue").alias("revenue"))
+    )
+    return merged.select("month", "n_orders", F.round("revenue", 2).alias("revenue"))
+
+
+MV_REVENUE_MAINTENANCE_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY 1
+"""

@@ -137,3 +137,65 @@ SELECT n_name, round(pr, 6) AS pagerank FROM {prev}
 
 
 NATION_TRADE_PAGERANK_SQL = _pagerank_sql()
+
+
+def trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation degree/strength profile of the trade graph, plus the
+    self-trade share. All compute after the edge aggregate is O(|V|²);
+    the two marginal aggregates and the self-edge join reuse it."""
+    edges = _trade_edges(spark, sf_dir).persist()
+    out = edges.groupBy(F.col("src").alias("n_name")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("w").alias("out_strength"),
+    )
+    inn = edges.groupBy(F.col("dst").alias("n_name")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("w").alias("in_strength"),
+    )
+    self_w = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("n_name"), F.col("w").alias("self_w"))
+    )
+    return (
+        out.join(inn, "n_name", "full")
+        .join(self_w, "n_name", "left")
+        .select(
+            "n_name",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.round(F.coalesce("out_strength", F.lit(0.0)), 2).alias("out_strength"),
+            F.round(F.coalesce("in_strength", F.lit(0.0)), 2).alias("in_strength"),
+            F.round(
+                F.coalesce("self_w", F.lit(0.0)) / F.col("out_strength"), 6
+            ).alias("self_share"),
+        )
+    )
+
+
+TRADE_GRAPH_DEGREES_SQL = """
+WITH edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+         SUM(l_extendedprice * (1 - l_discount)) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+),
+outm AS (SELECT src AS n_name, count(*) AS out_degree, sum(w) AS out_strength
+         FROM edges GROUP BY 1),
+inm  AS (SELECT dst AS n_name, count(*) AS in_degree, sum(w) AS in_strength
+         FROM edges GROUP BY 1),
+selfm AS (SELECT src AS n_name, w AS self_w FROM edges WHERE src = dst)
+SELECT n_name,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree,
+       round(COALESCE(out_strength, 0), 2) AS out_strength,
+       round(COALESCE(in_strength, 0), 2) AS in_strength,
+       round(COALESCE(self_w, 0) / out_strength, 6) AS self_share
+FROM outm
+FULL JOIN inm USING (n_name)
+LEFT JOIN selfm USING (n_name)
+"""

@@ -557,6 +557,23 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         graph.nation_trade_pagerank,
         graph.NATION_TRADE_PAGERANK_SQL,
     ),
+    "trade_graph_degrees": (
+        graph.trade_graph_degrees,
+        graph.TRADE_GRAPH_DEGREES_SQL,
+    ),
+    # --- statistical tests / profiling / view maintenance ---
+    "brand_nation_chi2": (
+        analytics.brand_nation_chi2,
+        analytics.BRAND_NATION_CHI2_SQL,
+    ),
+    "lineitem_profile": (
+        analytics.lineitem_profile,
+        analytics.LINEITEM_PROFILE_SQL,
+    ),
+    "mv_revenue_maintenance": (
+        analytics.mv_revenue_maintenance,
+        analytics.MV_REVENUE_MAINTENANCE_SQL,
+    ),
     # --- sequence / windowed-distribution analytics ---
     "rolling_median_value": (
         analytics.rolling_median_value,
