@@ -1081,3 +1081,107 @@ SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
 FROM orders
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# frequent_type_pairs — market-basket pair mining (the pairwise core of
+# FP-growth/Apriori): part types that co-occur in the same order. The
+# per-order item list is deduped FIRST (distinct (order, type)), so the
+# self-join is quadratic only in basket size (~7 lines/order), never in
+# table size, and both sides co-partition on orderkey — one shuffle.
+# ---------------------------------------------------------------------------
+
+
+def frequent_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+FREQUENT_TYPE_PAIRS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS k, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_orders
+FROM items a JOIN items b ON a.k = b.k AND a.p_type < b.p_type
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_session_paths — clickstream path analysis: the ordered
+# event-type journey of each 30-minute session, ranked by frequency.
+# Session assembly reuses the user_sessions gaps-and-islands program
+# (same single user_id shuffle, both windows share the sort); the path
+# string is built from a sorted in-group collect — bounded by session
+# length, never a cross-partition sort.
+# ---------------------------------------------------------------------------
+
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(25)
+    )
+
+
+TOP_SESSION_PATHS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(date_trunc('second', ts))
+                 - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM g
+), p AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 25
+"""

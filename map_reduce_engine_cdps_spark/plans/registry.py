@@ -574,6 +574,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.mv_revenue_maintenance,
         analytics.MV_REVENUE_MAINTENANCE_SQL,
     ),
+    # --- BPE tokenizer training (iterative; rows-only check like kmeans) ---
+    "bpe_merges": (textops.bpe_merges, None),
+    "bpe_token_compression": (textops.bpe_token_compression, None),
+    # --- basket mining / clickstream paths ---
+    "frequent_type_pairs": (
+        analytics.frequent_type_pairs,
+        analytics.FREQUENT_TYPE_PAIRS_SQL,
+    ),
+    "top_session_paths": (
+        analytics.top_session_paths,
+        analytics.TOP_SESSION_PATHS_SQL,
+    ),
     # --- sequence / windowed-distribution analytics ---
     "rolling_median_value": (
         analytics.rolling_median_value,

@@ -5,6 +5,7 @@ T10-T13 + training-data extensions).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -624,3 +625,134 @@ SELECT word, count(*) AS df, sum(tf) AS cf,
        array_to_string((list_sort(list(doc_id)))[1:5], ',') AS posting_head
 FROM per_doc GROUP BY word
 """
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges / bpe_token_compression — byte-pair-encoding tokenizer
+# training (the merge-table learning step of GPT-style tokenizers).
+#
+# Architecture mirrors production BPE trainers (e.g. HuggingFace
+# tokenizers): the corpus-sized pass is a distributed word-frequency
+# aggregate; merge learning then runs on the O(vocab) word-frequency
+# dict — driver-sized state by construction, like kmeans_lloyd's
+# centroids — and the learned merge list broadcasts back for
+# distributed application. The corpus is never re-scanned per merge.
+#
+# No SQL oracle: iterative argmax-and-rewrite is not expressible in
+# one DuckDB query (driver records rows-only; golden-sequence unit
+# tests in tests/test_analytics.py pin the semantics).
+# ---------------------------------------------------------------------------
+
+_BPE_VOCAB = 300
+_BPE_MERGES = 8
+
+
+def _bpe_word_freqs(spark: SparkSession, sf_dir: str, top_v: int) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(top_v)
+    )
+
+
+def _bpe_train(word_freqs: list[tuple[str, int]], n_merges: int):
+    """Driver-side merge learning over the aggregated word-freq dict.
+    Deterministic: best pair = max count, ties broken lexicographically."""
+    words = [(tuple(w), c) for w, c in word_freqs]
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                counts[syms[i], syms[i + 1]] = counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        top = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == top)
+        merges.append((best_pair[0], best_pair[1], top))
+        a, b = best_pair
+        merged = a + b
+
+        def apply(syms: tuple) -> tuple:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            return tuple(out)
+
+        words = [(apply(s), c) for s, c in words]
+    return merges, words
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table: rank, pair, weighted pair count."""
+    freqs = [
+        (r["word"], r["cnt"])
+        for r in _bpe_word_freqs(spark, sf_dir, _BPE_VOCAB).collect()
+    ]
+    merges, _ = _bpe_train(freqs, _BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count long",
+    )
+
+
+def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges corpus-wide (per distinct word,
+    frequency-weighted — the distributed application path): symbols per
+    word before vs after, corpus-weighted. The merge list is broadcast;
+    the word table never leaves the executors."""
+    full = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    freqs = [
+        (r["word"], r["cnt"])
+        for r in _bpe_word_freqs(spark, sf_dir, _BPE_VOCAB).collect()
+    ]
+    merges, _ = _bpe_train(freqs, _BPE_MERGES)
+    merge_list = [(a, b) for a, b, _ in merges]
+    bc = spark.sparkContext.broadcast(merge_list)
+
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def n_tokens_after(words: pd.Series) -> pd.Series:
+        ms = bc.value
+
+        def encode(w: str) -> int:
+            syms = list(w)
+            for a, b in ms:
+                merged, out = a + b, []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                syms = out
+            return len(syms)
+
+        return words.map(encode).astype("int32")
+
+    return (
+        full.withColumn("after", n_tokens_after("word"))
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.round(
+                F.sum(F.length("word") * F.col("cnt")) / F.sum("cnt"), 4
+            ).alias("avg_syms_before"),
+            F.round(F.sum(F.col("after") * F.col("cnt")) / F.sum("cnt"), 4).alias(
+                "avg_syms_after"
+            ),
+        )
+    )

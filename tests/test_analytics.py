@@ -330,3 +330,45 @@ def test_interpolation_brackets_readings(spark, sf_dir):
         F.max(F.minute("ts")).alias("mx_m"), F.max(F.second("ts")).alias("mx_s")
     ).collect()
     assert r["mx_m"] == 0 and r["mx_s"] == 0
+
+
+def test_bpe_train_golden():
+    """Merge learning on a hand-computed corpus: 'low'×5, 'lower'×2,
+    'newest'×6, 'widest'×3. Classic BPE example: first merges build
+    'est' from the -est suffix mass (9), then 'lo' (7)."""
+    from map_reduce_engine_cdps_spark.plans.textops import _bpe_train
+
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges, words = _bpe_train(freqs, 4)
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2] == ("l", "o", 7)
+    # deterministic: rerun identical
+    assert _bpe_train(freqs, 4)[0] == merges
+    # merged symbols actually applied to the word state
+    state = dict((("".join(s)), s) for s, _ in words)
+    assert "est" in state["newest"]
+    assert state["low"] == ("low",)  # fully merged by merges 3+4 (l,o)+(lo,w)
+
+
+def test_bpe_merge_application_non_overlapping():
+    """aaaa with pair (a,a) must merge left-to-right non-overlapping:
+    aa|aa, never a|aa|a double-count."""
+    from map_reduce_engine_cdps_spark.plans.textops import _bpe_train
+
+    merges, words = _bpe_train([("aaaa", 1)], 1)
+    assert merges[0] == ("a", "a", 3)  # 3 adjacent pairs counted pre-merge
+    assert words[0][0] == ("aa", "aa")
+
+
+def test_bpe_queries_run(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.textops import (
+        bpe_merges,
+        bpe_token_compression,
+    )
+
+    m = bpe_merges(spark, sf_dir).collect()
+    assert 0 < len(m) <= 8
+    assert all(r["pair_count"] > 0 for r in m)
+    c = bpe_token_compression(spark, sf_dir).collect()[0]
+    assert c["avg_syms_after"] < c["avg_syms_before"]
