@@ -62,40 +62,37 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation trade graph, fixed 4 iterations,
     damping 0.85.
 
-    The rank vector (25 rows) is broadcast into each iteration's join
-    against the persisted normalized edge table, so each step is a tiny
-    broadcast-hash-join + hash-aggregate — no re-scan of lineitem, no
-    growing shuffle. Out-edge normalization uses a per-src window over
-    the aggregated edges (O(|V|²) rows)."""
+    The distributed pass is the 5-way join + (src, dst) edge aggregate —
+    the only thing that touches the fact tables. The normalized edge
+    list it produces is O(|V|²)-bounded (625 rows), so like
+    kmeans_lloyd's centroids and bpe_merges' word dict it is
+    driver-sized state by construction: iterate on it locally in one
+    job rather than paying per-iteration Spark job overhead. For a
+    vertex set too large to hold (|V|² beyond driver memory), the same
+    loop lifts to [edges ⋈ broadcast(ranks) → groupBy(dst).sum]
+    per iteration with the edge table staying distributed — the
+    formulation trade_graph_degrees uses for its marginals."""
     edges = _trade_edges(spark, sf_dir)
     ep = edges.withColumn(
         "p", F.col("w") / F.sum("w").over(W.partitionBy("src"))
-    ).select("src", "dst", "p").persist()
-    nodes = ep.select(F.col("src").alias("n_name")).distinct().persist()
-    n_nodes = nodes.count()  # driver-side scalar bound, like the
-    # recursion bounds in analytics.monthly_gapfill_revenue
+    ).select("src", "dst", "p")
+    edge_rows = [(r["src"], r["dst"], r["p"]) for r in ep.collect()]
+    nodes = sorted({s for s, _, _ in edge_rows})
+    n_nodes = len(nodes)
 
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    ranks = {n: 1.0 / n_nodes for n in nodes}
     for _ in range(_ITERATIONS):
-        mass = (
-            ep.join(
-                F.broadcast(ranks.select(F.col("n_name").alias("src_name"), "pr")),
-                F.col("src") == F.col("src_name"),
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("mass"))
-        )
-        ranks = (
-            nodes.join(mass, nodes.n_name == mass.dst, "left")
-            .select(
-                "n_name",
-                (
-                    F.lit((1.0 - _DAMPING) / n_nodes)
-                    + F.lit(_DAMPING) * F.coalesce("mass", F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
-    return ranks.select("n_name", F.round("pr", 6).alias("pagerank"))
+        mass: dict[str, float] = {}
+        for src, dst, p in edge_rows:
+            mass[dst] = mass.get(dst, 0.0) + ranks[src] * p
+        ranks = {
+            n: (1.0 - _DAMPING) / n_nodes + _DAMPING * mass.get(n, 0.0)
+            for n in nodes
+        }
+    out = spark.createDataFrame(
+        sorted(ranks.items()), "n_name string, pr double"
+    )
+    return out.select("n_name", F.round("pr", 6).alias("pagerank"))
 
 
 def _pagerank_sql() -> str:

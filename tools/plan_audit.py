@@ -78,6 +78,18 @@ AUDITS: dict[str, dict] = {
     "inverted_index_stats": {},
     "embedding_covariance": {},
     "pareto_orders": {"broadcast": 1, "no_cartesian": True},
+    # pagerank's returned DF is a LocalTableScan of driver-iterated
+    # state; the distributed edge build executes inside fn() — audit
+    # trade_graph_degrees for that subtree's join strategy instead
+    "nation_trade_pagerank": {},
+    "trade_graph_degrees": {"broadcast": 4, "no_cartesian": True},
+    "frequent_type_pairs": {"broadcast": 1, "no_cartesian": True},
+    # chi2's 1-row total crossJoin is the canonical scalar plan
+    "brand_nation_chi2": {"broadcast": 1},
+    "top_session_paths": {"topk": True},
+    # full-table profile: nothing to push, audit for eyeball only
+    "lineitem_profile": {},
+    "mv_revenue_maintenance": {"pushed": True},
 }
 
 
