@@ -1185,3 +1185,43 @@ SELECT path, count(*) AS n_sessions
 FROM p GROUP BY path
 ORDER BY n_sessions DESC, path ASC LIMIT 25
 """
+
+
+# ---------------------------------------------------------------------------
+# decile_value_calibration — per-event-type value deciles (ntile) with
+# per-bucket mean/min/max: the monotone calibration-curve shape used to
+# sanity-check score distributions. The ntile window partitions by
+# event_type (parallel across types); ties are broken by the unique
+# event_id so bucket assignment is deterministic and engine-independent.
+# ---------------------------------------------------------------------------
+
+
+def decile_value_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+DECILE_VALUE_CALIBRATION_SQL = """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, count(*) AS n,
+       round(avg(value), 4) AS mean_value,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM d GROUP BY 1, 2
+"""

@@ -574,6 +574,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.mv_revenue_maintenance,
         analytics.MV_REVENUE_MAINTENANCE_SQL,
     ),
+    # --- corpus statistics / distribution calibration ---
+    "zipf_fit": (textops.zipf_fit, textops.ZIPF_FIT_SQL),
+    "vocab_growth_heaps": (
+        textops.vocab_growth_heaps,
+        textops.VOCAB_GROWTH_HEAPS_SQL,
+    ),
+    "decile_value_calibration": (
+        analytics.decile_value_calibration,
+        analytics.DECILE_VALUE_CALIBRATION_SQL,
+    ),
     # --- BPE tokenizer training (iterative; rows-only check like kmeans) ---
     "bpe_merges": (textops.bpe_merges, None),
     "bpe_token_compression": (textops.bpe_token_compression, None),

@@ -756,3 +756,116 @@ def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — Zipf's-law fit of the corpus unigram distribution:
+# log-log regression of frequency on rank (slope ≈ -1 for natural
+# language; a strong deviation flags synthetic/templated text — a
+# real corpus-health check for training data). The ranking window runs
+# over the *vocabulary* table (O(distinct words) — already aggregated,
+# orders of magnitude smaller than the corpus), and the fit is a
+# one-pass regr_* moment aggregate.
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = wc.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(cnt), ln(rnk))"), 4).alias("r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").alias("corpus_tokens"),
+    )
+
+
+ZIPF_FIT_SQL = """
+WITH toks AS (
+  SELECT regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), wc AS (
+  SELECT word, count(*) AS cnt FROM toks WHERE length(word) > 0 GROUP BY word
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk FROM wc
+)
+SELECT round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+       round(regr_r2(ln(cnt), ln(rnk)), 4) AS r2,
+       count(*) AS vocab_size,
+       sum(cnt) AS corpus_tokens
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth_heaps — Heaps'-law vocabulary growth curve: cumulative
+# distinct vocabulary vs cumulative tokens at corpus deciles. Each
+# word's contribution point is its FIRST document (min doc_id — one
+# vocabulary-sized aggregate); deciles are fixed arithmetic buckets of
+# the doc_id range, so per-bucket sums partial-aggregate and the only
+# running window is over the 10 bucket rows — never over docs.
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), (F.max("doc_id") - F.min("doc_id") + 1).alias("span")
+    )
+    toks = docs.select("doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
+    bucket = lambda c: F.floor((F.col(c) - F.col("lo")) * 10 / F.col("span")).cast("int")
+
+    tok_buckets = (
+        toks.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket("doc_id").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("toks"))
+    )
+    first_seen = toks.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    new_words = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket("first_doc").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        tok_buckets.join(new_words, "decile", "left")
+        .select(
+            "decile",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_words", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+
+
+VOCAB_GROWTH_HEAPS_SQL = """
+WITH bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS span FROM documents
+), toks AS (
+  SELECT doc_id, regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), toks2 AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+tok_buckets AS (
+  SELECT CAST(floor((doc_id - lo) * 10 / span) AS INT) AS decile, count(*) AS toks
+  FROM toks2, bounds GROUP BY 1
+), first_seen AS (
+  SELECT word, min(doc_id) AS first_doc FROM toks2 GROUP BY word
+), new_words AS (
+  SELECT CAST(floor((first_doc - lo) * 10 / span) AS INT) AS decile,
+         count(*) AS new_words
+  FROM first_seen, bounds GROUP BY 1
+)
+SELECT decile,
+       sum(toks) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       sum(COALESCE(new_words, 0)) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+FROM tok_buckets LEFT JOIN new_words USING (decile)
+"""
