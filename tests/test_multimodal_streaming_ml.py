@@ -318,3 +318,25 @@ def test_image_dims_header_parsing(spark):
     assert got["gif"] == ("gif", 320, 200)
     assert got["jpeg"] == ("jpeg", 1920, 1080)
     assert got["junk"] == (None, None, None)
+
+
+def test_dhash_properties(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _dhash_from_bytes,
+        image_dhash_dedup,
+    )
+
+    a = bytes(range(256)) * 4
+    assert _dhash_from_bytes(a) == _dhash_from_bytes(bytes(a))  # deterministic
+    # single-byte perturbation moves few hash bits (near-dup stays near)
+    b = bytearray(a)
+    b[100] ^= 0xFF
+    ham = bin(_dhash_from_bytes(a) ^ _dhash_from_bytes(bytes(b))).count("1")
+    assert ham <= 8, ham
+    # structurally different payload lands far away
+    c = bytes(reversed(a))
+    assert bin(_dhash_from_bytes(a) ^ _dhash_from_bytes(c)).count("1") > 8
+    # end-to-end over testdata: summary row is consistent
+    row = image_dhash_dedup(spark, sf_dir).collect()[0]
+    assert row["n_images"] >= row["n_distinct_hashes"] > 0
+    assert row["n_removable"] == row["n_images"] - row["n_distinct_hashes"]
