@@ -1004,25 +1004,28 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", 
 
 
 def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+    # One single-distinct aggregate per column, unioned. NOT one wide
+    # agg with 5 count_distincts: multiple distinct aggregates compile
+    # to an Expand that multiplies every input row by (n_distinct_cols
+    # + 1) before the shuffle — measured 6.5s vs 1.5s at sf0.1. Each
+    # branch's scan is pruned to its own column, so total bytes read
+    # equal the one-scan formulation on a columnar store.
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        li.select(F.col(c)).agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.count_distinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_s"),
+            F.max(c).cast("string").alias("max_s"),
+        )
         for c in _PROFILE_COLS
-    )
-    return wide.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
-        "(column, n_rows, n_nulls, n_distinct, min_s, max_s)"
-    )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 LINEITEM_PROFILE_SQL = " UNION ALL ".join(
