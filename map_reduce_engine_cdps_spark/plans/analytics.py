@@ -1228,3 +1228,140 @@ SELECT event_type, decile, count(*) AS n,
        round(max(value), 2) AS hi
 FROM d GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# kmv_segment_jaccard — KMV (k-minimum-values / bottom-k) set sketches
+# for pairwise audience overlap: per event_type keep the k smallest
+# md5(user) hashes; the Jaccard estimate between two types is the
+# fraction of the k smallest hashes of the UNION that belong to both
+# sides. Deterministic (hash order, not sampling), mergeable
+# (bottom-k of a union = bottom-k of concatenated sketches), and
+# O(types × k) after the one distinct aggregate — the sketch family
+# HLL can't provide (HLL gives cardinality, not intersection). Exact
+# Jaccard is computed alongside; at 100 TB only the sketch path and
+# the distinct agg survive, the exact self-join is the validation.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+
+
+def kmv_segment_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+
+    # exact pairwise Jaccard (validation side)
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+    )
+
+    # KMV sketches: bottom-k hashes per type
+    hashed = du.select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+    wk = W.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    ka = kmv.select(F.col("event_type").alias("type_a"), "h")
+    kb = kmv.select(F.col("event_type").alias("type_b"), "h")
+    both = (
+        ka.crossJoin(kb.select("type_b").distinct())
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            kb.crossJoin(ka.select("type_a").distinct())
+            .filter(F.col("type_a") < F.col("type_b"))
+            .select("type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = W.partitionBy("type_a", "type_b").orderBy("h")
+    est = (
+        both.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(
+                F.sum((F.col("in_a") * F.col("in_b")).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("kmv_jaccard")
+        )
+    )
+    return exact.join(est, ["type_a", "type_b"]).select(
+        "type_a", "type_b", "n_a", "n_b", "exact_jaccard", "kmv_jaccard"
+    )
+
+
+KMV_SEGMENT_JACCARD_SQL = f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_inter
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b,
+         round(n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS exact_jaccard
+  FROM inter
+  JOIN sizes sa ON sa.event_type = type_a
+  JOIN sizes sb ON sb.event_type = type_b
+),
+hashed AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM du),
+kmv AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM (SELECT DISTINCT event_type FROM kmv) a
+  JOIN (SELECT DISTINCT event_type FROM kmv) b ON a.event_type < b.event_type
+),
+sides AS (
+  SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT p.type_a, p.type_b, k.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN kmv k ON k.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, k.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN kmv k ON k.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT type_a, type_b,
+         round(sum(in_a * in_b) / CAST(count(*) AS DOUBLE), 6) AS kmv_jaccard
+  FROM (
+    SELECT type_a, type_b, in_a, in_b,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+    FROM sides
+  ) WHERE rn <= {_KMV_K}
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_a, n_b, exact_jaccard, kmv_jaccard
+FROM exact JOIN est USING (type_a, type_b)
+"""

@@ -585,6 +585,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.decile_value_calibration,
         analytics.DECILE_VALUE_CALIBRATION_SQL,
     ),
+    "kmv_segment_jaccard": (
+        analytics.kmv_segment_jaccard,
+        analytics.KMV_SEGMENT_JACCARD_SQL,
+    ),
     # --- BPE tokenizer training (iterative; rows-only check like kmeans) ---
     "bpe_merges": (textops.bpe_merges, None),
     "bpe_token_compression": (textops.bpe_token_compression, None),
