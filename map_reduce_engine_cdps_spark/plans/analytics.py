@@ -1365,3 +1365,76 @@ est AS (
 SELECT type_a, type_b, n_a, n_b, exact_jaccard, kmv_jaccard
 FROM exact JOIN est USING (type_a, type_b)
 """
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — RFM (recency / frequency / monetary) customer
+# segmentation: one orders aggregate to per-customer metrics, three
+# ntile(4) scores over the O(customers) metric table (each with the
+# unique custkey tie-break so quartile assignment is deterministic),
+# then a segment rollup. The fact table shuffles once, on custkey.
+# At 100 TB (billions of customers) the three global ntile windows swap
+# for broadcast approx_percentile cutoffs — the balance_deciles pattern,
+# same output contract; exact ntile is kept here for oracle equality.
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("maxd", "last_order"))
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy(F.asc("recency_days"), F.asc("o_custkey"))).alias("r"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r", "f", "m").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency"),
+            F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+  FROM per_cust
+)
+SELECT r || '-' || f || '-' || m AS segment,
+       count(*) AS n_customers,
+       round(avg(recency_days), 4) AS avg_recency,
+       round(avg(frequency), 4) AS avg_frequency,
+       round(avg(monetary), 4) AS avg_monetary
+FROM scored GROUP BY 1
+"""

@@ -585,6 +585,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.decile_value_calibration,
         analytics.DECILE_VALUE_CALIBRATION_SQL,
     ),
+    "rfm_segments": (analytics.rfm_segments, analytics.RFM_SEGMENTS_SQL),
     "kmv_segment_jaccard": (
         analytics.kmv_segment_jaccard,
         analytics.KMV_SEGMENT_JACCARD_SQL,
