@@ -586,6 +586,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.DECILE_VALUE_CALIBRATION_SQL,
     ),
     "rfm_segments": (analytics.rfm_segments, analytics.RFM_SEGMENTS_SQL),
+    "arrow_label_centroids": (
+        similarity.arrow_label_centroids,
+        similarity.ARROW_LABEL_CENTROIDS_SQL,
+    ),
     "kmv_segment_jaccard": (
         analytics.kmv_segment_jaccard,
         analytics.KMV_SEGMENT_JACCARD_SQL,

@@ -744,3 +744,58 @@ def _cov_sql() -> str:
 
 
 EMBEDDING_COVARIANCE_SQL = _cov_sql()
+
+
+# ---------------------------------------------------------------------------
+# arrow_label_centroids — Spark 4 `applyInArrow` (grouped-map over
+# pyarrow Tables; the Arrow-native sibling of applyInPandas and of
+# mapInArrow above): per-label embedding centroid norm computed with
+# numpy on zero-copy Arrow buffers. Grouped-map semantics mean one
+# Table per label lands in Python after the hash shuffle — the pattern
+# for per-group native-code kernels (faiss, BLAS) without pandas
+# conversion overhead. Oracle: plain per-dimension SQL aggregation.
+# ---------------------------------------------------------------------------
+
+
+def arrow_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def centroid(table: pa.Table) -> pa.Table:
+        import numpy as np
+
+        embs = table.column("embedding")
+        flat = np.asarray(embs.combine_chunks().flatten(), dtype=np.float64)
+        n = table.num_rows
+        dim = flat.size // n if n else 0
+        mean = flat.reshape(n, dim).mean(axis=0) if n else flat
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(table.column("label")[0].as_py())], pa.int32()),
+                pa.array([n], pa.int64()),
+                pa.array([round(float(np.sqrt((mean**2).sum())), 6)], pa.float64()),
+            ],
+            ["label", "n_vecs", "centroid_norm"],
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return emb.groupBy("label").applyInArrow(
+        centroid, "label int, n_vecs long, centroid_norm double"
+    )
+
+
+ARROW_LABEL_CENTROIDS_SQL = """
+WITH exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim_i,
+         unnest(embedding) AS x
+  FROM embeddings
+), per_dim AS (
+  SELECT label, dim_i, avg(x) AS mean_x FROM exploded GROUP BY label, dim_i
+), norms AS (
+  SELECT label, sqrt(sum(mean_x * mean_x)) AS centroid_norm
+  FROM per_dim GROUP BY label
+), sizes AS (
+  SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label
+)
+SELECT label, n_vecs, round(centroid_norm, 6) AS centroid_norm
+FROM sizes JOIN norms USING (label)
+"""
