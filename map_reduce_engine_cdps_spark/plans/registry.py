@@ -166,6 +166,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.SALTED_ABOVE_TYPE_MEAN_SQL,
     ),
     # --- sliding event-time windows (batch twin of the streaming path) ---
+    "sliding_distinct_users": (
+        relational.sliding_distinct_users,
+        relational.SLIDING_DISTINCT_USERS_SQL,
+    ),
+    "windowed_p95_value": (
+        relational.windowed_p95_value,
+        relational.WINDOWED_P95_VALUE_SQL,
+    ),
     "sliding_window_counts": (
         relational.sliding_window_counts,
         relational.SLIDING_WINDOW_COUNTS_SQL,

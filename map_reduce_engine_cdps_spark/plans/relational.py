@@ -2143,3 +2143,81 @@ FROM flagged
 WHERE (max_prev IS NULL OR o_totalprice > max_prev)
   AND o_totalprice >= max_same
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct_users — windowed COUNT DISTINCT: distinct users per
+# 10-minute sliding window (5-min slide). The window assignment
+# explodes each event into its ≤2 covering windows BEFORE the dedup,
+# then (window, type, user) dedups and counts — exactly the shape a
+# streaming distinct-aggregation state store maintains. Distinct
+# shuffle carries (window, type, user) triples; at 100 TB the exact
+# distinct swaps for approx_count_distinct or an HLL sketch per window
+# (hll_sketch_users pattern) with the same assignment stage.
+# ---------------------------------------------------------------------------
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
+SLIDING_DISTINCT_USERS_SQL = """
+WITH assigned AS (
+  SELECT strftime(to_timestamp((floor(epoch(ts) / 300) - k.k) * 300)::TIMESTAMP,
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, user_id
+  FROM events, unnest(range(0, 2)) AS k(k)
+)
+SELECT window_start, event_type, count(DISTINCT user_id) AS n_users
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed_p95_value — tail-latency-style windowed percentiles: exact
+# p50/p95 of `value` per 5-minute tumbling window and type. The
+# percentile aggregate is per-group (windows partition the data), so
+# parallelism is O(windows × types); at 100 TB swap to
+# approx_percentile sketches, which partial-aggregate map-side with the
+# identical query shape (approx_quantile_check pins the error bound).
+# ---------------------------------------------------------------------------
+
+
+def windowed_p95_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        ev.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "p50",
+            "p95",
+        )
+    )
+
+
+WINDOWED_P95_VALUE_SQL = """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1, 2
+"""
