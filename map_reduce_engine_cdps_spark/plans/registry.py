@@ -423,6 +423,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         streaming_windows.streaming_window_counts,
         relational.TUMBLING_WINDOW_COUNTS_SQL,
     ),
+    "streaming_sliding_distinct": (
+        streaming_windows.streaming_sliding_distinct,
+        relational.SLIDING_DISTINCT_USERS_SQL,
+    ),
     # --- custom stateful streaming op (applyInPandasWithState
     # sessionization), oracle-checked against batch SQL sessionization ---
     "streaming_user_sessions": (

@@ -228,3 +228,40 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination(120)
     return spark.table("streaming_cp_join_out")
+
+
+def streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed COUNT DISTINCT: watermark → sliding windows →
+    exact distinct users per (window, type). Streaming aggregations
+    reject COUNT(DISTINCT ...) directly; the canonical exact
+    formulation keeps the per-window user set as aggregation state
+    (collect_set) and emits its size — which is also the honest cost
+    model: state is O(windows × types × users-in-window), exactly why
+    the batch twin documents the HLL-sketch swap at 100 TB. Oracle:
+    the SAME DuckDB SQL as the batch twin
+    (plans/relational.py:SLIDING_DISTINCT_USERS_SQL), so both
+    execution models must agree window-for-window."""
+    stream = stream_events_from_parquet(spark, sf_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    out = (
+        stream.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.size(F.collect_set("user_id")).alias("n_users"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streaming_sliding_distinct_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("streaming_sliding_distinct_out")
