@@ -598,6 +598,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.DECILE_VALUE_CALIBRATION_SQL,
     ),
     "rfm_segments": (analytics.rfm_segments, analytics.RFM_SEGMENTS_SQL),
+    "table_diff": (relational.table_diff, relational.TABLE_DIFF_SQL),
+    "status_as_of": (relational.status_as_of, relational.STATUS_AS_OF_SQL),
     "arrow_label_centroids": (
         similarity.arrow_label_centroids,
         similarity.ARROW_LABEL_CENTROIDS_SQL,

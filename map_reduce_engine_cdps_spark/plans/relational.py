@@ -2221,3 +2221,155 @@ SELECT strftime(to_timestamp(floor(epoch(ts) / 300) * 300)::TIMESTAMP,
        round(quantile_cont(value, 0.95), 4) AS p95
 FROM events GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# table_diff — snapshot reconciliation (CDC-style data diff): given two
+# versions of the customer dimension, classify every key as
+# added / removed / changed / unchanged with one full-outer join on the
+# key, and aggregate per class. The second snapshot is synthesized
+# in-query with deterministic arithmetic rules so the oracle constructs
+# the identical pair. At 100 TB both snapshots co-partition on the key
+# (bucketed tables make the join exchange-free — see
+# bucketed_join_stats); the diff never materializes unchanged rows
+# beyond the join itself.
+# ---------------------------------------------------------------------------
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v1 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    v2 = (
+        v1.filter(F.col("c_custkey") % 97 != 0)  # deletes
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 10 == 3, F.round(F.col("c_acctbal") + 100.0, 2)
+            ).otherwise(F.col("c_acctbal")),
+        )  # updates
+        .unionByName(
+            v1.filter(F.col("c_custkey") % 200 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_nationkey",
+                "c_acctbal",
+            )
+        )  # inserts
+    )
+    a = v1.select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal_a")
+    )
+    b = v2.select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal_b")
+    )
+    classified = (
+        a.join(b, "k", "full")
+        .select(
+            "k",
+            F.when(F.col("bal_a").isNull(), "added")
+            .when(F.col("bal_b").isNull(), "removed")
+            .when(F.col("bal_a") != F.col("bal_b"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+            F.abs(F.coalesce("bal_b", F.lit(0.0)) - F.coalesce("bal_a", F.lit(0.0))).alias(
+                "delta"
+            ),
+        )
+    )
+    return classified.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("delta"), 2).alias("total_abs_delta"),
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH v1 AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+v2 AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 10 = 3 THEN round(c_acctbal + 100.0, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM v1 WHERE c_custkey % 97 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+  FROM v1 WHERE c_custkey % 200 = 0
+),
+classified AS (
+  SELECT COALESCE(a.c_custkey, b.c_custkey) AS k,
+         CASE WHEN a.c_custkey IS NULL THEN 'added'
+              WHEN b.c_custkey IS NULL THEN 'removed'
+              WHEN a.c_acctbal != b.c_acctbal THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         abs(COALESCE(b.c_acctbal, 0) - COALESCE(a.c_acctbal, 0)) AS delta
+  FROM v1 a FULL JOIN v2 b ON a.c_custkey = b.c_custkey
+)
+SELECT change, count(*) AS n_keys, round(sum(delta), 2) AS total_abs_delta
+FROM classified GROUP BY change
+"""
+
+
+# ---------------------------------------------------------------------------
+# status_as_of — point-in-time (time-travel) lookup over the SCD-2
+# history that order_status_runs builds: effective intervals are
+# [run_start, next_run_start) via lead(), and the as-of date picks each
+# customer's active run. Same single custkey shuffle as the run build
+# (all three windows share the sort); the as-of filter reduces to
+# O(customers) rows before the final count.
+# ---------------------------------------------------------------------------
+
+_AS_OF = "1996-06-15"
+
+
+def status_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_status = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = (
+        orders.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            (F.row_number().over(w_all) - F.row_number().over(w_status)).alias("grp"),
+        )
+        .groupBy("o_custkey", "o_orderstatus", "grp")
+        .agg(F.min("o_orderdate").alias("run_start"))
+    )
+    w_runs = Window.partitionBy("o_custkey").orderBy("run_start", "o_orderstatus")
+    eff = runs.withColumn("next_start", F.lead("run_start").over(w_runs))
+    active = eff.filter(
+        (F.col("run_start") <= _AS_OF)
+        & (F.col("next_start").isNull() | (F.col("next_start") > _AS_OF))
+    )
+    return active.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_customers_at_date")
+    )
+
+
+STATUS_AS_OF_SQL = f"""
+WITH runs AS (
+  SELECT o_custkey, o_orderstatus, min(o_orderdate) AS run_start
+  FROM (
+    SELECT o_custkey, o_orderstatus, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+         - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                              ORDER BY o_orderdate, o_orderkey) AS grp
+    FROM orders
+  ) t
+  GROUP BY o_custkey, o_orderstatus, grp
+),
+eff AS (
+  SELECT o_custkey, o_orderstatus, run_start,
+         lead(run_start) OVER (PARTITION BY o_custkey ORDER BY run_start, o_orderstatus)
+           AS next_start
+  FROM runs
+)
+SELECT o_orderstatus, count(*) AS n_customers_at_date
+FROM eff
+WHERE run_start <= TIMESTAMP '{_AS_OF} 00:00:00'
+  AND (next_start IS NULL OR next_start > TIMESTAMP '{_AS_OF} 00:00:00')
+GROUP BY o_orderstatus
+"""
