@@ -372,3 +372,74 @@ def test_bpe_queries_run(spark, sf_dir):
     assert all(r["pair_count"] > 0 for r in m)
     c = bpe_token_compression(spark, sf_dir).collect()[0]
     assert c["avg_syms_after"] < c["avg_syms_before"]
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.graph import nation_trade_pagerank
+
+    rows = nation_trade_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    # dense trade graph → no dangling mass; ranks sum to 1
+    assert abs(total - 1.0) < 1e-4, total
+    assert all(r["pagerank"] > 0 for r in rows)
+    # deterministic rerun
+    again = {r["n_name"]: r["pagerank"] for r in nation_trade_pagerank(spark, sf_dir).collect()}
+    assert all(again[r["n_name"]] == r["pagerank"] for r in rows)
+
+
+def test_chi2_invariants(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.analytics import brand_nation_chi2
+
+    row = brand_nation_chi2(spark, sf_dir).collect()[0]
+    assert row["chi2"] >= 0.0
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    nb = load_table(spark, sf_dir, "part").select("p_brand").distinct().count()
+    nn = load_table(spark, sf_dir, "nation").select("n_name").distinct().count()
+    assert row["dof"] == (nb - 1) * (nn - 1)
+    assert row["n"] > 0
+
+
+def test_kmv_jaccard_accuracy(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.analytics import kmv_segment_jaccard
+
+    rows = kmv_segment_jaccard(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert 0.0 <= r["kmv_jaccard"] <= 1.0
+        # bottom-k estimator standard error ~ 1/sqrt(k); allow 4 sigma
+        assert abs(r["kmv_jaccard"] - r["exact_jaccard"]) < 4 / (128 ** 0.5), r
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.analytics import rfm_segments
+
+    rows = rfm_segments(spark, sf_dir).collect()
+    n_total = sum(r["n_customers"] for r in rows)
+    # every scored customer lands in exactly one segment
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    n_cust = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert n_total == n_cust
+    # r-quartile marginals are ntile-balanced (±1)
+    per_r = {}
+    for r in rows:
+        q = int(r["segment"].split("-")[0])
+        per_r[q] = per_r.get(q, 0) + r["n_customers"]
+    assert set(per_r) == {1, 2, 3, 4}
+    assert max(per_r.values()) - min(per_r.values()) <= 1
+
+
+def test_table_diff_consistency(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.relational import table_diff
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    by = {r["change"]: r for r in table_diff(spark, sf_dir).collect()}
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    # v1 keys = removed + changed + unchanged; added only in v2
+    assert by["removed"]["n_keys"] + by["changed"]["n_keys"] + by["unchanged"]["n_keys"] == n
+    # every changed row moved by exactly +100.00
+    assert abs(by["changed"]["total_abs_delta"] - 100.0 * by["changed"]["n_keys"]) < 0.01
+    assert by["unchanged"]["total_abs_delta"] == 0.0
