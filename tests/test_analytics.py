@@ -396,7 +396,9 @@ def test_chi2_invariants(spark, sf_dir):
     from map_reduce_engine_cdps_spark.sources.readers import load_table
 
     nb = load_table(spark, sf_dir, "part").select("p_brand").distinct().count()
-    nn = load_table(spark, sf_dir, "nation").select("n_name").distinct().count()
+    # dof counts categories OBSERVED in the contingency table: nations
+    # that actually have suppliers, not the full nation dimension
+    nn = load_table(spark, sf_dir, "supplier").select("s_nationkey").distinct().count()
     assert row["dof"] == (nb - 1) * (nn - 1)
     assert row["n"] > 0
 
