@@ -116,6 +116,31 @@ SNAPSHOTS: dict[str, str] = {
         "bucket): `SortMergeJoin`/`ShuffledHashJoin` on a composite key "
         "instead of an O(n·m) inequality join."
     ),
+    "trade_graph_degrees": (
+        "The 5-way trade-edge build broadcasts every dimension "
+        "(`BroadcastHashJoin` ×4+) so the fact shuffles once, into the "
+        "(src, dst) hash aggregate; the degree marginals and self-edge "
+        "join then operate on the O(|V|²) persisted edge table. Same "
+        "subtree PageRank iterates on driver-side."
+    ),
+    "frequent_type_pairs": (
+        "Basket mining: (order, type) dedups BEFORE the pairing "
+        "self-join, and both join legs hash-partition on the basket key "
+        "(one exchange layout), so pair explosion is bounded by basket "
+        "size — the plan shows the aggregate under the join, never a "
+        "raw-fact self-join."
+    ),
+    "lineitem_profile": (
+        "Five single-distinct aggregate branches unioned: no Expand "
+        "node anywhere (a wide multi-count-distinct agg would multiply "
+        "every scan row by 6 pre-shuffle); each branch's `ReadSchema` "
+        "prunes to exactly one column."
+    ),
+    "sliding_distinct_users": (
+        "Sliding-window COUNT DISTINCT: the window Expand (≤2 rows per "
+        "event — window/slide) feeds partial aggregation; the distinct "
+        "shuffle carries (window, type, user) triples only."
+    ),
 }
 
 
