@@ -587,6 +587,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.mv_revenue_maintenance,
         analytics.MV_REVENUE_MAINTENANCE_SQL,
     ),
+    "sentiment_scores": (textops.sentiment_scores, textops.SENTIMENT_SCORES_SQL),
     # --- corpus statistics / distribution calibration ---
     "zipf_fit": (textops.zipf_fit, textops.ZIPF_FIT_SQL),
     "vocab_growth_heaps": (

@@ -869,3 +869,80 @@ SELECT decile,
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
 FROM tok_buckets LEFT JOIN new_words USING (decile)
 """
+
+
+# ---------------------------------------------------------------------------
+# sentiment_scores — lexicon-based sentiment scoring (SURVEY.md §7 step
+# 7's "sentiment-lexicon" item; the AFINN/VADER-lexicon family). The
+# valence lexicon is a broadcast map applied token-wise with a
+# higher-order aggregate — no explode, no shuffle until the per-source
+# rollup; at 100 TB the lexicon (thousands of entries) broadcasts
+# exactly like this 12-entry one. Doc score = mean token valence.
+# ---------------------------------------------------------------------------
+
+_SENT_LEXICON = {
+    "fast": 2.0, "big": 1.0, "small": -1.0, "slow": -2.0,
+    "dup": -2.0, "stream": 1.0, "spark": 2.0, "hash": 0.5,
+    "scan": -0.5, "merge": 0.5, "filter": 0.5, "batch": -0.5,
+}
+
+
+def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.create_map(
+        *[F.lit(x) for kv in sorted(_SENT_LEXICON.items()) for x in kv]
+    )
+    toks = TX.clean_tokens(F.col("text"))
+    score_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(lex[t], F.lit(0.0)),
+    )
+    d = docs.select(
+        "source",
+        F.size(toks).alias("n_toks"),
+        score_sum.alias("ssum"),
+    ).withColumn(
+        "doc_score",
+        F.when(F.col("n_toks") > 0, F.col("ssum") / F.col("n_toks")).otherwise(0.0),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_score"), 6).alias("avg_sentiment"),
+        F.sum((F.col("doc_score") > 0).cast("long")).alias("n_positive"),
+        F.sum((F.col("doc_score") < 0).cast("long")).alias("n_negative"),
+    )
+
+
+def _sentiment_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{w}' THEN {v}" for w, v in sorted(_SENT_LEXICON.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT source,
+         list_filter(list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0),
+           x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+           x -> length(x) > 0) AS toks
+  FROM documents
+), scored AS (
+  SELECT source, len(toks) AS n_toks,
+         list_sum(list_transform(toks,
+           x -> CASE x {cases} ELSE 0.0 END)) AS ssum
+  FROM t
+), d AS (
+  SELECT source,
+         CASE WHEN n_toks > 0 THEN ssum / n_toks ELSE 0.0 END AS doc_score
+  FROM scored
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(doc_score), 6) AS avg_sentiment,
+       sum(CASE WHEN doc_score > 0 THEN 1 ELSE 0 END) AS n_positive,
+       sum(CASE WHEN doc_score < 0 THEN 1 ELSE 0 END) AS n_negative
+FROM d GROUP BY source
+"""
+
+
+SENTIMENT_SCORES_SQL = _sentiment_sql()
