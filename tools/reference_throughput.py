@@ -127,6 +127,82 @@ def run_danger_at_multiple(spark, base_ev, items: list, mult: int) -> dict:
     }
 
 
+def run_embedding_at_multiple(spark, base_emb, items: list, mult: int) -> dict:
+    """Time both models on the plants-style embedding pair-training
+    shuffle (reference tasks/plants_classifier.py:199-230): every
+    label's embedding vectors MULTICAST to each worker owning one of
+    that label's C(n,2) pairs, grouped, then a light per-pair reduce.
+    The reference model pays len(pairs-per-label) Python copies of every
+    vector through the shuffle; Spark joins the broadcast pair table and
+    aggregates columnar vectors without materializing copies in Python.
+    (JSON costs excluded as everywhere in this tool — the real reference
+    also JSON-encodes all 768 floats per copy per hop.)"""
+    from functools import reduce as freduce
+
+    from pyspark.sql import functions as F
+
+    labels = sorted({lab for lab, _ in items})
+    pairs = [(a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]]
+    pair_of = {}
+    for i, (a, b) in enumerate(pairs):
+        pair_of.setdefault(a, []).append(i)
+        pair_of.setdefault(b, []).append(i)
+
+    big_items = items * mult
+
+    def reference_style(wire: bool) -> None:
+        # map: (label, vec) pairs; shuffle: multicast to every worker
+        # owning a pair containing the label (divide_work's effect).
+        # wire=True additionally pays the reference's mandatory JSON
+        # serialization of every shuffled bucket (pydantic ShuffleData,
+        # engine/models.py:24-27; send loop engine/worker.py:105-129) —
+        # for THIS workload the payload is the 2000×dim float vectors
+        # themselves, so pointer-level simulation grossly understates
+        # the reference (a pointer append vs encoding every float).
+        buckets = {i: [] for i in range(N_WORKERS)}
+        for lab, vec in big_items:
+            for t in pair_of[lab]:
+                buckets[t % N_WORKERS].append((lab, vec))
+        for pid, bucket in buckets.items():
+            if wire:
+                bucket = json.loads(json.dumps(bucket))
+            grouped = {}
+            for k, v in bucket:
+                grouped.setdefault(k, []).append(v)
+            [(k, len(vs), sum(v[0] for v in vs)) for k, vs in grouped.items()]
+
+    ref_s = median_of(lambda: reference_style(False))
+    ref_wire_s = median_of(lambda: reference_style(True))
+
+    big_df = freduce(lambda a, b: a.union(b), [base_emb] * mult)
+    pair_rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    pairs_df = spark.createDataFrame(pair_rows, "pair_id int, la int, lb int")
+
+    def spark_style() -> None:
+        p = pairs_df.select(
+            "pair_id", F.explode(F.array("la", "lb")).alias("label")
+        )
+        (
+            big_df.join(F.broadcast(p), "label")
+            .groupBy("pair_id")
+            .agg(
+                F.count(F.lit(1)),
+                F.sum(F.element_at("embedding", 1)),
+            )
+            .count()
+        )
+
+    spark_s = median_of(spark_style)
+    return {
+        "multiple": mult,
+        "n_vectors": len(big_items),
+        "reference_model_sec": ref_s,
+        "reference_model_wire_sec": ref_wire_s,
+        "spark_sec": spark_s,
+        "speedup_vs_wire": round(ref_wire_s / spark_s, 2) if spark_s > 0 else None,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="reference_throughput")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
@@ -147,10 +223,17 @@ def main() -> None:
     danger_results = [
         run_danger_at_multiple(spark, ev, items, m) for m in (1, 4, 16)
     ]
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("label", "embedding")
+    emb_items = [(r[0], list(r[1])) for r in emb.collect()]
+    embedding_results = [
+        run_embedding_at_multiple(spark, emb, emb_items, m) for m in (1, 4, 16)
+    ]
     print(json.dumps({
         "workloads": {
             "wordcount": results,
             "danger_numeric_agg": danger_results,
+            "embedding_pair_multicast": embedding_results,
         },
         "sf_dir": SF_DIR,
         "note": "reference number is the reference's execution model "
