@@ -605,6 +605,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.arrow_label_centroids,
         similarity.ARROW_LABEL_CENTROIDS_SQL,
     ),
+    "negative_sampling_pairs": (
+        similarity.negative_sampling_pairs,
+        similarity.NEGATIVE_SAMPLING_PAIRS_SQL,
+    ),
     "kmv_segment_jaccard": (
         analytics.kmv_segment_jaccard,
         analytics.KMV_SEGMENT_JACCARD_SQL,

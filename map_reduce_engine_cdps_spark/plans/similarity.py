@@ -799,3 +799,75 @@ WITH exploded AS (
 SELECT label, n_vecs, round(centroid_norm, 6) AS centroid_norm
 FROM sizes JOIN norms USING (label)
 """
+
+
+# ---------------------------------------------------------------------------
+# negative_sampling_pairs — contrastive-training data prep: for each
+# anchor vector, k deterministic hard-ish negatives drawn from OTHER
+# labels. Scalable shape: candidates are hash-bucketed once (256
+# buckets — sized so every bucket holds all labels at this SF; at 100 TB
+# the bucket count grows with the data), each anchor probes only its own
+# bucket, and the per-anchor
+# top-k is a window over md5(anchor, candidate) — so the join is
+# O(n × bucket_size), never the O(n²) all-pairs cross join, and the
+# selection is reproducible across engines and runs (hash order, not
+# RNG). The same bucket-probe shape backs the LSH ANN queries above.
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+
+
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    bucket = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    anchors = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        bucket.alias("bucket"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        bucket.alias("bucket"),
+    )
+    joined = anchors.join(cands, "bucket").filter(
+        F.col("anchor_label") != F.col("cand_label")
+    )
+    pick = F.md5(
+        F.concat_ws("|", F.col("anchor_id").cast("string"), F.col("cand_id").cast("string"))
+    )
+    w = W.partitionBy("anchor_id").orderBy(pick, "cand_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _NEG_K
+    )
+    return ranked.groupBy("anchor_id", "anchor_label").agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.count_distinct("cand_label").alias("n_neg_labels"),
+        F.min(pick).alias("first_pick_hash"),
+    )
+
+
+NEGATIVE_SAMPLING_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bucket
+  FROM embeddings
+),
+joined AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         md5(CAST(a.vec_id AS VARCHAR) || '|' || CAST(c.vec_id AS VARCHAR)) AS pick
+  FROM e a JOIN e c ON a.bucket = c.bucket AND a.label != c.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY pick, cand_id) AS rn
+  FROM joined
+)
+SELECT anchor_id, anchor_label,
+       count(*) AS n_negatives,
+       count(DISTINCT cand_label) AS n_neg_labels,
+       min(pick) AS first_pick_hash
+FROM ranked WHERE rn <= {_NEG_K}
+GROUP BY anchor_id, anchor_label
+"""

@@ -445,3 +445,19 @@ def test_table_diff_consistency(spark, sf_dir):
     # every changed row moved by exactly +100.00
     assert abs(by["changed"]["total_abs_delta"] - 100.0 * by["changed"]["n_keys"]) < 0.01
     assert by["unchanged"]["total_abs_delta"] == 0.0
+
+
+def test_negative_sampling_invariants(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        _NEG_K,
+        negative_sampling_pairs,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = negative_sampling_pairs(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs  # every anchor gets negatives
+    assert all(1 <= r["n_negatives"] <= _NEG_K for r in rows)
+    # deterministic rerun: identical pick hashes
+    again = {r["anchor_id"]: r["first_pick_hash"] for r in negative_sampling_pairs(spark, sf_dir).collect()}
+    assert all(again[r["anchor_id"]] == r["first_pick_hash"] for r in rows)
