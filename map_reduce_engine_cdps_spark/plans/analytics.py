@@ -1438,3 +1438,154 @@ SELECT r || '-' || f || '-' || m AS segment,
        round(avg(monetary), 4) AS avg_monetary
 FROM scored GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series analytics over the DAILY REVENUE series. Shared scale
+# stance: the orders fact aggregates once to O(days) rows (~2.4k for 7
+# TPC-H years); every window below runs over that bounded series, so
+# the "single partition" window plans are O(days) by construction and
+# the fact never re-shuffles. At 100 TB only the first aggregate grows.
+# ---------------------------------------------------------------------------
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("r"))
+
+
+_DAILY_SQL = """
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS r
+  FROM orders GROUP BY 1
+"""
+
+
+# revenue_changepoint — single changepoint detection via the CUSUM-style
+# scaled mean-shift statistic: argmax_k |mean(1..k) - mean(k+1..n)| ·
+# sqrt(k(n-k)/n), prefix sums over the ordered day series.
+
+
+def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _daily_revenue(spark, sf_dir)
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    tot = d.agg(
+        F.sum("r").alias("grand"), F.count(F.lit(1)).alias("n")
+    )
+    pre = (
+        d.select(
+            "day",
+            F.sum("r").over(w).alias("pre_sum"),
+            F.row_number().over(W.orderBy("day")).alias("k"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("k") >= 7) & (F.col("k") <= F.col("n") - 7))
+    )
+    mean_l = F.col("pre_sum") / F.col("k")
+    mean_r = (F.col("grand") - F.col("pre_sum")) / (F.col("n") - F.col("k"))
+    stat = F.abs(mean_l - mean_r) * F.sqrt(
+        F.col("k") * (F.col("n") - F.col("k")) / F.col("n")
+    )
+    return (
+        pre.select(
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.round(stat, 4).alias("shift_stat"),
+            F.round(mean_l, 2).alias("mean_before"),
+            F.round(mean_r, 2).alias("mean_after"),
+        )
+        .orderBy(F.desc("shift_stat"), F.asc("split_day"))
+        .limit(1)
+    )
+
+
+REVENUE_CHANGEPOINT_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+tot AS (SELECT sum(r) AS grand, count(*) AS n FROM d),
+pre AS (
+  SELECT day,
+         sum(r) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pre_sum,
+         row_number() OVER (ORDER BY day) AS k
+  FROM d
+)
+SELECT strftime(day, '%Y-%m-%d') AS split_day,
+       round(abs(pre_sum / k - (grand - pre_sum) / (n - k))
+             * sqrt(k * (n - k) / CAST(n AS DOUBLE)), 4) AS shift_stat,
+       round(pre_sum / k, 2) AS mean_before,
+       round((grand - pre_sum) / (n - k), 2) AS mean_after
+FROM pre, tot
+WHERE k >= 7 AND k <= n - 7
+ORDER BY shift_stat DESC, split_day ASC LIMIT 1
+"""
+
+
+# revenue_acf — autocorrelation function of daily revenue at lags 1..7:
+# seven lag() columns share one ordered pass over the O(days) series,
+# then one corr() aggregate per lag.
+
+
+def revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _daily_revenue(spark, sf_dir)
+    w = W.orderBy("day")
+    lagged = d.select(
+        "r", *[F.lag("r", k).over(w).alias(f"lag{k}") for k in range(1, 8)]
+    )
+    aggs = []
+    for k in range(1, 8):
+        aggs.append(F.round(F.corr("r", f"lag{k}"), 4).alias(f"acf{k}"))
+        aggs.append(F.count(f"lag{k}").alias(f"n{k}"))
+    wide = lagged.agg(*aggs)
+    stack = ", ".join(f"{k}, acf{k}, n{k}" for k in range(1, 8))
+    return wide.selectExpr(f"stack(7, {stack}) AS (lag, acf, n_pairs)")
+
+
+REVENUE_ACF_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+l AS (
+  SELECT r,
+         {", ".join(f"lag(r, {k}) OVER (ORDER BY day) AS lag{k}" for k in range(1, 8))}
+  FROM d
+)
+{" UNION ALL ".join(
+    f"SELECT {k} AS lag, round(corr(r, lag{k}), 4) AS acf, count(lag{k}) AS n_pairs FROM l"
+    for k in range(1, 8)
+)}
+"""
+
+
+# dow_seasonality — day-of-week revenue profile: per-weekday average of
+# the daily series and its index against the overall mean (engine-
+# neutral weekday via the 'Mon'/'Tue' abbreviation, not the numeric
+# convention — Spark counts Sunday=1, DuckDB Sunday=0).
+
+
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_revenue(spark, sf_dir)
+    overall = d.agg(F.avg("r").alias("overall"))
+    return (
+        d.groupBy(F.date_format("day", "E").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("n_days"), F.avg("r").alias("dow_avg"))
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            F.round("dow_avg", 2).alias("avg_revenue"),
+            F.round(F.col("dow_avg") / F.col("overall"), 6).alias("seasonal_index"),
+        )
+    )
+
+
+DOW_SEASONALITY_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+o AS (SELECT avg(r) AS overall FROM d)
+SELECT strftime(day, '%a') AS dow,
+       count(*) AS n_days,
+       round(avg(r), 2) AS avg_revenue,
+       round(avg(r) / (SELECT overall FROM o), 6) AS seasonal_index
+FROM d GROUP BY 1
+"""

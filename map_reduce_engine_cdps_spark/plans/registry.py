@@ -616,6 +616,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- BPE tokenizer training (iterative; rows-only check like kmeans) ---
     "bpe_merges": (textops.bpe_merges, None),
     "bpe_token_compression": (textops.bpe_token_compression, None),
+    # --- time-series analytics over the daily revenue series ---
+    "revenue_changepoint": (
+        analytics.revenue_changepoint,
+        analytics.REVENUE_CHANGEPOINT_SQL,
+    ),
+    "revenue_acf": (analytics.revenue_acf, analytics.REVENUE_ACF_SQL),
+    "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     # --- basket mining / clickstream paths ---
     "frequent_type_pairs": (
         analytics.frequent_type_pairs,
