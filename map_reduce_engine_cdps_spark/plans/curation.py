@@ -957,3 +957,54 @@ SELECT rank, doc_id, source, round(vtime, 6) AS vtime FROM (
   FROM timed
 ) WHERE rank <= {INTERLEAVE_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# schema_drift_union — schema-evolution roundtrip: two parquet batches
+# written with different schemas (batch 2 adds a `score` column), read
+# back as one dataset with mergeSchema=true — the lakehouse answer to
+# "a producer added a field mid-stream". Old rows surface NULL for the
+# drifted column; the per-batch null accounting proves the merge read
+# both physical schemas. At 100 TB mergeSchema's footer-sampling cost
+# is the concern — production pins the unified schema in a metastore —
+# but the read semantics verified here are identical.
+# ---------------------------------------------------------------------------
+
+
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="schema_drift_")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).withColumn("batch", F.lit(1))
+    v2 = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("batch", F.lit(2))
+        .withColumn("score", F.round(F.col("n_chars") / 100.0, 2))
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/b=1")
+    v2.write.mode("overwrite").parquet(f"{out}/b=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/b=1", f"{out}/b=2"
+    )
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("score").isNull().cast("long")).alias("n_null_score"),
+        F.round(F.sum(F.coalesce("score", F.lit(0.0))), 2).alias("total_score"),
+    )
+
+
+SCHEMA_DRIFT_UNION_SQL = """
+WITH v AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS batch,
+         CASE WHEN doc_id % 2 = 1 THEN round(n_chars / 100.0, 2) END AS score
+  FROM documents
+)
+SELECT batch, count(*) AS n_docs,
+       sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS n_null_score,
+       round(sum(COALESCE(score, 0.0)), 2) AS total_score
+FROM v GROUP BY batch
+"""
