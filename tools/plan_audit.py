@@ -87,6 +87,19 @@ AUDITS: dict[str, dict] = {
     # chi2's 1-row total crossJoin is the canonical scalar plan
     "brand_nation_chi2": {"broadcast": 1},
     "top_session_paths": {"topk": True},
+    "negative_sampling_pairs": {"no_cartesian": True},
+    # kmv: the sketch × type-list expansion is an intentional bounded
+    # (k × |types|) nested-loop; exact side uses hash joins
+    "kmv_segment_jaccard": {"broadcast": 2},
+    # rfm / changepoint: 1-row anchor crossJoin plans as the canonical
+    # scalar BroadcastNestedLoopJoin — don't flag it
+    "rfm_segments": {},
+    "table_diff": {"no_cartesian": True},
+    "status_as_of": {},
+    "revenue_changepoint": {"topk": True},
+    "sentiment_scores": {},
+    "sliding_distinct_users": {},
+    "windowed_p95_value": {},
     # full-table profile: nothing to push, audit for eyeball only
     "lineitem_profile": {},
     "mv_revenue_maintenance": {"pushed": True},
