@@ -613,6 +613,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.negative_sampling_pairs,
         similarity.NEGATIVE_SAMPLING_PAIRS_SQL,
     ),
+    # hierarchical treeReduce merge must agree with the one-pass SQL agg
+    "tree_covariance": (
+        similarity.tree_covariance,
+        similarity.EMBEDDING_COVARIANCE_SQL,
+    ),
     "kmv_segment_jaccard": (
         analytics.kmv_segment_jaccard,
         analytics.KMV_SEGMENT_JACCARD_SQL,

@@ -871,3 +871,58 @@ SELECT anchor_id, anchor_label,
 FROM ranked WHERE rn <= {_NEG_K}
 GROUP BY anchor_id, anchor_label
 """
+
+
+# ---------------------------------------------------------------------------
+# tree_covariance — the same covariance/correlation statistics computed
+# through RDD treeReduce: per-partition numpy partials (n, Σx, Σxxᵀ)
+# merged HIERARCHICALLY (depth 2) instead of all partials flowing to
+# the driver. On 1000 executors a flat reduce makes the driver merge
+# 1000 moment matrices; treeReduce inserts an intermediate merge round
+# so the driver sees √-ish fan-in — the pattern for any wide mergeable
+# state (large sketches, gradient blocks) whose partials are too big
+# for a driver fan-in. Shares embedding_covariance's oracle, so the
+# hierarchical merge must agree with the one-pass SQL aggregate.
+# ---------------------------------------------------------------------------
+
+
+def tree_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    k = _COV_DIMS
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        F.array(
+            *[F.element_at("embedding", i + 1).cast("double") for i in range(k)]
+        ).alias("x")
+    )
+
+    def partial(rows):
+        n, s, sp = 0, np.zeros(k), np.zeros((k, k))
+        for r in rows:
+            v = np.asarray(r["x"], dtype=np.float64)
+            n += 1
+            s += v
+            sp += np.outer(v, v)
+        yield (n, s, sp)
+
+    def merge(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    n, s, sp = proj.rdd.mapPartitions(partial).treeReduce(merge, depth=2)
+    mean = s / n
+    cov = sp / n - np.outer(mean, mean)
+    std = np.sqrt(np.diag(cov))
+    names, vals = [], []
+    for i in range(k):
+        names.append(f"mean_{i + 1}")
+        vals.append(round(float(mean[i]), 6))
+    for i in range(k):
+        for j in range(i, k):
+            names.append(f"cov_{i + 1}_{j + 1}")
+            vals.append(round(float(cov[i, j]), 6))
+            if i != j:
+                names.append(f"corr_{i + 1}_{j + 1}")
+                vals.append(round(float(cov[i, j] / (std[i] * std[j])), 6))
+    schema = ", ".join(f"{c} double" for c in names)
+    return spark.createDataFrame([tuple(vals)], schema)
