@@ -1008,3 +1008,45 @@ SELECT batch, count(*) AS n_docs,
        round(sum(COALESCE(score, 0.0)), 2) AS total_score
 FROM v GROUP BY batch
 """
+
+
+# ---------------------------------------------------------------------------
+# file_provenance_stats — the hidden `_metadata` file columns (Spark
+# ≥3.4): after writing a hive-partitioned dataset (one file per
+# partition, forced by repartitioning on the partition key), read back
+# with `_metadata.file_name` / `file_size` and account rows per
+# physical file. File provenance is how incremental pipelines attribute
+# bad records to their source object at 100 TB; sizes/names are
+# environment-dependent, so the oracle-checked columns are the
+# invariants (rows per partition, file count, size positivity).
+# ---------------------------------------------------------------------------
+
+
+def file_provenance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = tempfile.mkdtemp(prefix="provenance_")
+    (
+        docs.repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "doc_id",
+        "lang",
+        F.col("_metadata.file_name").alias("fname"),
+        F.col("_metadata.file_size").alias("fsize"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("fname").alias("n_files"),
+        (F.min("fsize") > 0).alias("sizes_positive"),
+    )
+
+
+FILE_PROVENANCE_STATS_SQL = """
+SELECT lang, count(*) AS n_rows, 1 AS n_files, TRUE AS sizes_positive
+FROM documents GROUP BY lang
+"""

@@ -284,6 +284,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.EVENT_TRANSITION_MATRIX_SQL,
     ),
     # --- CSV sink + typed reader round-trip through the oracle gate ---
+    "file_provenance_stats": (
+        curation.file_provenance_stats,
+        curation.FILE_PROVENANCE_STATS_SQL,
+    ),
     "schema_drift_union": (
         curation.schema_drift_union,
         curation.SCHEMA_DRIFT_UNION_SQL,
