@@ -1589,3 +1589,54 @@ SELECT strftime(day, '%a') AS dow,
        round(avg(r) / (SELECT overall FROM o), 6) AS seasonal_index
 FROM d GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue_ewma — exponentially weighted moving average of daily
+# revenue: an order-dependent recursive smoother (s_d = α·r_d +
+# (1-α)·s_{d-1}) that plain SQL aggregates can't express — computed as
+# a sequential FOLD over the ordered O(days) series, collected into one
+# bounded array (the same driver-bounded-state argument as PageRank's
+# edge list). Spark's higher-order aggregate() and DuckDB's
+# list_reduce() both fold left-to-right with the first element as the
+# initial accumulator, so the doubles agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.1
+
+
+def revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_revenue(spark, sf_dir)
+    series = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "r"))), lambda x: x.r
+        ).alias("arr")
+    )
+    a = _EWMA_ALPHA
+    ewma = F.expr(
+        f"aggregate(slice(arr, 2, size(arr) - 1), element_at(arr, 1), "
+        f"(acc, x) -> acc * {1 - a} + x * {a})"
+    )
+    return series.select(
+        F.size("arr").alias("n_days"),
+        F.round(ewma, 4).alias("ewma"),
+        F.round(F.element_at("arr", -1), 2).alias("last_day_revenue"),
+        F.round(F.element_at("arr", -1) / ewma, 6).alias("last_vs_smooth"),
+    )
+
+
+REVENUE_EWMA_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+s AS (SELECT list(r ORDER BY day) AS arr FROM d),
+e AS (
+  SELECT len(arr) AS n_days,
+         list_reduce(arr, (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA})
+           AS ewma,
+         arr[-1] AS last_r
+  FROM s
+)
+SELECT n_days, round(ewma, 4) AS ewma,
+       round(last_r, 2) AS last_day_revenue,
+       round(last_r / ewma, 6) AS last_vs_smooth
+FROM e
+"""
