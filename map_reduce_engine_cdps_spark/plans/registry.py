@@ -104,6 +104,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "status_pivot": (relational.status_pivot, relational.STATUS_PIVOT_SQL),
     "status_unpivot": (relational.status_unpivot, relational.STATUS_UNPIVOT_SQL),
+    "status_pivot_multi": (
+        relational.status_pivot_multi,
+        relational.STATUS_PIVOT_MULTI_SQL,
+    ),
     "user_session_duration": (
         relational.user_session_duration,
         relational.USER_SESSION_DURATION_SQL,
@@ -596,6 +600,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.MV_REVENUE_MAINTENANCE_SQL,
     ),
     "sentiment_scores": (textops.sentiment_scores, textops.SENTIMENT_SCORES_SQL),
+    "kwic_snippets": (textops.kwic_snippets, textops.KWIC_SNIPPETS_SQL),
     # --- corpus statistics / distribution calibration ---
     "zipf_fit": (textops.zipf_fit, textops.ZIPF_FIT_SQL),
     "vocab_growth_heaps": (

@@ -2373,3 +2373,37 @@ WHERE run_start <= TIMESTAMP '{_AS_OF} 00:00:00'
   AND (next_start IS NULL OR next_start > TIMESTAMP '{_AS_OF} 00:00:00')
 GROUP BY o_orderstatus
 """
+
+
+# ---------------------------------------------------------------------------
+# status_pivot_multi — pivot with MULTIPLE aggregates per pivot value:
+# Spark names the generated columns "{value}_{alias}", aliased here to
+# the oracle's CASE-expression names. Same single hash-aggregate as the
+# single-agg pivot (pivot compiles to conditional aggregation — no
+# extra pass per aggregate or per value).
+# ---------------------------------------------------------------------------
+
+
+def status_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+        .withColumnsRenamed(
+            {"F_n": "n_f", "F_rev": "rev_f", "O_n": "n_o", "O_rev": "rev_o"}
+        )
+    )
+
+
+STATUS_PIVOT_MULTI_SQL = """
+SELECT l_returnflag,
+       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS rev_f,
+       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS rev_o
+FROM lineitem GROUP BY l_returnflag
+"""

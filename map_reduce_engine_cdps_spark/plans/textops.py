@@ -946,3 +946,50 @@ FROM d GROUP BY source
 
 
 SENTIMENT_SCORES_SQL = _sentiment_sql()
+
+
+# ---------------------------------------------------------------------------
+# kwic_snippets — keyword-in-context extraction: for documents
+# mentioning the query term, capture the ±2-token window around the
+# FIRST occurrence with one anchored regex (no tokenize-explode-rejoin
+# round trip), then count the distinct context patterns. The regex
+# evaluates row-local in whole-stage codegen; the only shuffle is the
+# O(distinct contexts) count.
+# ---------------------------------------------------------------------------
+
+_KWIC_TERM = "spark"
+_KWIC_RE = (
+    r"((?:[a-z0-9]+ ){0,2})" + _KWIC_TERM + r"((?: [a-z0-9]+){0,2})"
+)
+
+
+def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hit = docs.filter(F.col("text").rlike(rf"\b{_KWIC_TERM}\b"))
+    ctx = hit.select(
+        F.concat(
+            F.regexp_extract("text", _KWIC_RE, 1),
+            F.lit("[" + _KWIC_TERM + "]"),
+            F.regexp_extract("text", _KWIC_RE, 2),
+        ).alias("context")
+    )
+    return (
+        ctx.groupBy("context")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("context"))
+        .limit(20)
+    )
+
+
+KWIC_SNIPPETS_SQL = f"""
+WITH hit AS (
+  SELECT text FROM documents WHERE regexp_matches(text, '\\b{_KWIC_TERM}\\b')
+), ctx AS (
+  SELECT regexp_extract(text, '{_KWIC_RE}', 1) ||
+         '[{_KWIC_TERM}]' ||
+         regexp_extract(text, '{_KWIC_RE}', 2) AS context
+  FROM hit
+)
+SELECT context, count(*) AS n FROM ctx
+GROUP BY context ORDER BY n DESC, context ASC LIMIT 20
+"""
