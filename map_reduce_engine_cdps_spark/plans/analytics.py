@@ -1640,3 +1640,71 @@ SELECT n_days, round(ewma, 4) AS ewma,
        round(last_r / ewma, 6) AS last_vs_smooth
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue_holt — Holt linear-trend smoothing (two-state recursion:
+# level + trend) over the daily series, as a struct-accumulator fold —
+# the multi-state generalization of revenue_ewma's scalar fold. The
+# level-update subexpression is spelled out identically in the trend
+# update on BOTH engines (no intermediate binding exists in either
+# lambda language), so the recursions produce bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.2  # level smoothing
+_HOLT_B = 0.1  # trend smoothing
+
+
+def revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_revenue(spark, sf_dir)
+    series = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "r"))), lambda x: x.r
+        ).alias("arr")
+    )
+    a, b = _HOLT_A, _HOLT_B
+    lvl = f"({a} * x.l + {1 - a} * (acc.l + acc.b))"
+    fold = F.expr(
+        "aggregate("
+        "  slice(transform(arr, v -> named_struct('l', v, 'b', cast(0.0 as double))), 2, size(arr) - 1),"
+        "  named_struct('l', element_at(arr, 1), 'b', cast(0.0 as double)),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {lvl},"
+        f"   'b', {b} * ({lvl} - acc.l) + {1 - b} * acc.b))"
+    )
+    out = series.select(F.size("arr").alias("n_days"), fold.alias("st"))
+    return out.select(
+        "n_days",
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
+    )
+
+
+def _holt_sql() -> str:
+    # NOT a list_reduce fold: DuckDB (1.0) evaluates result-struct
+    # fields sequentially against a mutated accumulator (the trend
+    # expression would see the already-updated level), so the oracle
+    # uses a recursive CTE over the day index — standard semantics,
+    # identical arithmetic to the Spark lambda.
+    a, b = _HOLT_A, _HOLT_B
+    lvl = f"({a} * arr[i + 1] + {1 - a} * (l + b))"
+    return f"""
+WITH RECURSIVE d AS ({_DAILY_SQL}),
+s AS (SELECT list(r ORDER BY day) AS arr FROM d),
+h(i, l, b) AS (
+  SELECT 1, arr[1], 0.0::DOUBLE FROM s
+  UNION ALL
+  SELECT i + 1,
+         {lvl},
+         {b} * ({lvl} - l) + {1 - b} * b
+  FROM h, s WHERE i < len(arr)
+)
+SELECT (SELECT len(arr) FROM s) AS n_days,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(l + b, 4) AS forecast_next
+FROM h WHERE i = (SELECT len(arr) FROM s)
+"""
+
+
+REVENUE_HOLT_SQL = _holt_sql()

@@ -641,6 +641,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "revenue_acf": (analytics.revenue_acf, analytics.REVENUE_ACF_SQL),
     "revenue_ewma": (analytics.revenue_ewma, analytics.REVENUE_EWMA_SQL),
+    "revenue_holt": (analytics.revenue_holt, analytics.REVENUE_HOLT_SQL),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     # --- basket mining / clickstream paths ---
     "frequent_type_pairs": (
