@@ -118,3 +118,93 @@ def one_vs_one_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: deterministic per-pair training metrics
     (non-SQL-expressible — iterative optimizer — so rows-only check)."""
     return train_one_vs_one(spark, sf_dir).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# Ensemble majority-vote evaluation — the reference's tester flow
+# (scripts/plants_classifier_tester.py:37-58): every one-vs-one model
+# votes on every sample; the majority label wins (ties → smallest
+# label); accuracy is reported per true label (T33 mode-per-group +
+# T34 accuracy). Spark-native shape: the C(n,2) models are a bounded
+# driver-side artifact (like kmeans centroids), broadcast into an
+# Arrow-batched scoring UDF; only (vec, true, pred) rows ever shuffle,
+# and only to the per-label accuracy aggregate.
+# ---------------------------------------------------------------------------
+
+FULL_TRAIN_SCHEMA = (
+    "label_a int, label_b int, weights array<double>, intercept double"
+)
+
+
+def _train_pair_full(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    label_a = int(pdf["label_a"].iloc[0])
+    label_b = int(pdf["label_b"].iloc[0])
+    x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    y = (pdf["label"].to_numpy() == label_b).astype(np.float64)
+    w = np.zeros(x.shape[1])
+    b = 0.0
+    lr = 0.5
+    for _ in range(200):
+        p = _sigmoid(x @ w + b)
+        w -= lr * (x.T @ (p - y) / len(y))
+        b -= lr * float(np.mean(p - y))
+    return pd.DataFrame(
+        [
+            {
+                "label_a": label_a,
+                "label_b": label_b,
+                "weights": list(w),
+                "intercept": b,
+            }
+        ]
+    )
+
+
+def ensemble_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): one-vs-one ensemble evaluated by
+    majority vote, per-true-label accuracy. Deterministic end to end
+    (GD trainer has no RNG; tie-break = smallest label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = label_pairs_df(emb)
+    sided = pairs.withColumn(
+        "label", F.explode(F.array(F.col("label_a"), F.col("label_b")))
+    )
+    models_rows = (
+        emb.join(F.broadcast(sided), "label")
+        .groupBy("label_a", "label_b")
+        .applyInPandas(_train_pair_full, schema=FULL_TRAIN_SCHEMA)
+        .collect()
+    )
+    models = [
+        (r["label_a"], r["label_b"], np.asarray(r["weights"]), r["intercept"])
+        for r in models_rows
+    ]
+    bc = spark.sparkContext.broadcast(models)
+
+    @F.pandas_udf("int")
+    def vote(embs: pd.Series) -> pd.Series:
+        ms = bc.value
+        x = np.vstack(embs.to_numpy()).astype(np.float64)
+        labels = sorted({m[0] for m in ms} | {m[1] for m in ms})
+        counts = {lab: np.zeros(len(x), dtype=np.int64) for lab in labels}
+        for la, lb, w, b in ms:
+            is_b = _sigmoid(x @ w + b) >= 0.5
+            counts[lb] += is_b.astype(np.int64)
+            counts[la] += (~is_b).astype(np.int64)
+        # majority vote, ties to the smallest label (labels iterated asc)
+        best = np.full(len(x), labels[0])
+        best_n = counts[labels[0]].copy()
+        for lab in labels[1:]:
+            better = counts[lab] > best_n
+            best = np.where(better, lab, best)
+            best_n = np.maximum(best_n, counts[lab])
+        return pd.Series(best, dtype="int32")
+
+    scored = emb.select("label", vote(F.col("embedding")).alias("pred"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(
+            F.avg((F.col("pred") == F.col("label")).cast("double")), 4
+        ).alias("vote_accuracy"),
+    )

@@ -413,6 +413,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- ML pipeline (plants workload restatement): iterative numpy
     # trainer inside applyInPandas — non-SQL-expressible, rows-only ---
     "one_vs_one_training": (mlpipeline.one_vs_one_metrics, None),
+    "ensemble_vote_accuracy": (mlpipeline.ensemble_vote_accuracy, None),
     # --- embedding near-dup (LSH-bucketed cosine pairs) ---
     "embedding_near_dup": (
         similarity.embedding_near_dup,

@@ -340,3 +340,21 @@ def test_dhash_properties(spark, sf_dir):
     row = image_dhash_dedup(spark, sf_dir).collect()[0]
     assert row["n_images"] >= row["n_distinct_hashes"] > 0
     assert row["n_removable"] == row["n_images"] - row["n_distinct_hashes"]
+
+
+def test_ensemble_vote_accuracy(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.operators.mlpipeline import (
+        ensemble_vote_accuracy,
+    )
+
+    rows = ensemble_vote_accuracy(spark, sf_dir).collect()
+    n_labels = len(rows)
+    assert n_labels >= 2
+    overall = sum(r["vote_accuracy"] * r["n_samples"] for r in rows) / sum(
+        r["n_samples"] for r in rows
+    )
+    # the one-vs-one ensemble must beat the random baseline decisively
+    assert overall > 2.0 / n_labels, overall
+    # deterministic end to end
+    again = {r["label"]: r["vote_accuracy"] for r in ensemble_vote_accuracy(spark, sf_dir).collect()}
+    assert all(again[r["label"]] == r["vote_accuracy"] for r in rows)
