@@ -151,8 +151,13 @@ def text_embedder_udf():
 
 
 def doc_embeddings(spark, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): embed documents.text in Arrow batches.
-    Deterministic, so the driver's repeated runs are stable."""
+    """Registry entry: embed documents.text in Arrow batches.
+
+    The stand-in embedder is md5-derived (16 bytes / 255, float32), so
+    it IS SQL-expressible: DOC_EMBEDDINGS_SQL reconstructs the squared
+    norm hex-digit by hex-digit. sq_norm rounds at 4 decimals because
+    the UDF quantizes each component to float32 while the oracle stays
+    in float64 (~5e-7 worst-case drift over 16 terms)."""
     from map_reduce_engine_cdps_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -168,18 +173,19 @@ def doc_embeddings(spark, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             ),
-            6,
+            4,
         ).alias("sq_norm"),
         F.size("embedding").alias("dim"),
     )
 
 
 def media_features(spark, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): the full multimodal pipeline over a
-    binary column derived from `documents` — encode text→binary payload
-    with typed metadata, then Arrow-batched mapInPandas feature
-    extraction. Deterministic (md5-seeded fake decode), so repeated
-    driver runs are stable. Scale: only (media_id, content) cross the
+    """Registry entry: the full multimodal pipeline over a binary
+    column derived from `documents` — encode text→binary payload with
+    typed metadata, then Arrow-batched mapInPandas feature extraction.
+    The fake decode is md5-derived, so MEDIA_FEATURES_SQL reconstructs
+    the feature sum from hex digits (float32-vs-float64 drift absorbed
+    by rounding at 4). Scale: only (media_id, content) cross the
     Python boundary; the aggregate is partial-combinable."""
     from map_reduce_engine_cdps_spark.sources.readers import load_table
 
@@ -205,7 +211,7 @@ def media_features(spark, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             ),
-            6,
+            4,
         ).alias("feat_sum"),
     )
 
@@ -366,8 +372,12 @@ def window_audio(
 
 
 def audio_window_features(spark, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): audio windowing + per-media loudness
-    stats over the deterministic synthetic media table."""
+    """Registry entry: audio windowing + per-media loudness stats over
+    the deterministic synthetic media table. The synthetic payload is
+    repeat(sha256(id), k) and the fake decode is int8 PCM, so
+    AUDIO_WINDOW_FEATURES_SQL reconstructs every sample hex-digit by
+    hex-digit (DuckDB sha256() matches hashlib) — the windowing, int8
+    sign convention, RMS and peak all oracle-checked."""
     media = synth_media_df(spark, n=64, partitions=8)
     wins = window_audio(media)
     return wins.groupBy("media_id").agg(
@@ -514,3 +524,82 @@ def image_dhash_dedup(spark, sf_dir: str) -> DataFrame:
             F.when(F.col("n_images") > 1, F.col("n_images") - 1).otherwise(0)
         ).alias("n_removable"),
     )
+
+
+DOC_EMBEDDINGS_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id,
+       round(pow((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) + strpos('0123456789abcdef', substr(h, 10, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) + strpos('0123456789abcdef', substr(h, 12, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) + strpos('0123456789abcdef', substr(h, 14, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) + strpos('0123456789abcdef', substr(h, 16, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 17, 1)) - 1) + strpos('0123456789abcdef', substr(h, 18, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 19, 1)) - 1) + strpos('0123456789abcdef', substr(h, 20, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 21, 1)) - 1) + strpos('0123456789abcdef', substr(h, 22, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 23, 1)) - 1) + strpos('0123456789abcdef', substr(h, 24, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 25, 1)) - 1) + strpos('0123456789abcdef', substr(h, 26, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 27, 1)) - 1) + strpos('0123456789abcdef', substr(h, 28, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 29, 1)) - 1) + strpos('0123456789abcdef', substr(h, 30, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 31, 1)) - 1) + strpos('0123456789abcdef', substr(h, 32, 1)) - 1) / 255.0, 2), 4) AS sq_norm,
+       16 AS dim
+FROM h
+"""
+
+
+MEDIA_FEATURES_SQL = """
+WITH h AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h
+  FROM documents
+)
+SELECT media_id, n_bytes, 16 AS dim,
+       round((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) + strpos('0123456789abcdef', substr(h, 10, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) + strpos('0123456789abcdef', substr(h, 12, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) + strpos('0123456789abcdef', substr(h, 14, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) + strpos('0123456789abcdef', substr(h, 16, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 17, 1)) - 1) + strpos('0123456789abcdef', substr(h, 18, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 19, 1)) - 1) + strpos('0123456789abcdef', substr(h, 20, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 21, 1)) - 1) + strpos('0123456789abcdef', substr(h, 22, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 23, 1)) - 1) + strpos('0123456789abcdef', substr(h, 24, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 25, 1)) - 1) + strpos('0123456789abcdef', substr(h, 26, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 27, 1)) - 1) + strpos('0123456789abcdef', substr(h, 28, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 29, 1)) - 1) + strpos('0123456789abcdef', substr(h, 30, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 31, 1)) - 1) + strpos('0123456789abcdef', substr(h, 32, 1)) - 1) / 255.0, 4) AS feat_sum
+FROM h
+"""
+
+
+# Oracle for image_dhash_dedup: the fake decode resamples the UTF-8
+# payload bytes at numpy-linspace positions; the corpus is ASCII, so
+# byte i == ascii(char i) and the 8x9 grid + 64 comparison bits are
+# reconstructable in SQL. The summary never exposes the hash VALUE,
+# only the grouping, so the oracle groups on the 64-char bit string —
+# identical partitioning, representation-independent.
+IMAGE_DHASH_DEDUP_SQL = """
+WITH hashed AS (
+  SELECT doc_id, CASE WHEN ascii(substr(text, CAST(trunc(0 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(1 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(1 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(2 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(2 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(3 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(3 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(4 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(4 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(5 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(5 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(6 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(6 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(7 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(7 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(8 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(9 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(10 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(10 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(11 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(11 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(12 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(12 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(13 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(13 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(14 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(14 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(15 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(15 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(16 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(16 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(17 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(18 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(19 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(19 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(20 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(20 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(21 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(21 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(22 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(22 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(23 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(23 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(24 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(24 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(25 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(25 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(26 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(27 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(28 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(28 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(29 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(29 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(30 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(30 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(31 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(31 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(32 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(32 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(33 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(33 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(34 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(34 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(35 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(36 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(37 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(37 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(38 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(38 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(39 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(39 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(40 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(40 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(41 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(41 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(42 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(42 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(43 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(43 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(44 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(45 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(46 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(46 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(47 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(47 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(48 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(48 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(49 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(49 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(50 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(50 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(51 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(51 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(52 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(52 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(53 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(54 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(55 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(55 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(56 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(56 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(57 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(57 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(58 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(58 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(59 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(59 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(60 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(60 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(61 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(61 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(62 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(63 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(64 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(64 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(65 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(65 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(66 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(66 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(67 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(67 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(68 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(68 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(69 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(69 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(70 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(70 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(71 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END AS bits
+  FROM documents
+),
+groups AS (SELECT bits, count(*) AS n_images FROM hashed GROUP BY bits)
+SELECT sum(n_images) AS n_images,
+       count(*) AS n_distinct_hashes,
+       sum(CASE WHEN n_images > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+       sum(CASE WHEN n_images > 1 THEN n_images - 1 ELSE 0 END) AS n_removable
+FROM groups
+"""
+
+
+AUDIO_WINDOW_FEATURES_SQL = """
+WITH m AS (
+  SELECT CAST(t.i AS BIGINT) AS media_id, 1 + t.i % 5 AS k FROM range(64) t(i)
+),
+hx AS (
+  SELECT media_id, repeat(sha256(CAST(media_id AS VARCHAR)), k) AS h,
+         32 * k AS len
+  FROM m
+),
+win AS (
+  SELECT media_id, h, len, CAST(r.w AS INT) AS w
+  FROM hx, range(8) r(w)
+  WHERE r.w < greatest(CAST(ceil(len / 64.0) AS BIGINT), 1)
+),
+samp AS (
+  SELECT media_id, w,
+         16 * (strpos('0123456789abcdef', substr(h, 2 * (64 * w + q.j) + 1, 1)) - 1)
+         + strpos('0123456789abcdef', substr(h, 2 * (64 * w + q.j) + 2, 1)) - 1 AS b
+  FROM win, range(64) q(j)
+  WHERE 64 * w + q.j < len
+),
+pcm AS (
+  SELECT media_id, w,
+         (CASE WHEN b >= 128 THEN b - 256 ELSE b END) / 128.0 AS v
+  FROM samp
+),
+wstat AS (
+  SELECT media_id, w, sqrt(avg(v * v)) AS rms, max(abs(v)) AS peak
+  FROM pcm GROUP BY 1, 2
+)
+SELECT media_id, count(*) AS n_windows,
+       round(avg(rms), 6) AS avg_rms,
+       round(max(peak), 6) AS max_peak
+FROM wstat GROUP BY media_id
+"""

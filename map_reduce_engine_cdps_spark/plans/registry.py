@@ -421,12 +421,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- Arrow-batched pandas-UDF batch inference (T48 stand-in);
     # python-UDF hash math — rows-only ---
-    "doc_embeddings": (binary.doc_embeddings, None),
-    "audio_window_features": (binary.audio_window_features, None),
+    "doc_embeddings": (binary.doc_embeddings, binary.DOC_EMBEDDINGS_SQL),
+    "audio_window_features": (binary.audio_window_features, binary.AUDIO_WINDOW_FEATURES_SQL),
     # --- multimodal plumbing: binary column + typed metadata +
     # mapInPandas feature extraction (deterministic fake decode) — rows-only ---
-    "media_features": (binary.media_features, None),
-    "image_dhash_dedup": (binary.image_dhash_dedup, None),
+    "media_features": (binary.media_features, binary.MEDIA_FEATURES_SQL),
+    "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
     # --- video frame sampling: one-to-many mapInPandas fan-out with
     # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
     "video_frame_samples": (binary.video_frame_samples, None),
