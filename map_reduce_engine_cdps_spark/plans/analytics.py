@@ -1708,3 +1708,45 @@ FROM h WHERE i = (SELECT len(arr) FROM s)
 
 
 REVENUE_HOLT_SQL = _holt_sql()
+
+
+# ---------------------------------------------------------------------------
+# bitmap_distinct_users — Spark 4 bitmap aggregate family
+# (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+# bitmap_or_agg / bitmap_count): EXACT distinct counting through
+# mergeable bitmap shards — the roaring-bitmap-index pattern. Like the
+# HLL sketches (hll_sketch_users) the per-shard bitmaps merge
+# associatively across any partitioning and can be persisted and OR-ed
+# across days without rescanning history, but the count stays exact;
+# the cost is bitmap size scaling with the id range per bucket. The
+# shard split proves the merge path; the oracle's COUNT(DISTINCT) must
+# match exactly.
+# ---------------------------------------------------------------------------
+
+
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_bm_events")
+    return spark.sql(
+        """
+        SELECT event_type, sum(bitmap_count(bm)) AS n_users
+        FROM (
+          SELECT event_type, bucket, bitmap_or_agg(bm) AS bm
+          FROM (
+            SELECT event_type,
+                   bitmap_bucket_number(user_id) AS bucket,
+                   bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+            FROM _bm_events
+            GROUP BY event_type, bitmap_bucket_number(user_id), user_id % 2
+          )
+          GROUP BY event_type, bucket
+        )
+        GROUP BY event_type
+        """
+    )
+
+
+BITMAP_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""

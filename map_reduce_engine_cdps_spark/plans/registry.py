@@ -628,6 +628,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.tree_covariance,
         similarity.EMBEDDING_COVARIANCE_SQL,
     ),
+    "bitmap_distinct_users": (
+        analytics.bitmap_distinct_users,
+        analytics.BITMAP_DISTINCT_USERS_SQL,
+    ),
     "kmv_segment_jaccard": (
         analytics.kmv_segment_jaccard,
         analytics.KMV_SEGMENT_JACCARD_SQL,
