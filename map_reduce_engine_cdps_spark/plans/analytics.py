@@ -1750,3 +1750,141 @@ BITMAP_DISTINCT_USERS_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric two-sample tests comparing the `value` distribution of
+# click vs purchase events. Both reduce to rank/CDF bookkeeping over
+# the pooled sample — windows over the pooled values, one shuffle.
+# At 100 TB the exact ranks swap for binned ECDFs (value_histogram's
+# grid) with the same statistics over O(bins) rows.
+# ---------------------------------------------------------------------------
+
+_TEST_A, _TEST_B = "click", "purchase"
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov D = max |ECDF_a - ECDF_b| over the pooled
+    ordered values; running per-group counts give both ECDFs in one
+    ordered pass. Evaluated at each pooled value (post-step points),
+    which is exactly where the sup is attained."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_TEST_A, _TEST_B)
+    )
+    n = ev.groupBy().pivot("event_type", [_TEST_A, _TEST_B]).count()
+    w = W.orderBy("value", "event_type", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    pooled = ev.select(
+        "value",
+        "event_type",
+        "event_id",
+        F.sum((F.col("event_type") == _TEST_A).cast("long")).over(w).alias("ca"),
+        F.sum((F.col("event_type") == _TEST_B).cast("long")).over(w).alias("cb"),
+    )
+    # evaluate AFTER consuming all ties of a value: keep the last row
+    # per value (max counts at that value)
+    per_value = pooled.groupBy("value").agg(
+        F.max("ca").alias("ca"), F.max("cb").alias("cb")
+    )
+    return (
+        per_value.crossJoin(F.broadcast(n))
+        .select(
+            F.abs(
+                F.col("ca") / F.col(_TEST_A) - F.col("cb") / F.col(_TEST_B)
+            ).alias("d"),
+        )
+        .agg(F.round(F.max("d"), 6).alias("ks_d"))
+        .crossJoin(F.broadcast(n.select(F.col(_TEST_A).alias("n_a"), F.col(_TEST_B).alias("n_b"))))
+    )
+
+
+KS_TWO_SAMPLE_SQL = f"""
+WITH ev AS (
+  SELECT value, event_type, event_id FROM events
+  WHERE event_type IN ('{_TEST_A}', '{_TEST_B}')
+),
+n AS (
+  SELECT sum(CASE WHEN event_type = '{_TEST_A}' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN event_type = '{_TEST_B}' THEN 1 ELSE 0 END) AS n_b
+  FROM ev
+),
+pooled AS (
+  SELECT value,
+         sum(CASE WHEN event_type = '{_TEST_A}' THEN 1 ELSE 0 END)
+           OVER (ORDER BY value, event_type, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(CASE WHEN event_type = '{_TEST_B}' THEN 1 ELSE 0 END)
+           OVER (ORDER BY value, event_type, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM ev
+),
+per_value AS (SELECT value, max(ca) AS ca, max(cb) AS cb FROM pooled GROUP BY value)
+SELECT round(max(abs(ca / CAST(n_a AS DOUBLE) - cb / CAST(n_b AS DOUBLE))), 6) AS ks_d,
+       max(n_a) AS n_a, max(n_b) AS n_b
+FROM per_value, n
+"""
+
+
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U via average ranks (exact tie handling): the
+    midrank of a tied block is first_rank + (block - 1)/2, computed
+    from rank() + per-value counts — no dense self-joins."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_TEST_A, _TEST_B)
+    )
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.rank().over(W.orderBy("value")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("value")).alias("ties"),
+    ).withColumn("midrank", F.col("rnk") + (F.col("ties") - 1) / 2.0)
+    stats = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("midrank").alias("rank_sum")
+    )
+    a = stats.filter(F.col("event_type") == _TEST_A).select(
+        F.col("n").alias("n_a"), F.col("rank_sum").alias("r_a")
+    )
+    b = stats.filter(F.col("event_type") == _TEST_B).select(
+        F.col("n").alias("n_b")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0, 2
+            ).alias("u_a"),
+        )
+        .withColumn(
+            "auc", F.round(F.col("u_a") / (F.col("n_a") * F.col("n_b")), 6)
+        )
+    )
+
+
+MANNWHITNEY_U_SQL = f"""
+WITH ev AS (
+  SELECT value, event_type FROM events
+  WHERE event_type IN ('{_TEST_A}', '{_TEST_B}')
+),
+ranked AS (
+  SELECT event_type,
+         rank() OVER (ORDER BY value)
+           + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS midrank
+  FROM ev
+),
+stats AS (
+  SELECT event_type, count(*) AS n, sum(midrank) AS rank_sum
+  FROM ranked GROUP BY event_type
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.rank_sum - a.n * (a.n + 1) / 2.0, 2) AS u_a,
+       round((a.rank_sum - a.n * (a.n + 1) / 2.0) / (a.n * CAST(b.n AS DOUBLE)), 6) AS auc
+FROM stats a, stats b
+WHERE a.event_type = '{_TEST_A}' AND b.event_type = '{_TEST_B}'
+"""

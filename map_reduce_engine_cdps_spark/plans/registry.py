@@ -628,6 +628,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.tree_covariance,
         similarity.EMBEDDING_COVARIANCE_SQL,
     ),
+    "ks_two_sample": (analytics.ks_two_sample, analytics.KS_TWO_SAMPLE_SQL),
+    "mannwhitney_u": (analytics.mannwhitney_u, analytics.MANNWHITNEY_U_SQL),
     "bitmap_distinct_users": (
         analytics.bitmap_distinct_users,
         analytics.BITMAP_DISTINCT_USERS_SQL,
