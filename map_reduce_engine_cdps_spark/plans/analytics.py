@@ -1888,3 +1888,54 @@ SELECT a.n AS n_a, b.n AS n_b,
 FROM stats a, stats b
 WHERE a.event_type = '{_TEST_A}' AND b.event_type = '{_TEST_B}'
 """
+
+
+# ---------------------------------------------------------------------------
+# benford_first_digit — Benford's-law conformance of order totals (the
+# classic fraud/data-quality screen): observed first-significant-digit
+# distribution vs log10(1 + 1/d), with the chi-square distance. One
+# hash aggregate over 9 digit groups; expected shares are literals.
+# ---------------------------------------------------------------------------
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.abs(F.col("o_totalprice")).cast("string"), 1, 1).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = obs.agg(F.sum("n").alias("tot"))
+    expected = F.log10(1 + 1 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("observed_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                (F.col("n") / F.col("tot") - expected) ** 2 / expected, 8
+            ).alias("chi2_term"),
+        )
+    )
+
+
+BENFORD_FIRST_DIGIT_SQL = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(abs(o_totalprice) AS VARCHAR), 1, 1) AS INT) AS d,
+         count(*) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+),
+t AS (SELECT sum(n) AS tot FROM obs)
+SELECT d, n,
+       round(n / CAST(tot AS DOUBLE), 6) AS observed_share,
+       round(log10(1 + 1.0 / d), 6) AS benford_share,
+       round(pow(n / CAST(tot AS DOUBLE) - log10(1 + 1.0 / d), 2)
+             / log10(1 + 1.0 / d), 8) AS chi2_term
+FROM obs, t
+"""

@@ -629,6 +629,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.EMBEDDING_COVARIANCE_SQL,
     ),
     "ks_two_sample": (analytics.ks_two_sample, analytics.KS_TWO_SAMPLE_SQL),
+    "benford_first_digit": (
+        analytics.benford_first_digit,
+        analytics.BENFORD_FIRST_DIGIT_SQL,
+    ),
     "mannwhitney_u": (analytics.mannwhitney_u, analytics.MANNWHITNEY_U_SQL),
     "bitmap_distinct_users": (
         analytics.bitmap_distinct_users,
