@@ -1939,3 +1939,36 @@ SELECT d, n,
              / log10(1 + 1.0 / d), 8) AS chi2_term
 FROM obs, t
 """
+
+
+# ---------------------------------------------------------------------------
+# price_qty_heatmap — 2-D binned density (price × quantity co-
+# occurrence): fixed arithmetic bucketing on both axes, one hash
+# aggregate over O(bins²) cells — the scatter-density reduction every
+# BI layer runs against a fact table. Fixed literal bounds keep the
+# binning deterministic and engine-independent (no data-dependent
+# min/max pass).
+# ---------------------------------------------------------------------------
+
+
+def price_qty_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    px = F.least(F.floor(F.col("l_extendedprice") / 10000.0).cast("int"), F.lit(10))
+    qx = F.least(F.floor(F.col("l_quantity") / 5.0).cast("int"), F.lit(9))
+    return (
+        li.groupBy(px.alias("price_bin"), qx.alias("qty_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+PRICE_QTY_HEATMAP_SQL = """
+SELECT least(CAST(floor(l_extendedprice / 10000.0) AS INT), 10) AS price_bin,
+       least(CAST(floor(l_quantity / 5.0) AS INT), 9) AS qty_bin,
+       count(*) AS n,
+       round(avg(l_extendedprice), 2) AS avg_price
+FROM lineitem
+GROUP BY 1, 2
+"""

@@ -536,3 +536,47 @@ SELECT totals.doc_id, n_windows, n_dup_windows,
 FROM totals JOIN dups USING (doc_id)
 ORDER BY totals.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — the selection step that completes the dedup
+# pipeline: within each exact-duplicate group keep the BEST document by
+# an explicit quality policy (longest text, then smallest doc_id as the
+# stable tie-break), not just the minimum id. One window over the
+# fingerprint groups; the per-source kept/discarded rollup is what a
+# curation report shows. Same policy slot accepts any quality score
+# (quality_filter_flags, unigram_logprob_scores) at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("fp")
+    )
+    w = W.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_discarded"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "kept_chars"
+        ),
+    )
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_discarded,
+       sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS kept_chars
+FROM ranked GROUP BY source
+"""

@@ -364,6 +364,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- deduplication ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     "minhash_signatures": (dedup.minhash_signatures, dedup.MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
@@ -629,6 +630,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.EMBEDDING_COVARIANCE_SQL,
     ),
     "ks_two_sample": (analytics.ks_two_sample, analytics.KS_TWO_SAMPLE_SQL),
+    "price_qty_heatmap": (
+        analytics.price_qty_heatmap,
+        analytics.PRICE_QTY_HEATMAP_SQL,
+    ),
     "benford_first_digit": (
         analytics.benford_first_digit,
         analytics.BENFORD_FIRST_DIGIT_SQL,
