@@ -86,3 +86,47 @@ def run_with_observed_metrics(
     observed = df.observe(obs, *[c.alias(k) for k, c in metric_exprs.items()])
     rows = observed.collect()
     return rows, obs.get
+
+
+def parse_events_with_bad_record_counter(df: DataFrame):
+    """Accumulator-backed malformed-record accounting (the classic
+    Spark operational surface this library had not yet exercised):
+    parse ``props`` JSON per partition, routing good rows onward and
+    counting malformed ones in driver-visible accumulators — the
+    pattern for "how many rows did the cleansing pass drop and why"
+    without a second scan or a separate filter job.
+
+    Accumulator caveat baked into the contract: counts are exact only
+    when read AFTER an action, and task retries can over-count — use
+    them for monitoring, never for query semantics (the returned rows
+    are the semantic output; the reference's per-phase counters,
+    engine/worker.py:175-182, have the same advisory role).
+
+    Returns (parsed_rows_df, counters) where counters() reads the
+    accumulators.
+    """
+    import json
+
+    sc = df.sparkSession.sparkContext
+    n_bad = sc.accumulator(0)
+    n_good = sc.accumulator(0)
+
+    def parse_partition(rows):
+        for r in rows:
+            try:
+                props = json.loads(r["props"]) if r["props"] else {}
+                k = int(props["k"])
+            except (ValueError, KeyError, TypeError):
+                n_bad.add(1)
+                continue
+            n_good.add(1)
+            yield (r["event_id"], r["user_id"], k)
+
+    parsed = df.select("event_id", "user_id", "props").rdd.mapPartitions(
+        parse_partition
+    ).toDF("event_id long, user_id long, k int")
+
+    def counters() -> dict:
+        return {"good": n_good.value, "bad": n_bad.value}
+
+    return parsed, counters

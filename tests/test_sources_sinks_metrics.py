@@ -278,3 +278,28 @@ def test_run_with_observed_metrics(spark, sf_dir):
     )
     assert metrics["n_rows"] == len(rows)
     assert abs(metrics["total_qty"] - sum(r[0] for r in rows)) < 1e-6
+
+
+def test_accumulator_bad_record_counter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.operators.metrics import (
+        parse_events_with_bad_record_counter,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # corrupt a deterministic slice of props
+    corrupted = ev.withColumn(
+        "props",
+        F.when(F.col("event_id") % 10 == 0, F.lit("{not json")).otherwise(
+            F.col("props")
+        ),
+    )
+    parsed, counters = parse_events_with_bad_record_counter(corrupted)
+    n_rows = parsed.count()  # action → accumulators populated
+    c = counters()
+    total = ev.count()
+    expect_bad = ev.filter(F.col("event_id") % 10 == 0).count()
+    assert c["bad"] == expect_bad
+    assert c["good"] == n_rows == total - expect_bad
