@@ -102,6 +102,17 @@ AUDITS: dict[str, dict] = {
     "windowed_p95_value": {},
     # full-table profile: nothing to push, audit for eyeball only
     "lineitem_profile": {},
+    # pooled-rank tests: global windows over the filtered pool by
+    # design (binned-ECDF swap documented in SCALE.md)
+    "ks_two_sample": {},
+    "mannwhitney_u": {},
+    # 1-row total crossJoin → canonical scalar BNLJ
+    "benford_first_digit": {},
+    "dedup_keep_best": {},
+    "price_qty_heatmap": {},
+    "bitmap_distinct_users": {},
+    "revenue_ewma": {},
+    "revenue_holt": {},
     "mv_revenue_maintenance": {"pushed": True},
 }
 
