@@ -1050,3 +1050,50 @@ FILE_PROVENANCE_STATS_SQL = """
 SELECT lang, count(*) AS n_rows, 1 AS n_files, TRUE AS sizes_positive
 FROM documents GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# multi_format_union — heterogeneous-source federation: the same
+# logical table materialized as parquet, CSV, and JSONL slices, read
+# back through three format-specific readers with one pinned schema and
+# unioned into a single plan. Real pipelines land data in whatever the
+# producer emits; the engine-side guarantee tested here is that the
+# union is loss-free and type-consistent across formats (per-format
+# counts + checksums must agree with the source partition).
+# ---------------------------------------------------------------------------
+
+
+def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = tempfile.mkdtemp(prefix="multifmt_")
+    slice_of = lambda r: docs.filter(F.col("doc_id") % 3 == r)
+    slice_of(0).write.mode("overwrite").parquet(f"{base}/p")
+    slice_of(1).write.mode("overwrite").option("header", True).csv(f"{base}/c")
+    slice_of(2).write.mode("overwrite").json(f"{base}/j")
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    parts = [
+        spark.read.parquet(f"{base}/p").withColumn("fmt", F.lit("parquet")),
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(f"{base}/c")
+        .withColumn("fmt", F.lit("csv")),
+        spark.read.schema(schema).json(f"{base}/j").withColumn("fmt", F.lit("jsonl")),
+    ]
+    allf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allf.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+MULTI_FORMAT_UNION_SQL = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'csv' ELSE 'jsonl' END AS fmt,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       sum(doc_id) AS id_checksum
+FROM documents
+GROUP BY 1
+"""

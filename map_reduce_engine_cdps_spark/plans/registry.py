@@ -292,6 +292,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.file_provenance_stats,
         curation.FILE_PROVENANCE_STATS_SQL,
     ),
+    "multi_format_union": (
+        curation.multi_format_union,
+        curation.MULTI_FORMAT_UNION_SQL,
+    ),
     "schema_drift_union": (
         curation.schema_drift_union,
         curation.SCHEMA_DRIFT_UNION_SQL,
