@@ -208,3 +208,96 @@ def ensemble_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("pred") == F.col("label")).cast("double")), 4
         ).alias("vote_accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The plants workload through the 4-hook compat shim — the reference's
+# ACTUAL program shape (tasks/plants_classifier.py): init computes the
+# pair→worker plan (divide_work, :57-96), map emits (label, embedding)
+# pairs (:190-203), shuffle MULTICASTS each label to every worker
+# owning one of its pairs (:206-219), and the worker-aware reduce
+# trains the pairs assigned to that worker id (:222-231). Training
+# math and the vec_id pre-sort are shared with the DataFrame path, so
+# the two formulations must produce identical metrics — asserted in
+# tests. (The DataFrame path remains the recommended one: SURVEY §4.1
+# shows the broadcast join subsumes divide_work.)
+# ---------------------------------------------------------------------------
+
+
+def one_vs_one_shim(spark: SparkSession, sf_dir: str, n_workers: int = 4) -> DataFrame:
+    from map_reduce_engine_cdps_spark.compat.mapreduce import run_task
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = sorted(r["label"] for r in emb.select("label").distinct().collect())
+    pairs = [
+        (a, b) for i, a in enumerate(labels) for b in labels[i + 1 :]
+    ]
+
+    def init_func(_worker_id: int):
+        # divide_work analogue: pair i trains on worker i % n; a label
+        # multicasts to every worker owning one of its pairs
+        pair_worker = {p: i % n_workers for i, p in enumerate(pairs)}
+        label_targets: dict[int, list[int]] = {}
+        for (a, b), w in pair_worker.items():
+            for lab in (a, b):
+                ts = label_targets.setdefault(lab, [])
+                if w not in ts:
+                    ts.append(w)
+        return {"pair_worker": pair_worker, "label_targets": label_targets}
+
+    state = init_func(0)
+
+    def map_func(items, _pid):
+        return [
+            (r["label"], (r["vec_id"], list(r["embedding"]))) for r in items
+        ]
+
+    def shuffle_func(label):
+        return state["label_targets"][label]
+
+    def reduce_func(grouped, pid, st):
+        out = []
+        by_label = dict(grouped)
+        for (a, b), w in sorted(st["pair_worker"].items()):
+            if w != pid or a not in by_label or b not in by_label:
+                continue
+            rows = [(vid, vec, a) for vid, vec in by_label[a]] + [
+                (vid, vec, b) for vid, vec in by_label[b]
+            ]
+            rows.sort(key=lambda t: t[0])  # the _train_pair vec_id pre-sort
+            x = np.array([v for _, v, _ in rows], dtype=np.float64)
+            y = np.array([1.0 if lab == b else 0.0 for _, _, lab in rows])
+            w_vec = np.zeros(x.shape[1])
+            bias = 0.0
+            for _ in range(200):
+                p = _sigmoid(x @ w_vec + bias)
+                w_vec -= 0.5 * (x.T @ (p - y) / len(y))
+                bias -= 0.5 * float(np.mean(p - y))
+            acc = float(np.mean((_sigmoid(x @ w_vec + bias) >= 0.5) == (y == 1.0)))
+            out.append(
+                {
+                    "pair_key": f"{a}_{b}",
+                    "label_a": a,
+                    "label_b": b,
+                    "n_samples": len(y),
+                    "train_acc": round(acc, 4),
+                    "coef_norm": round(float(np.linalg.norm(w_vec)), 4),
+                    "intercept": round(bias, 4),
+                }
+            )
+        return out
+
+    results = run_task(
+        spark,
+        emb.select("label", "vec_id", "embedding"),
+        map_func,
+        shuffle_func=shuffle_func,
+        reduce_func=reduce_func,
+        init_func=init_func,
+        num_partitions=n_workers,
+    ).collect()
+    return spark.createDataFrame(
+        results,
+        "pair_key string, label_a int, label_b int, n_samples long, "
+        "train_acc double, coef_norm double, intercept double",
+    )

@@ -419,6 +419,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # trainer inside applyInPandas — non-SQL-expressible, rows-only ---
     "one_vs_one_training": (mlpipeline.one_vs_one_metrics, None),
     "ensemble_vote_accuracy": (mlpipeline.ensemble_vote_accuracy, None),
+    "one_vs_one_shim": (mlpipeline.one_vs_one_shim, None),
     # --- embedding near-dup (LSH-bucketed cosine pairs) ---
     "embedding_near_dup": (
         similarity.embedding_near_dup,

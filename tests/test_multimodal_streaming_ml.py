@@ -358,3 +358,19 @@ def test_ensemble_vote_accuracy(spark, sf_dir):
     # deterministic end to end
     again = {r["label"]: r["vote_accuracy"] for r in ensemble_vote_accuracy(spark, sf_dir).collect()}
     assert all(again[r["label"]] == r["vote_accuracy"] for r in rows)
+
+
+def test_one_vs_one_shim_matches_dataframe_path(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.operators.mlpipeline import (
+        one_vs_one_shim,
+        train_one_vs_one,
+    )
+
+    via_shim = {r["pair_key"]: r for r in one_vs_one_shim(spark, sf_dir).collect()}
+    via_df = {r["pair_key"]: r for r in train_one_vs_one(spark, sf_dir).collect()}
+    assert set(via_shim) == set(via_df)
+    for k, s in via_shim.items():
+        d = via_df[k]
+        assert (s["n_samples"], s["train_acc"], s["coef_norm"], s["intercept"]) == (
+            d["n_samples"], d["train_acc"], d["coef_norm"], d["intercept"]
+        ), k
