@@ -374,3 +374,78 @@ def test_one_vs_one_shim_matches_dataframe_path(spark, sf_dir):
         assert (s["n_samples"], s["train_acc"], s["coef_norm"], s["intercept"]) == (
             d["n_samples"], d["train_acc"], d["coef_norm"], d["intercept"]
         ), k
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation with a 10-minute watermark must
+    drop events that arrive after the watermark passed their window:
+    run 1 ingests fresh data (advancing the persisted watermark), run 2
+    ingests a file of LATE events plus a fresh flush file. The late
+    window must never be emitted, while a batch aggregation over the
+    same files would count it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def mk(name, start, n):
+        rows = [
+            (i, start + dt.timedelta(seconds=10 * i), "click", 1.0)
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["ws"]: r["n"] for r in spark.read.parquet(out_dir).collect()}
+
+    mk("fresh1", base + dt.timedelta(hours=2), 30)  # advances watermark
+    out1 = run("wm_run1")
+    late_start = base  # 2h behind the watermark by now
+    mk("late", late_start, 30)
+    mk("fresh2", base + dt.timedelta(hours=2, minutes=30), 10)  # flush
+    out2 = run("wm_run2")
+
+    emitted = set(out1) | set(out2)
+    late_ws = late_start.strftime("%Y-%m-%d %H:%M:%S")
+    assert all(not ws.startswith("2026-01-01 12:0") for ws in emitted), emitted
+    assert late_ws not in emitted
+    # control: a batch aggregation over the same files counts the late rows
+    batch = (
+        spark.read.schema(schema).parquet(src)
+        .groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("ws"))
+    )
+    assert late_ws in {r["ws"] for r in batch.collect()}
+    # fresh windows from run 1's file were eventually emitted
+    fresh_ws = (base + dt.timedelta(hours=2)).strftime("%Y-%m-%d %H:%M:%S")
+    assert fresh_ws in emitted, emitted
