@@ -158,3 +158,30 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         if r["event_type"] in ("click", "purchase")
     }
     assert rows == expect
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """Joining a hive-partitioned fact against a filtered dimension on
+    the partition column must inject a dynamicpruning expression into
+    the scan's PartitionFilters — at 100 TB this is what turns a
+    full-fact scan into reading only the joined partitions."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "fact")
+    li.select("l_orderkey", "l_returnflag", "l_extendedprice").write.mode(
+        "overwrite"
+    ).partitionBy("l_returnflag").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame([("A", "keep"), ("N", "drop")], "flag string, tag string")
+    j = (
+        fact.join(
+            dim.filter(F.col("tag") == "keep"), fact.l_returnflag == dim.flag
+        )
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:1500]
