@@ -481,6 +481,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- Python UDTF lateral table functions; udtf_doc_chunks shares
     # doc_chunks' oracle → built-in and UDTF formulations must agree ---
+    "udtf_top_tokens": (
+        semistructured.udtf_top_tokens,
+        semistructured.UDTF_TOP_TOKENS_SQL,
+    ),
     "udtf_doc_chunks": (
         semistructured.udtf_doc_chunks,
         curation.DOC_CHUNKS_SQL,

@@ -224,3 +224,82 @@ SELECT doc_id, sent_idx,
        md5(sent) AS sent_hash
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# udtf_top_tokens — POLYMORPHIC Python UDTF (Spark 4 analyze()): the
+# output schema (tok1..tokK columns) is computed at PLAN TIME from the
+# constant `k` argument — the table-function equivalent of generics.
+# Token semantics match functions/text.clean_tokens; top-k ordering is
+# count desc then token asc so the oracle's pivoted row_number ranking
+# agrees exactly.
+# ---------------------------------------------------------------------------
+
+
+class TopTokensUDTF:
+    @staticmethod
+    def analyze(text, k):  # noqa: ANN001, ANN205
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        n = int(k.value)
+        st = StructType()
+        for i in range(n):
+            st = st.add(f"tok{i + 1}", StringType())
+        return AnalyzeResult(schema=st)
+
+    def eval(self, text: str, k: int):  # noqa: ANN201
+        import re
+        from collections import Counter
+
+        toks = [
+            re.sub(r"[^a-z0-9]", "", t)
+            for t in (text or "").strip().lower().split()
+        ]
+        toks = [t for t in toks if t]
+        top = [
+            t
+            for t, _ in sorted(
+                Counter(toks).items(), key=lambda kv: (-kv[1], kv[0])
+            )[: int(k)]
+        ]
+        top += [None] * (int(k) - len(top))
+        yield tuple(top)
+
+
+def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf as _udtf
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("top_tokens", _udtf(TopTokensUDTF))
+    docs.createOrReplaceTempView("_udtf_docs_topk")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok1, t.tok2, t.tok3
+        FROM _udtf_docs_topk d, LATERAL top_tokens(d.text, 3) t
+        """
+    )
+
+
+UDTF_TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+),
+counts AS (
+  SELECT doc_id, word, count(*) AS c FROM toks
+  WHERE length(word) > 0 GROUP BY doc_id, word
+),
+ranked AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, word ASC) AS rn
+  FROM counts
+)
+SELECT doc_id,
+       max(CASE WHEN rn = 1 THEN word END) AS tok1,
+       max(CASE WHEN rn = 2 THEN word END) AS tok2,
+       max(CASE WHEN rn = 3 THEN word END) AS tok3
+FROM ranked GROUP BY doc_id
+"""
