@@ -303,3 +303,42 @@ def test_accumulator_bad_record_counter(spark, sf_dir):
     expect_bad = ev.filter(F.col("event_id") % 10 == 0).count()
     assert c["bad"] == expect_bad
     assert c["good"] == n_rows == total - expect_bad
+
+
+def test_global_sorted_export(spark, sf_dir, tmp_path):
+    """Terasort-pattern total-order export: repartitionByRange on the
+    sort key + sortWithinPartitions, written with zero-padded part
+    numbering. Global order must hold ACROSS files: every file's
+    minimum key >= the previous file's maximum (range partitioner
+    boundaries), and within files rows are sorted."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "sorted")
+    (
+        li.repartitionByRange(8, "l_shipdate", "l_orderkey")
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).select("l_shipdate", "l_orderkey").toPandas()
+        if pdf.empty:
+            continue
+        total += len(pdf)
+        keys = list(zip(pdf["l_shipdate"], pdf["l_orderkey"]))
+        assert keys == sorted(keys), f"within-file order broken in {f}"
+        if prev_max is not None:
+            assert keys[0] >= prev_max, f"cross-file boundary broken at {f}"
+        prev_max = keys[-1]
+    assert total == li.count()
