@@ -1097,3 +1097,33 @@ SELECT CASE doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'csv' ELSE 'jsonl' END 
 FROM documents
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# stable_row_ids — contiguous global row ids WITHOUT a single-partition
+# window: range-repartition on the order key, sort within partitions,
+# then RDD zipWithIndex (two passes: per-partition counts, then offset
+# addition — no data moves to one task). This is THE scalable
+# replacement for row_number() OVER (ORDER BY ...) when materializing
+# training-example ids over billions of rows; the range partitioner
+# makes partition order align with key order, so the assignment equals
+# the oracle's global row_number. monotonically_increasing_id() is the
+# non-contiguous cousin; this one is dense and deterministic.
+# ---------------------------------------------------------------------------
+
+
+def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    arranged = docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    with_ids = arranged.rdd.zipWithIndex().map(
+        lambda t: (t[0]["doc_id"], t[0]["n_chars"], t[1])
+    )
+    out = spark.createDataFrame(with_ids, "doc_id long, n_chars long, row_id long")
+    return out.select("doc_id", "n_chars", "row_id")
+
+
+STABLE_ROW_IDS_SQL = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+FROM documents
+"""

@@ -292,6 +292,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.file_provenance_stats,
         curation.FILE_PROVENANCE_STATS_SQL,
     ),
+    "stable_row_ids": (curation.stable_row_ids, curation.STABLE_ROW_IDS_SQL),
     "multi_format_union": (
         curation.multi_format_union,
         curation.MULTI_FORMAT_UNION_SQL,
