@@ -1972,3 +1972,78 @@ SELECT least(CAST(floor(l_extendedprice / 10000.0) AS INT), 10) AS price_bin,
 FROM lineitem
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# revenue_gini — Gini concentration of supplier revenue (the 80/20
+# inequality measure for marketplace health): G = 2·Σᵢ i·xᵢ / (n·Σx)
+# − (n+1)/n over ascending-ranked per-supplier revenue. The fact
+# aggregates once to O(suppliers); rank and sums are windows/aggs over
+# that bounded table. Also reports the share of suppliers covering 80%
+# of revenue (the literal Pareto cut).
+# ---------------------------------------------------------------------------
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("rev").alias("x"))
+    ranked = per_supp.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "l_suppkey")).alias("i"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = 2 * F.col("six") / (F.col("n") * F.col("sx")) - (F.col("n") + 1) / F.col("n")
+    # Pareto cut: smallest top-supplier share covering >= 80% of revenue
+    desc_rank = per_supp.select(
+        "x", F.row_number().over(W.orderBy(F.desc("x"), "l_suppkey")).alias("j")
+    )
+    cum = desc_rank.select(
+        "j",
+        F.sum("x").over(W.orderBy("j").rowsBetween(W.unboundedPreceding, 0)).alias("cx"),
+    )
+    cut = (
+        cum.crossJoin(F.broadcast(totals.select("sx", "n")))
+        .filter(F.col("cx") >= 0.8 * F.col("sx"))
+        .agg((F.min("j")).alias("k"), F.max("n").alias("n2"))
+        .select(F.round(F.col("k") / F.col("n2"), 6).alias("pareto_80_supplier_share"))
+    )
+    return (
+        totals.select("n", F.round(gini, 6).alias("gini"))
+        .crossJoin(F.broadcast(cut))
+    )
+
+
+REVENUE_GINI_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS x
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, l_suppkey) AS i FROM per_supp
+),
+t AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM ranked),
+dr AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, l_suppkey) AS j FROM per_supp
+),
+cum AS (
+  SELECT j, sum(x) OVER (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cx
+  FROM dr
+),
+cut AS (
+  SELECT round(min(j) / CAST((SELECT n FROM t) AS DOUBLE), 6)
+           AS pareto_80_supplier_share
+  FROM cum WHERE cx >= 0.8 * (SELECT sx FROM t)
+)
+SELECT n, round(2 * six / (n * sx) - (n + 1.0) / n, 6) AS gini,
+       pareto_80_supplier_share
+FROM t, cut
+"""

@@ -644,6 +644,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.price_qty_heatmap,
         analytics.PRICE_QTY_HEATMAP_SQL,
     ),
+    "revenue_gini": (analytics.revenue_gini, analytics.REVENUE_GINI_SQL),
     "benford_first_digit": (
         analytics.benford_first_digit,
         analytics.BENFORD_FIRST_DIGIT_SQL,
