@@ -2047,3 +2047,102 @@ SELECT n, round(2 * six / (n * sx) - (n + 1.0) / n, 6) AS gini,
        pareto_80_supplier_share
 FROM t, cut
 """
+
+
+# ---------------------------------------------------------------------------
+# customer_survival_km — Kaplan-Meier survival over inter-order
+# durations (the churn-analysis workhorse): observed gaps between
+# consecutive orders are events; the tail gap from each customer's last
+# order to the dataset end is a CENSORED observation (still at risk,
+# no event). S(t) = Π_{t'≤t} (1 − d/n) computed as exp(Σ ln(·)) —
+# cumulative products distribute as log-sums. All windows run over the
+# O(distinct durations) life table, the fact table shuffles once on
+# custkey. Output drops the degenerate final point where every
+# remaining subject dies (ln 0), identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.datediff("o_orderdate", "prev").alias("t"), F.lit(1).alias("event"))
+    )
+    tails = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last"))
+        .crossJoin(F.broadcast(anchor))
+        .select(F.datediff("maxd", "last").alias("t"), F.lit(0).alias("event"))
+    )
+    durs = gaps.unionByName(tails)
+    total = durs.count()  # driver scalar over the bounded life table size
+    life = durs.groupBy("t").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    wt = W.orderBy("t")
+    life = life.withColumn(
+        "n_risk",
+        F.lit(total)
+        - F.coalesce(
+            F.sum("m").over(wt.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).filter(F.col("d") > 0)
+    surv = life.withColumn(
+        "log_term",
+        F.log(1 - F.col("d") / F.col("n_risk")),
+    ).filter(F.col("d") < F.col("n_risk"))
+    return surv.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(
+            F.exp(F.sum("log_term").over(wt.rowsBetween(W.unboundedPreceding, 0))), 6
+        ).alias("survival"),
+    )
+
+
+CUSTOMER_SURVIVAL_KM_SQL = """
+WITH gaps AS (
+  SELECT date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                   CAST(o_orderdate AS DATE)) AS t,
+         1 AS event
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+tails AS (
+  SELECT date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS t,
+         0 AS event
+  FROM orders GROUP BY o_custkey
+),
+durs AS (
+  SELECT t, event FROM gaps WHERE t IS NOT NULL
+  UNION ALL SELECT t, event FROM tails
+),
+life AS (
+  SELECT t, sum(event) AS d, count(*) AS m FROM durs GROUP BY t
+),
+risk AS (
+  SELECT t, d, m,
+         (SELECT count(*) FROM durs)
+           - COALESCE(sum(m) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM life
+),
+surv AS (
+  SELECT t, n_risk, d,
+         ln(1 - d / CAST(n_risk AS DOUBLE)) AS log_term
+  FROM risk WHERE d > 0 AND d < n_risk
+)
+SELECT t, n_risk, d AS n_events,
+       round(exp(sum(log_term) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+FROM surv
+"""

@@ -645,6 +645,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.PRICE_QTY_HEATMAP_SQL,
     ),
     "revenue_gini": (analytics.revenue_gini, analytics.REVENUE_GINI_SQL),
+    "customer_survival_km": (
+        analytics.customer_survival_km,
+        analytics.CUSTOMER_SURVIVAL_KM_SQL,
+    ),
     "benford_first_digit": (
         analytics.benford_first_digit,
         analytics.BENFORD_FIRST_DIGIT_SQL,
