@@ -580,3 +580,55 @@ SELECT source, count(*) AS n_docs,
        sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS kept_chars
 FROM ranked GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# cross_source_leakage — contamination audit WITHIN the corpus: NEAR-
+# duplicate pairs (the MinHash-LSH candidates with Jaccard ≥ 0.2, i.e.
+# exactly minhash_lsh_pairs' semantics) whose two documents belong to
+# DIFFERENT sources — the "training split leaks into the eval split"
+# failure, distinct from `decontamination`'s external-benchmark
+# anti-join. This corpus has no exact cross-source duplicates at all;
+# leakage here is a near-dup phenomenon, so the audit runs on the LSH
+# pair graph and rolls up per source pair. Costs one broadcast of the
+# doc→source map on top of the candidate generation.
+# ---------------------------------------------------------------------------
+
+
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return (
+        tagged.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaked_pairs"),
+            F.round(F.max("jaccard"), 4).alias("worst_jaccard"),
+        )
+    )
+
+
+CROSS_SOURCE_LEAKAGE_SQL = (
+    "WITH pairs AS (" + MINHASH_LSH_PAIRS_SQL + """)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_leaked_pairs,
+       round(max(jaccard), 4) AS worst_jaccard
+FROM pairs
+JOIN documents da ON doc_a = da.doc_id
+JOIN documents db ON doc_b = db.doc_id
+WHERE da.source != db.source
+GROUP BY 1, 2
+"""
+)

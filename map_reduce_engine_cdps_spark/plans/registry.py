@@ -370,6 +370,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- deduplication ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
+    "cross_source_leakage": (
+        dedup.cross_source_leakage,
+        dedup.CROSS_SOURCE_LEAKAGE_SQL,
+    ),
     "minhash_signatures": (dedup.minhash_signatures, dedup.MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
