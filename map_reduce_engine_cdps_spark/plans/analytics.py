@@ -2146,3 +2146,143 @@ SELECT t, n_risk, d AS n_events,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
 FROM surv
 """
+
+
+# ---------------------------------------------------------------------------
+# type_pair_lift — association rules over the basket pairs: support,
+# directional confidence, and lift for part-type pairs co-occurring in
+# orders. The pair/item supports are the frequent_type_pairs machinery
+# (dedup before pairing, basket-key co-partition); rules derive from
+# the O(pairs) aggregate with broadcast item supports — the classic
+# Apriori post-processing stage.
+# ---------------------------------------------------------------------------
+
+
+def type_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    item_supp = items.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("p_type").alias("type_b"))
+    pair_supp = (
+        a.join(b, "k")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    sa = item_supp.select(F.col("p_type").alias("type_a"), F.col("n_item").alias("n_a"))
+    sb = item_supp.select(F.col("p_type").alias("type_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair_supp.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_pair") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("n_pair") * F.lit(n_orders) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+TYPE_PAIR_LIFT_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS k, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT k) AS n_orders FROM items),
+item_supp AS (SELECT p_type, count(*) AS n_item FROM items GROUP BY 1),
+pair_supp AS (
+  SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_pair
+  FROM items a JOIN items b ON a.k = b.k AND a.p_type < b.p_type
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT type_a, type_b, n_pair,
+       round(n_pair / CAST(sa.n_item AS DOUBLE), 6) AS conf_a_to_b,
+       round(n_pair / CAST(sb.n_item AS DOUBLE), 6) AS conf_b_to_a,
+       round(n_pair * (SELECT n_orders FROM n)
+             / CAST(sa.n_item * sb.n_item AS DOUBLE), 6) AS lift
+FROM pair_supp
+JOIN item_supp sa ON sa.p_type = type_a
+JOIN item_supp sb ON sb.p_type = type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# linear_attribution — multi-touch attribution: every click within the
+# hour before a purchase shares the conversion credit equally (1/n per
+# click), rolled up by click hour-of-day. Built on the bucketed range
+# join (click_purchase_within_1h's shape, restricted to clicks BEFORE
+# the purchase); per-purchase fan-in counts come from one grouped pass
+# over the O(pairs) join output.
+# ---------------------------------------------------------------------------
+
+
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("click_us"),
+        F.hour("ts").alias("click_hour"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.unix_micros("ts").alias("purchase_us"),
+    )
+    hour_us = 3600 * 1000 * 1000
+    c = clicks.withColumn(
+        "bucket", F.explode(F.array(F.col("click_us") / hour_us, F.col("click_us") / hour_us + 1))
+    ).withColumn("bucket", F.floor("bucket"))
+    p = purchases.withColumn("bucket", F.floor(F.col("purchase_us") / hour_us))
+    pairs = c.join(p, ["user_id", "bucket"]).filter(
+        (F.col("click_us") < F.col("purchase_us"))
+        & (F.col("purchase_us") - F.col("click_us") <= hour_us)
+    ).select("click_id", "click_hour", "purchase_id").distinct()
+    from pyspark.sql.window import Window as W
+
+    credited = pairs.withColumn(
+        "credit", 1.0 / F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+    )
+    return credited.groupBy("click_hour").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit"), 4).alias("attributed_conversions"),
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id,
+         epoch_us(ts) AS click_us, extract(hour FROM ts) AS click_hour
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT DISTINCT click_id, click_hour, purchase_id
+  FROM clicks c JOIN purchases p USING (user_id)
+  WHERE c.click_us < p.purchase_us
+    AND p.purchase_us - c.click_us <= 3600000000::BIGINT
+),
+credited AS (
+  SELECT click_hour,
+         1.0 / count(*) OVER (PARTITION BY purchase_id) AS credit
+  FROM pairs
+)
+SELECT click_hour, count(*) AS n_touches,
+       round(sum(credit), 4) AS attributed_conversions
+FROM credited GROUP BY click_hour
+"""

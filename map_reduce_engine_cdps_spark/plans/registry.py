@@ -649,6 +649,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.PRICE_QTY_HEATMAP_SQL,
     ),
     "revenue_gini": (analytics.revenue_gini, analytics.REVENUE_GINI_SQL),
+    "type_pair_lift": (analytics.type_pair_lift, analytics.TYPE_PAIR_LIFT_SQL),
+    "linear_attribution": (
+        analytics.linear_attribution,
+        analytics.LINEAR_ATTRIBUTION_SQL,
+    ),
     "customer_survival_km": (
         analytics.customer_survival_km,
         analytics.CUSTOMER_SURVIVAL_KM_SQL,
