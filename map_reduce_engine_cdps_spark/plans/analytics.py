@@ -2286,3 +2286,47 @@ SELECT click_hour, count(*) AS n_touches,
        round(sum(credit), 4) AS attributed_conversions
 FROM credited GROUP BY click_hour
 """
+
+
+# ---------------------------------------------------------------------------
+# ltv_by_order_index — customer-age value curve: average cumulative
+# spend at a customer's k-th order, across customers (the LTV curve
+# marketing models fit against). One custkey window gives both the
+# order index and the running spend; the curve aggregate runs over
+# O(customers × max_k) rows with k capped at 10.
+# ---------------------------------------------------------------------------
+
+
+def ltv_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.row_number().over(w).alias("k"),
+        F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("k") <= 10)
+    return seq.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("cum"), 2).alias("avg_cum_spend"),
+        F.round(F.median("cum"), 2).alias("med_cum_spend"),
+    )
+
+
+LTV_BY_ORDER_INDEX_SQL = """
+WITH seq AS (
+  SELECT row_number() OVER w AS k,
+         sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT k, count(*) AS n_customers,
+       round(avg(cum), 2) AS avg_cum_spend,
+       round(median(cum), 2) AS med_cum_spend
+FROM seq WHERE k <= 10 GROUP BY k
+"""

@@ -654,6 +654,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.linear_attribution,
         analytics.LINEAR_ATTRIBUTION_SQL,
     ),
+    "ltv_by_order_index": (
+        analytics.ltv_by_order_index,
+        analytics.LTV_BY_ORDER_INDEX_SQL,
+    ),
     "customer_survival_km": (
         analytics.customer_survival_km,
         analytics.CUSTOMER_SURVIVAL_KM_SQL,
