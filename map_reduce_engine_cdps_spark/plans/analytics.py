@@ -2330,3 +2330,55 @@ SELECT k, count(*) AS n_customers,
        round(median(cum), 2) AS med_cum_spend
 FROM seq WHERE k <= 10 GROUP BY k
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted_median_price — exact WEIGHTED quantiles via the cumulative-
+# weight rule: per group, order by value and take the first row whose
+# running weight reaches the target fraction of total weight. Built-in
+# percentile() only handles unweighted data; this is the windowed
+# formulation every weighted-sampling/pricing pipeline needs. One
+# group-partitioned window + a min-over-qualifying aggregate.
+# ---------------------------------------------------------------------------
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("l_quantity").over(W.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= 0.5 * F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median_price"),
+            F.max("tw").alias("total_weight"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_PRICE_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(l_extendedprice), 2) AS weighted_median_price,
+       max(tw) AS total_weight
+FROM cum WHERE cw >= 0.5 * tw
+GROUP BY l_returnflag
+"""

@@ -654,6 +654,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.linear_attribution,
         analytics.LINEAR_ATTRIBUTION_SQL,
     ),
+    "weighted_median_price": (
+        analytics.weighted_median_price,
+        analytics.WEIGHTED_MEDIAN_PRICE_SQL,
+    ),
     "ltv_by_order_index": (
         analytics.ltv_by_order_index,
         analytics.LTV_BY_ORDER_INDEX_SQL,
