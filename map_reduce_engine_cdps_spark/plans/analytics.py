@@ -2382,3 +2382,61 @@ SELECT l_returnflag,
 FROM cum WHERE cw >= 0.5 * tw
 GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# active_user_metrics — DAU / trailing-7-day WAU / stickiness per day,
+# the canonical growth dashboard. WAU avoids per-day re-scans by
+# exploding each (day, user) activity into the ≤7 trailing windows it
+# contributes to (the sliding_distinct_users pattern at day grain),
+# then deduping (window_day, user). Early days have partial windows —
+# identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def active_user_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    bounds = du.agg(F.max("day").alias("maxd"))
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday"),
+        "user_id",
+    )
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("wday") <= F.col("maxd"))
+        .select("wday", "user_id")
+        .distinct()
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ACTIVE_USER_METRICS_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+bounds AS (SELECT max(day) AS maxd FROM du),
+contrib AS (
+  SELECT day + k.k * INTERVAL 1 DAY AS wday, user_id
+  FROM du, range(7) k(k)
+),
+wau AS (
+  SELECT CAST(wday AS DATE) AS day, count(DISTINCT user_id) AS wau
+  FROM contrib, bounds
+  WHERE wday <= maxd
+  GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+       round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau USING (day)
+"""

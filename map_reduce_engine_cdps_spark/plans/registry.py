@@ -654,6 +654,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.linear_attribution,
         analytics.LINEAR_ATTRIBUTION_SQL,
     ),
+    "active_user_metrics": (
+        analytics.active_user_metrics,
+        analytics.ACTIVE_USER_METRICS_SQL,
+    ),
     "weighted_median_price": (
         analytics.weighted_median_price,
         analytics.WEIGHTED_MEDIAN_PRICE_SQL,
