@@ -155,9 +155,9 @@ def doc_embeddings(spark, sf_dir: str) -> DataFrame:
 
     The stand-in embedder is md5-derived (16 bytes / 255, float32), so
     it IS SQL-expressible: DOC_EMBEDDINGS_SQL reconstructs the squared
-    norm hex-digit by hex-digit. sq_norm rounds at 4 decimals because
-    the UDF quantizes each component to float32 while the oracle stays
-    in float64 (~5e-7 worst-case drift over 16 terms)."""
+    norm hex-digit by hex-digit, quantizing each component to float32
+    (CAST AS FLOAT) exactly like the UDF — both sides then square and
+    sum in float64, so the pre-round values are bit-identical."""
     from map_reduce_engine_cdps_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -184,8 +184,9 @@ def media_features(spark, sf_dir: str) -> DataFrame:
     column derived from `documents` — encode text→binary payload with
     typed metadata, then Arrow-batched mapInPandas feature extraction.
     The fake decode is md5-derived, so MEDIA_FEATURES_SQL reconstructs
-    the feature sum from hex digits (float32-vs-float64 drift absorbed
-    by rounding at 4). Scale: only (media_id, content) cross the
+    the feature sum from hex digits, float32-quantized per component
+    like the UDF (bit-identical, not tolerance-matched). Scale: only
+    (media_id, content) cross the
     Python boundary; the aggregate is partial-combinable."""
     from map_reduce_engine_cdps_spark.sources.readers import load_table
 
@@ -477,7 +478,11 @@ def _dhash_from_bytes(payload: bytes) -> int:
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return 0
-    idx = np.linspace(0, arr.size - 1, 72).astype(np.int64)
+    # exact integer sampling (floor(j*(n-1)/71)): bit-identical to the
+    # SQL oracle's `(j * (len-1)) // 71` — no float rounding anywhere,
+    # and j=71 lands exactly on the last byte (linspace endpoint=True
+    # and float trunc disagreed for ~4% of payload lengths)
+    idx = np.arange(72, dtype=np.int64) * (arr.size - 1) // 71
     grid = arr[idx].reshape(8, 9).astype(np.int16)
     bits = (grid[:, :-1] < grid[:, 1:]).flatten()
     return int(np.packbits(bits).view(">u8")[0].astype(np.uint64))
@@ -526,16 +531,41 @@ def image_dhash_dedup(spark, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_EMBEDDINGS_SQL = """
+def _md5_component_sql(i: int) -> str:
+    """Component i of the md5 stand-in embedding, quantized to float32
+    exactly like the UDF (byte/255 in float32 == float32(double
+    division) for all 256 byte values — verified exhaustively)."""
+    hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+    return f"CAST((16 * ({hi}) + {lo}) / 255.0 AS FLOAT)"
+
+
+def _sq_norm_sql() -> str:
+    # double(x)*double(x) mirrors the Spark side's x.cast("double") *
+    # x.cast("double"); left-to-right + matches F.aggregate's fold
+    return " + ".join(
+        f"CAST({_md5_component_sql(i)} AS DOUBLE)"
+        f" * CAST({_md5_component_sql(i)} AS DOUBLE)"
+        for i in range(16)
+    )
+
+
+DOC_EMBEDDINGS_SQL = f"""
 WITH h AS (SELECT doc_id, md5(text) AS h FROM documents)
 SELECT doc_id,
-       round(pow((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) + strpos('0123456789abcdef', substr(h, 10, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) + strpos('0123456789abcdef', substr(h, 12, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) + strpos('0123456789abcdef', substr(h, 14, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) + strpos('0123456789abcdef', substr(h, 16, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 17, 1)) - 1) + strpos('0123456789abcdef', substr(h, 18, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 19, 1)) - 1) + strpos('0123456789abcdef', substr(h, 20, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 21, 1)) - 1) + strpos('0123456789abcdef', substr(h, 22, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 23, 1)) - 1) + strpos('0123456789abcdef', substr(h, 24, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 25, 1)) - 1) + strpos('0123456789abcdef', substr(h, 26, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 27, 1)) - 1) + strpos('0123456789abcdef', substr(h, 28, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 29, 1)) - 1) + strpos('0123456789abcdef', substr(h, 30, 1)) - 1) / 255.0, 2) + pow((16 * (strpos('0123456789abcdef', substr(h, 31, 1)) - 1) + strpos('0123456789abcdef', substr(h, 32, 1)) - 1) / 255.0, 2), 4) AS sq_norm,
+       round({_sq_norm_sql()}, 4) AS sq_norm,
        16 AS dim
 FROM h
 """
 
 
-MEDIA_FEATURES_SQL = """
+def _feat_sum_sql() -> str:
+    return " + ".join(
+        f"CAST({_md5_component_sql(i)} AS DOUBLE)" for i in range(16)
+    )
+
+
+MEDIA_FEATURES_SQL = f"""
 WITH h AS (
   SELECT doc_id AS media_id,
          octet_length(encode(text)) AS n_bytes,
@@ -543,7 +573,7 @@ WITH h AS (
   FROM documents
 )
 SELECT media_id, n_bytes, 16 AS dim,
-       round((16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) + strpos('0123456789abcdef', substr(h, 6, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) + strpos('0123456789abcdef', substr(h, 8, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) + strpos('0123456789abcdef', substr(h, 10, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) + strpos('0123456789abcdef', substr(h, 12, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 13, 1)) - 1) + strpos('0123456789abcdef', substr(h, 14, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 15, 1)) - 1) + strpos('0123456789abcdef', substr(h, 16, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 17, 1)) - 1) + strpos('0123456789abcdef', substr(h, 18, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 19, 1)) - 1) + strpos('0123456789abcdef', substr(h, 20, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 21, 1)) - 1) + strpos('0123456789abcdef', substr(h, 22, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 23, 1)) - 1) + strpos('0123456789abcdef', substr(h, 24, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 25, 1)) - 1) + strpos('0123456789abcdef', substr(h, 26, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 27, 1)) - 1) + strpos('0123456789abcdef', substr(h, 28, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 29, 1)) - 1) + strpos('0123456789abcdef', substr(h, 30, 1)) - 1) / 255.0 + (16 * (strpos('0123456789abcdef', substr(h, 31, 1)) - 1) + strpos('0123456789abcdef', substr(h, 32, 1)) - 1) / 255.0, 4) AS feat_sum
+       round({_feat_sum_sql()}, 4) AS feat_sum
 FROM h
 """
 
@@ -554,16 +584,39 @@ FROM h
 # reconstructable in SQL. The summary never exposes the hash VALUE,
 # only the grouping, so the oracle groups on the 64-char bit string —
 # identical partitioning, representation-independent.
-IMAGE_DHASH_DEDUP_SQL = """
+def _dhash_bits_sql() -> str:
+    """64 comparison bits of the fake-decode dHash, in pure integer
+    arithmetic: sample j of 72 sits at byte floor(j*(len-1)/71) —
+    DuckDB `//` — exactly the UDF's `arange(72)*(n-1)//71`. Row
+    boundaries of the 8x9 grid are skipped (8 bits per row)."""
+
+    def pos(j: int) -> str:
+        return (
+            f"CAST(({j} * (octet_length(encode(text)) - 1)) // 71 AS INT) + 1"
+        )
+
+    bits = []
+    for row in range(8):
+        for col in range(8):
+            a, b = row * 9 + col, row * 9 + col + 1
+            bits.append(
+                f"CASE WHEN ascii(substr(text, {pos(a)}, 1))"
+                f" < ascii(substr(text, {pos(b)}, 1))"
+                " THEN '1' ELSE '0' END"
+            )
+    return " || ".join(bits)
+
+
+IMAGE_DHASH_DEDUP_SQL = f"""
 WITH hashed AS (
-  SELECT doc_id, CASE WHEN ascii(substr(text, CAST(trunc(0 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(1 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(1 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(2 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(2 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(3 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(3 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(4 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(4 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(5 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(5 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(6 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(6 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(7 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(7 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(8 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(9 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(10 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(10 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(11 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(11 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(12 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(12 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(13 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(13 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(14 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(14 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(15 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(15 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(16 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(16 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(17 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(18 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(19 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(19 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(20 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(20 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(21 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(21 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(22 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(22 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(23 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(23 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(24 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(24 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(25 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(25 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(26 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(27 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(28 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(28 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(29 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(29 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(30 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(30 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(31 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(31 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(32 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(32 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(33 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(33 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(34 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(34 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(35 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(36 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(37 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(37 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(38 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(38 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(39 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(39 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(40 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(40 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(41 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(41 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(42 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(42 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(43 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(43 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(44 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(45 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(46 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(46 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(47 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(47 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(48 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(48 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(49 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(49 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(50 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(50 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(51 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(51 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(52 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(52 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(53 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(54 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(55 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(55 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(56 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(56 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(57 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(57 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(58 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(58 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(59 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(59 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(60 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(60 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(61 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(61 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(62 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(63 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(64 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(64 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(65 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(65 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(66 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(66 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(67 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(67 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(68 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(68 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(69 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(69 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(70 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END || CASE WHEN ascii(substr(text, CAST(trunc(70 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) < ascii(substr(text, CAST(trunc(71 * ((octet_length(encode(text)) - 1) / 71.0)) AS INT) + 1, 1)) THEN '1' ELSE '0' END AS bits
+  SELECT doc_id, {_dhash_bits_sql()} AS bits
   FROM documents
 ),
 groups AS (SELECT bits, count(*) AS n_images FROM hashed GROUP BY bits)
-SELECT sum(n_images) AS n_images,
+SELECT CAST(sum(n_images) AS BIGINT) AS n_images,
        count(*) AS n_distinct_hashes,
-       sum(CASE WHEN n_images > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
-       sum(CASE WHEN n_images > 1 THEN n_images - 1 ELSE 0 END) AS n_removable
+       CAST(sum(CASE WHEN n_images > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN n_images > 1 THEN n_images - 1 ELSE 0 END) AS BIGINT) AS n_removable
 FROM groups
 """
 

@@ -52,7 +52,7 @@ SELECT l_returnflag,
        round(regr_slope(l_extendedprice, l_quantity), 3)     AS slope,
        round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
        round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-       regr_count(l_extendedprice, l_quantity)               AS n
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -987,7 +987,7 @@ marg AS (
 cells AS (SELECT *, rt * ct / CAST(n AS DOUBLE) AS e FROM marg)
 SELECT round(sum((o - e) * (o - e) / e) + (max(n) - sum(e)), 6) AS chi2,
        (count(DISTINCT p_brand) - 1) * (count(DISTINCT n_name) - 1) AS dof,
-       max(n) AS n
+       CAST(max(n) AS BIGINT) AS n
 FROM cells
 """
 
@@ -1823,7 +1823,7 @@ pooled AS (
 ),
 per_value AS (SELECT value, max(ca) AS ca, max(cb) AS cb FROM pooled GROUP BY value)
 SELECT round(max(abs(ca / CAST(n_a AS DOUBLE) - cb / CAST(n_b AS DOUBLE))), 6) AS ks_d,
-       max(n_a) AS n_a, max(n_b) AS n_b
+       CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
 FROM per_value, n
 """
 
@@ -2141,7 +2141,7 @@ surv AS (
          ln(1 - d / CAST(n_risk AS DOUBLE)) AS log_term
   FROM risk WHERE d > 0 AND d < n_risk
 )
-SELECT t, n_risk, d AS n_events,
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
        round(exp(sum(log_term) OVER (ORDER BY t
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
 FROM surv

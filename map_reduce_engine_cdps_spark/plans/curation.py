@@ -224,8 +224,8 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, lang, n_tokens, cum_tokens
@@ -309,7 +309,7 @@ def csv_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CSV_ROUNDTRIP_COUNTS_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents GROUP BY lang
 """
@@ -415,7 +415,7 @@ PACK_CHUNKS_BINS_SQL = (
          chunk_len
   FROM chunks
 )
-SELECT lang, bin_id, count(*) AS n_chunks, sum(chunk_len) AS bin_tokens
+SELECT lang, bin_id, count(*) AS n_chunks, CAST(sum(chunk_len) AS BIGINT) AS bin_tokens
 FROM packed GROUP BY lang, bin_id
 """
 )
@@ -490,7 +490,7 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSONL_ROUNDTRIP_STATS_SQL = """
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """
 
@@ -720,7 +720,7 @@ WITH counts AS (
          n * 1.0 / sum(n) OVER (PARTITION BY source) AS p
   FROM counts
 )
-SELECT source, sum(n) AS n_docs,
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
        count(DISTINCT lang) AS n_langs,
        round(sum(-p * log2(p)), 4) AS lang_entropy,
        max(CASE WHEN rn = 1 THEN lang END) AS majority_lang
@@ -776,8 +776,8 @@ WITH cuts AS (
 )
 SELECT l.l_returnflag,
        count(*) AS n_rows,
-       sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
-                THEN 1 ELSE 0 END) AS n_clipped,
+       CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
        round(avg(l_extendedprice), 4) AS mean_raw,
        round(avg(greatest(least(l_extendedprice, hi), lo)), 4)
          AS mean_winsorized
@@ -824,7 +824,7 @@ def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 XML_ROUNDTRIP_STATS_SQL = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM documents GROUP BY source
 """
@@ -1004,7 +1004,7 @@ WITH v AS (
   FROM documents
 )
 SELECT batch, count(*) AS n_docs,
-       sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS n_null_score,
+       CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_score,
        round(sum(COALESCE(score, 0.0)), 2) AS total_score
 FROM v GROUP BY batch
 """
@@ -1092,8 +1092,8 @@ def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTI_FORMAT_UNION_SQL = """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'parquet' WHEN 1 THEN 'csv' ELSE 'jsonl' END AS fmt,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
-       sum(doc_id) AS id_checksum
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM documents
 GROUP BY 1
 """

@@ -575,9 +575,9 @@ WITH ranked AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_discarded,
-       sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS kept_chars
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discarded,
+       CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
 FROM ranked GROUP BY source
 """
 

@@ -758,9 +758,9 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_idx
+           AS BIGINT) AS session_idx
   FROM g
 )
 SELECT user_id, session_idx, count(*) AS n_events,
@@ -1626,7 +1626,7 @@ WITH base AS (
   FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.u_key
 )
 SELECT merge_action, c_mktsegment, count(*) AS n,
-       sum(bal_cents) AS total_bal_cents
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
 FROM merged GROUP BY merge_action, c_mktsegment
 """
 
@@ -1825,7 +1825,7 @@ WITH runs AS (
   ) t
   GROUP BY o_custkey, o_orderstatus, grp
 )
-SELECT o_orderstatus, count(*) AS n_runs, sum(n_orders) AS n_orders,
+SELECT o_orderstatus, count(*) AS n_runs, CAST(sum(n_orders) AS BIGINT) AS n_orders,
        max(n_orders) AS longest_run, min(valid_from) AS first_from,
        max(valid_to) AS last_to
 FROM runs GROUP BY o_orderstatus

@@ -54,7 +54,7 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 VARIANT_PROPS_STATS_SQL = """
 SELECT event_type,
        count(*) AS n,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
        count(json_extract_string(props, '$.missing')) AS n_missing_path
 FROM events GROUP BY event_type

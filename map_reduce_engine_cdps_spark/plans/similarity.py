@@ -627,7 +627,7 @@ WITH sims_exact AS (
   ) WHERE rn <= {TOP_K}
 )
 SELECT e.query_id,
-       sum(coalesce(l.hit, 0)) AS n_hits,
+       CAST(sum(coalesce(l.hit, 0)) AS BIGINT) AS n_hits,
        round(sum(coalesce(l.hit, 0)) / {TOP_K}.0, 4) AS recall_at_k
 FROM exact e
 LEFT JOIN lshk l ON e.query_id = l.query_id AND e.cand_id = l.cand_id

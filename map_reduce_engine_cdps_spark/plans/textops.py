@@ -264,10 +264,10 @@ WITH t AS (
   FROM t
 )
 SELECT source, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       sum(n_word) AS word_tokens,
-       sum(n_num) AS num_tokens,
-       sum(n_tokens - n_word - n_num) AS punct_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_word) AS BIGINT) AS word_tokens,
+       CAST(sum(n_num) AS BIGINT) AS num_tokens,
+       CAST(sum(n_tokens - n_word - n_num) AS BIGINT) AS punct_tokens,
        round(avg(n_tokens), 4) AS avg_tokens_per_doc
 FROM d GROUP BY source
 """
@@ -496,8 +496,8 @@ WITH toks AS (
   )
 )
 SELECT lang, count(*) AS n_tokens,
-       sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 1 ELSE 0 END)
-         AS n_covered,
+       CAST(sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_covered,
        round(sum(CASE WHEN word IN (SELECT word FROM vocab) THEN 1 ELSE 0 END)
              / count(*)::DOUBLE, 4) AS coverage
 FROM toks GROUP BY lang
@@ -621,7 +621,7 @@ WITH toks AS (
   SELECT word, doc_id, count(*) AS tf FROM toks
   WHERE length(word) > 0 GROUP BY 1, 2
 )
-SELECT word, count(*) AS df, sum(tf) AS cf,
+SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
        array_to_string((list_sort(list(doc_id)))[1:5], ',') AS posting_head
 FROM per_doc GROUP BY word
 """
@@ -799,7 +799,7 @@ WITH toks AS (
 SELECT round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
        round(regr_r2(ln(cnt), ln(rnk)), 4) AS r2,
        count(*) AS vocab_size,
-       sum(cnt) AS corpus_tokens
+       CAST(sum(cnt) AS BIGINT) AS corpus_tokens
 FROM ranked
 """
 
@@ -863,10 +863,10 @@ tok_buckets AS (
   FROM first_seen, bounds GROUP BY 1
 )
 SELECT decile,
-       sum(toks) OVER (ORDER BY decile
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-       sum(COALESCE(new_words, 0)) OVER (ORDER BY decile
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+       CAST(sum(toks) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(sum(COALESCE(new_words, 0)) OVER (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
 FROM tok_buckets LEFT JOIN new_words USING (decile)
 """
 
@@ -939,8 +939,8 @@ WITH t AS (
 )
 SELECT source, count(*) AS n_docs,
        round(avg(doc_score), 6) AS avg_sentiment,
-       sum(CASE WHEN doc_score > 0 THEN 1 ELSE 0 END) AS n_positive,
-       sum(CASE WHEN doc_score < 0 THEN 1 ELSE 0 END) AS n_negative
+       CAST(sum(CASE WHEN doc_score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(sum(CASE WHEN doc_score < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
 FROM d GROUP BY source
 """
 

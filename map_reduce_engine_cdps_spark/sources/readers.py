@@ -36,10 +36,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     plain TIMESTAMP_NTZ. Either way the downstream contract is a
     session-tz TimestampType column whose UTC instant equals the stored
     wall-clock, so watermarks/windows/unix_micros all behave identically
-    to the DuckDB oracle (which is tz-naive). Confs are set per-session
-    so this also works on a driver-provided session.
+    to the DuckDB oracle (which is tz-naive).
+
+    NOTE: this mutates two session confs on the caller's SparkSession
+    (nanosAsLong for the legacy-nanos parquet layout, and
+    spark.sql.session.timeZone=UTC). The UTC pin is unconditional —
+    wall-clock-derived expressions (hour(ts), date_format, window
+    starts) must match the tz-naive oracle regardless of which layout
+    generated events.parquet and of the JVM default tz.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -48,8 +55,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # magnitudes (53-bit mantissa); DuckDB truncates ns→µs, so must we
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # wall-clock-is-UTC: pin session tz so NTZ→LTZ keeps the instant
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # wall-clock-is-UTC: under the UTC session tz the NTZ→LTZ
+            # cast keeps the instant
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

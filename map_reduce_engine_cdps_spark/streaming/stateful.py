@@ -131,6 +131,6 @@ WITH o AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM o GROUP BY user_id
 """

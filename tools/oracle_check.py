@@ -2,8 +2,13 @@
 
 Runs every registered query at a given SF through Spark AND its DuckDB
 oracle, compares row count, sorted column names, and an order-insensitive
-multiset of stringified rows (floats repr'd; columns sorted by name —
-exactly the driver's described compare). Run:
+multiset of stringified rows (columns sorted by name — the driver's
+described compare). The normalization is deliberately STRICTER than
+round-1's: exact repr, type-tagged, no float rounding — so an oracle
+whose DuckDB result type differs from Spark's (e.g. HUGEINT from
+sum(INTEGER) vs Spark's bigint) fails HERE before it fails at the
+driver. A type lint additionally rejects any DuckDB result type Spark
+cannot emit (HUGEINT, DECIMAL, ...). Run:
 
     python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -22,23 +27,53 @@ from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
 from map_reduce_engine_cdps_spark.session import get_spark
 from map_reduce_engine_cdps_spark.sources.readers import TABLES
 
+# DuckDB result types Spark has no equivalent for: any oracle producing
+# one of these WILL stringify differently from Spark at the driver even
+# when the values are numerically identical.
+_FORBIDDEN_TYPE_FRAGMENTS = ("HUGEINT", "DECIMAL", "INT128", "UINT")
+
 
 def norm_cell(v):
+    """Type-tagged exact normalization — no rounding, no type erasure.
+
+    int 3 and float 3.0 normalize differently on purpose: the driver's
+    hash is computed from each engine's native value representation, so
+    a cross-engine type mismatch must surface as a value mismatch here.
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        # driver-style float normalization: repr of a modestly-rounded value
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(v)
-    return str(v)
+            return "f:NaN"
+        return f"f:{v!r}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted((str(k), norm_cell(x)) for k, x in v.items())
+        return "m:{" + ",".join(f"{k}={x}" for k, x in items) + "}"
+    # date/datetime/Decimal/bytes: type name + str — any cross-engine
+    # representation drift in these should fail loudly, not be masked.
+    return f"{type(v).__name__}:{v}"
 
 
 def df_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(",".join(norm_cell(r[i]) for i in order) for r in rows)
+    return sorted("," .join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def lint_types(cols, types):
+    """Return (col, type) pairs whose DuckDB type Spark cannot emit."""
+    return [
+        (c, t)
+        for c, t in zip(cols, types)
+        if any(frag in str(t).upper() for frag in _FORBIDDEN_TYPE_FRAGMENTS)
+    ]
 
 
 def main() -> int:
@@ -71,12 +106,16 @@ def main() -> int:
         try:
             rel = con.sql(sql)
             d_cols = rel.columns
+            d_types = [str(t) for t in rel.types]
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             failures.append(name)
             continue
         problems = []
+        bad_types = lint_types(d_cols, d_types)
+        if bad_types:
+            problems.append(f"oracle result type Spark can't emit: {bad_types}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
