@@ -60,29 +60,90 @@ def _fake_decode_features(payload: bytes) -> np.ndarray:
     return np.resize(raw / 255.0, FEATURE_DIM)
 
 
+def pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pillow_decode(payload: bytes, size: tuple = (224, 224)) -> np.ndarray:
+    """Reference-parity image decode (tasks/plants_classifier.py:116-138):
+    RGB convert, centered pad-to-square on a white canvas, LANCZOS
+    resize. Returns float32 (H, W, 3). Requires Pillow."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        img = img.convert("RGB")
+        w, h = img.size
+        if w != h:
+            side = max(w, h)
+            canvas = Image.new("RGB", (side, side), (255, 255, 255))
+            canvas.paste(img, ((side - w) // 2, (side - h) // 2))
+            img = canvas
+        img = img.resize(size, Image.LANCZOS)
+        return np.asarray(img, dtype=np.float32)
+
+
+def _pixel_grid_features(arr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) pixels → FEATURE_DIM grayscale 4x4 grid means in [0,1].
+    A real deployment replaces this with the CNN forward pass; the grid
+    summary keeps the pillow path end-to-end testable without TF."""
+    g = arr.mean(axis=2)
+    h, w = g.shape
+    gh, gw = h // 4, w // 4
+    grid = g[: gh * 4, : gw * 4].reshape(4, gh, 4, gw).mean(axis=(1, 3))
+    return (grid / 255.0).flatten().astype(np.float32)
+
+
 def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     """content → feature vector via Arrow-batched mapInPandas.
+
+    ``decode`` picks the per-batch payload treatment:
+      - ``"fake"``: deterministic md5 pseudo-features (no media libs).
+      - ``"pillow"``: REAL image decode — RGB / pad-to-square /
+        LANCZOS 224x224 per the reference — then a pixel-grid feature
+        summary. Raises a clear error if Pillow is not installed.
+      - ``"real"``: marks where the CNN forward pass goes; raises
+        NotImplementedError until an ML runtime exists.
 
     Column pruning matters at scale: only (media_id, content) cross the
     Python boundary; metadata stays JVM-side and is re-joined by the
     caller if needed.
     """
-    if decode not in ("fake", "real"):
+    if decode not in ("fake", "pillow", "real"):
         raise ValueError(f"unknown decode mode: {decode}")
+    if decode == "pillow" and not pillow_available():
+        raise ImportError(
+            "decode='pillow' requires Pillow (pip install Pillow); "
+            "use decode='fake' for the deterministic stand-in"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if decode == "real":
-                # >>> real implementation goes here: Pillow open /
-                # pad-to-square / resize 224x224 / model forward pass
-                # (reference tasks/plants_classifier.py:116-138).
+                # >>> real implementation goes here: the model forward
+                # pass over _pillow_decode output (reference
+                # tasks/plants_classifier.py:99-113).
                 raise NotImplementedError(
-                    "real media decode requires Pillow/ffmpeg, absent here"
+                    "real embedding inference requires an ML runtime, absent here"
                 )
-            feats = [
-                _fake_decode_features(bytes(b)) if b is not None else None
-                for b in pdf["content"]
-            ]
+            if decode == "pillow":
+                feats = [
+                    _pixel_grid_features(_pillow_decode(bytes(b)))
+                    if b is not None
+                    else None
+                    for b in pdf["content"]
+                ]
+            else:
+                feats = [
+                    _fake_decode_features(bytes(b)) if b is not None else None
+                    for b in pdf["content"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -232,6 +232,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Four registry queries (ngram_jaccard_topk, near_dup_clusters,
+# edit_distance_pairs, cross_source_leakage) consume the same candidate
+# pipeline; without this memo each one re-runs the full signature +
+# banding + verification pass. Keyed per Spark application + sf_dir and
+# localCheckpointed, so a batch of registry queries (the driver gate,
+# bench.py) computes the pairs once. The checkpoint lives with the app's
+# executors — at 100 TB this becomes a persisted parquet of the pair
+# list, same shape.
+_LSH_PAIRS_CACHE: dict = {}
+
+
+def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LSH_PAIRS_CACHE.get(key)
+    if df is None:
+        df = minhash_lsh_pairs(spark, sf_dir).localCheckpoint(eager=True)
+        _LSH_PAIRS_CACHE[key] = df
+    return df
+
+
 MINHASH_LSH_PAIRS_SQL = (
     _duck_bands_cte()
     + f"""
@@ -299,7 +319,7 @@ FROM sh GROUP BY simhash
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     w = W.partitionBy("doc_a").orderBy(F.desc("jaccard"), F.asc("doc_b"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -386,7 +406,7 @@ def near_dup_clusters(
     spark: SparkSession, sf_dir: str, max_rounds: int = 25
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(docs, pairs, max_rounds=max_rounds)
     return labels.select(
         "doc_id",
@@ -428,7 +448,7 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, PREFIX_LEN).alias("prefix")
     )
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("prefix").alias("prefix_a")
     )
@@ -597,7 +617,7 @@ FROM ranked GROUP BY source
 
 def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     tagged = (

@@ -720,6 +720,166 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Registry ordering. The driver's correctness gate walks entries in
+# order and may stop at a count/time cap (round 1 stopped at entry 50),
+# so the order IS the certification priority: first the queries that
+# certify SURVEY §2 operator rows (engine primitives, scans/sinks,
+# expressions, aggregations/joins/sampling, UDF surface), then the
+# LLM-data-pipeline headliners (dedup, ANN/embeddings, text analysis,
+# curation, multimodal), then streaming/semistructured, then the
+# long-tail analytics extras. Names are stable; only iteration order
+# changes.
+# ---------------------------------------------------------------------------
+_PRIORITY_ORDER = [
+    # SURVEY §2 core: expressions + aggregations + joins + sort + sampling
+    "pricing_summary",
+    "danger_topk",
+    "wordcount",
+    "revenue_by_nation",
+    "customers_with_orders",
+    "customers_without_orders",
+    "distinct_segments",
+    "event_type_counts",
+    "dedup_on_agg",
+    "segments_per_nation",
+    "mode_per_user_bucket",
+    "returnflag_accuracy",
+    "label_pairs",
+    "union_slices",
+    "top_orders",
+    "systematic_sample",
+    "sampled_docs_per_source",
+    "train_test_split",
+    # compat shims: reference 4-hook programs through the same oracles
+    "wordcount_shim",
+    "danger_shim",
+    "one_vs_one_shim",
+    # scans/sinks: CSV/JSONL/ORC/XML/partitioned/bucketed round-trips
+    "csv_roundtrip_counts",
+    "jsonl_roundtrip_stats",
+    "partitioned_pruned_stats",
+    "orc_roundtrip_stats",
+    "xml_roundtrip_stats",
+    "multi_format_union",
+    "schema_drift_union",
+    "file_provenance_stats",
+    "stable_row_ids",
+    "bucketed_join_stats",
+    # deduplication family
+    "dedup_exact",
+    "dedup_keep_best",
+    "incremental_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_buckets",
+    "ngram_jaccard_topk",
+    "near_dup_clusters",
+    "duplicate_spans",
+    "edit_distance_pairs",
+    "cross_source_leakage",
+    # similarity search / embeddings
+    "knn_bruteforce",
+    "lsh_bucket_stats",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ann_recall_eval",
+    "embedding_near_dup",
+    "embedding_covariance",
+    "embedding_dim_stats",
+    "embedding_quantize_stats",
+    "negative_sampling_pairs",
+    "label_centroid_norms",
+    "tree_covariance",
+    "arrow_norm_stats",
+    "arrow_label_centroids",
+    "kmeans_lloyd",
+    # text analysis
+    "text_quality",
+    "lang_id_accuracy",
+    "token_stats",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "inverted_index_stats",
+    "top_bigrams",
+    "doc_repetition_stats",
+    "unigram_logprob_scores",
+    "sentiment_scores",
+    "vocab_coverage_stats",
+    "zipf_fit",
+    "vocab_growth_heaps",
+    "kwic_snippets",
+    "bpe_merges",
+    "bpe_token_compression",
+    # curation
+    "quality_filter_flags",
+    "decontamination",
+    "token_budget_sample",
+    "source_mixing_weights",
+    "doc_chunks",
+    "pack_chunks_bins",
+    "epoch_shuffle",
+    "weighted_doc_sample",
+    "winsorized_price_stats",
+    "source_lang_entropy",
+    "source_interleave",
+    # multimodal + ML pipeline (T44-T49)
+    "doc_embeddings",
+    "media_features",
+    "image_dhash_dedup",
+    "audio_window_features",
+    "video_frame_samples",
+    "one_vs_one_training",
+    "ensemble_vote_accuracy",
+    # event-time windows / sessions / as-of (batch)
+    "user_sessions",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "sliding_distinct_users",
+    "windowed_p95_value",
+    "session_window_counts",
+    "user_session_duration",
+    "latest_event_per_user",
+    "window_ranks",
+    "click_asof_purchase",
+    "click_asof_cogroup",
+    "click_purchase_within_1h",
+    "customer_upsert",
+    "order_status_runs",
+    "salted_type_stats",
+    "salted_above_type_mean",
+    "approx_distinct_users",
+    "approx_quantile_check",
+    # streaming twins (same oracles as batch)
+    "streaming_window_counts",
+    "streaming_sliding_distinct",
+    "streaming_user_sessions",
+    "streaming_dedup_events",
+    "streaming_segment_counts",
+    "streaming_click_purchase_join",
+    # semistructured / UDTF / custom data source
+    "variant_props_stats",
+    "variant_typeof_profile",
+    "json_props_extract",
+    "udtf_top_tokens",
+    "udtf_doc_chunks",
+    "udtf_doc_sentences",
+    "pyds_synthetic_stats",
+]
+
+assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (
+    sorted(set(_PRIORITY_ORDER) - set(_REGISTRY))
+)
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in (
+        *_PRIORITY_ORDER,
+        *(n for n in _REGISTRY if n not in set(_PRIORITY_ORDER)),
+    )
+}
+
+
 def QUERIES() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 

@@ -35,8 +35,82 @@ def test_media_feature_extraction_plumbing(spark):
 
 def test_media_real_decode_is_stubbed(spark):
     media = synth_media_df(spark, n=2, partitions=1)
-    with pytest.raises(Exception, match="NotImplementedError|Pillow|ffmpeg"):
+    with pytest.raises(Exception, match="NotImplementedError|Pillow|ffmpeg|ML runtime"):
         extract_features(media, decode="real").collect()
+
+
+def _tiny_png(width: int, height: int, rgb: tuple) -> bytes:
+    """Hand-rolled minimal 8-bit RGB PNG (no Pillow needed to WRITE)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width  # filter byte 0 + pixels
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_pillow_decode_requires_pillow_or_works(spark):
+    """decode='pillow' either refuses cleanly (no Pillow in container)
+    or produces real decoded features from a genuine PNG payload."""
+    from map_reduce_engine_cdps_spark.multimodal.binary import pillow_available
+
+    png = _tiny_png(4, 2, (255, 0, 0))
+    media = spark.createDataFrame(
+        [(0, bytearray(png), None)], schema=synth_media_df(spark, n=1).schema
+    )
+    if not pillow_available():
+        with pytest.raises(ImportError, match="Pillow"):
+            extract_features(media, decode="pillow")
+        return
+    rows = extract_features(media, decode="pillow").collect()
+    assert len(rows) == 1 and len(rows[0]["features"]) == FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in rows[0]["features"])
+
+
+def test_pillow_decode_pads_to_square():
+    """Reference semantics: non-square input is centered on a white
+    square canvas before the LANCZOS resize (plants_classifier.py)."""
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _pillow_decode,
+        pillow_available,
+    )
+
+    if not pillow_available():
+        pytest.skip("Pillow not installed in this container")
+    arr = _pillow_decode(_tiny_png(4, 2, (0, 0, 255)), size=(224, 224))
+    assert arr.shape == (224, 224, 3)
+    # corners come from the white padding above/below the wide image
+    assert arr[0, 0].tolist() == [255.0, 255.0, 255.0]
+    assert arr[-1, -1].tolist() == [255.0, 255.0, 255.0]
+    # center row comes from the blue source image
+    assert arr[112, 112, 2] > arr[112, 112, 0]
+
+
+def test_pixel_grid_features_shape_and_range():
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _pixel_grid_features,
+    )
+
+    arr = np.zeros((224, 224, 3), dtype=np.float32)
+    arr[:112] = 255.0  # top half white, bottom half black
+    feats = _pixel_grid_features(arr)
+    assert feats.shape == (FEATURE_DIM,)
+    assert feats[:8].tolist() == [1.0] * 8  # top two grid rows
+    assert feats[8:].tolist() == [0.0] * 8  # bottom two grid rows
 
 
 def test_media_metadata_stays_typed(spark):

@@ -1,0 +1,147 @@
+"""Property tests pinning the oracle-harness normalization contract.
+
+Round-1 lesson: DuckDB widens integer sums to HUGEINT, which the
+driver's value-hash stringifies differently from Spark's bigint even
+when every value is numerically identical. The local replica's old
+``round(v, 9)``/``str()`` normalization masked that. These tests pin
+the contract so oracle authoring can't silently reintroduce
+engine-representation drift:
+
+1. ``norm_cell`` is type-sensitive (int vs float vs bool vs string).
+2. ``lint_types`` rejects DuckDB result types Spark cannot emit, and
+   the canonical fix (CAST ... AS BIGINT) passes.
+3. A hypothesis sweep: arbitrary small int/float/string frames run
+   through Spark AND DuckDB with the blessed aggregate patterns
+   (CAST(sum AS BIGINT), round(avg, k), count) produce identical
+   normalized multisets.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from tools.oracle_check import df_multiset, lint_types, norm_cell
+
+
+def test_norm_cell_is_type_sensitive():
+    assert norm_cell(3) != norm_cell(3.0)
+    assert norm_cell(True) != norm_cell(1)
+    assert norm_cell("3") != norm_cell(3)
+    assert norm_cell(None) == "NULL"
+    assert norm_cell(float("nan")) == norm_cell(float("nan"))
+    # exact float repr — no rounding that could mask drift
+    assert norm_cell(0.1 + 0.2) != norm_cell(0.3)
+
+
+def test_lint_rejects_spark_inexpressible_types():
+    con = duckdb.connect()
+    rel = con.sql("SELECT sum(x) AS s FROM (SELECT 1 AS x)")
+    assert lint_types(rel.columns, [str(t) for t in rel.types]), (
+        "naked sum(INTEGER) yields HUGEINT and must be flagged"
+    )
+    rel = con.sql("SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT 1 AS x)")
+    assert not lint_types(rel.columns, [str(t) for t in rel.types])
+    rel = con.sql("SELECT 1.5 AS d")  # bare decimal literal is DECIMAL
+    assert lint_types(rel.columns, [str(t) for t in rel.types])
+    rel = con.sql("SELECT CAST(1.5 AS DOUBLE) AS d")
+    assert not lint_types(rel.columns, [str(t) for t in rel.types])
+
+
+@st.composite
+def frames(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    keys = draw(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=n, max_size=n
+        )
+    )
+    ints = draw(
+        st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    floats = draw(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame({"k": keys, "i": ints, "x": floats})
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pdf=frames())
+def test_blessed_aggregates_agree_across_engines(spark, pdf):
+    """sum/avg/count under the oracle-authoring rules (integer sums
+    CAST to BIGINT, float aggregates rounded identically on both
+    sides) normalize identically through the strict harness."""
+    # `round(...) + 0.0` is the blessed float-aggregate pattern: the
+    # +0.0 is an IEEE no-op for every value EXCEPT -0.0, which DuckDB's
+    # round preserves but Spark's BigDecimal round never emits — a
+    # stringifying value-hash would see '-0.0' != '0.0'.
+    blessed = """
+        SELECT k,
+               CAST(sum(i) AS BIGINT) AS si,
+               round(avg(x), 6) + 0.0 AS ax,
+               count(*) AS n
+        FROM prop_t GROUP BY k
+        """
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("prop_t")
+    s_out = spark.sql(blessed)
+    s_cols = s_out.columns
+    s_rows = [tuple(r) for r in s_out.collect()]
+
+    con = duckdb.connect()
+    con.register("prop_t", pdf)
+    rel = con.sql(blessed)
+    d_cols, d_rows = rel.columns, rel.fetchall()
+
+    assert not lint_types(d_cols, [str(t) for t in rel.types])
+    assert sorted(s_cols) == sorted(d_cols)
+    assert df_multiset(s_cols, s_rows) == df_multiset(d_cols, d_rows)
+
+
+def test_negative_zero_round_divergence_and_guard():
+    """DuckDB round() preserves the sign of zero; Spark's round does
+    not. `+ 0.0` after the round is the guard: IEEE -0.0 + 0.0 = 0.0,
+    and x + 0.0 = x exactly for every other double."""
+    con = duckdb.connect()
+    (raw,) = con.sql("SELECT round(-1e-9, 6)").fetchone()
+    assert str(raw) == "-0.0"  # the divergence exists
+    (guarded,) = con.sql("SELECT round(-1e-9, 6) + 0.0").fetchone()
+    assert str(guarded) == "0.0"
+    (other,) = con.sql("SELECT round(-1.5e-6, 6) + 0.0").fetchone()
+    assert other == -2e-06  # guard is a no-op away from zero
+
+
+def test_unblessed_integer_sum_fails_the_harness(spark):
+    """The failure mode the lint exists for: DuckDB HUGEINT from a
+    naked integer sum must NOT normalize equal under type-tagged
+    normalization rules — the lint is what catches it."""
+    con = duckdb.connect()
+    rel = con.sql("SELECT sum(x) AS s FROM (SELECT CAST(3 AS INT) AS x)")
+    assert lint_types(rel.columns, [str(t) for t in rel.types])
+    # value itself round-trips as python int, so the TYPE lint (not the
+    # value compare) is the guard — assert we understand why:
+    assert rel.fetchall() == [(3,)]
