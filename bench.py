@@ -72,10 +72,7 @@ def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
     return round(statistics.median(once() for _ in range(runs)), 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = _REGISTRY[name]
@@ -84,18 +81,33 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+    return timings
+
+
+# Derived 10x replication of sf0.1 (tools/scale_data.py) for the
+# scaling-slope point in BASELINE.md's measurement plan. Only timed
+# when present and not disabled, so the driver's sf0.1 run stays fast.
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    timings = run_suite(spark, sf_dir)
     total = round(sum(t for t in timings.values() if t > 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        sf1 = run_suite(spark, SF1_DIR)
+        out["sf1_queries"] = sf1
+        out["sf1_value"] = round(sum(t for t in sf1.values() if t > 0), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
