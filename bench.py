@@ -72,12 +72,12 @@ def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
     return round(statistics.median(once() for _ in range(runs)), 3)
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = _REGISTRY[name]
         try:
-            timings[name] = time_query(spark, fn, sf_dir)
+            timings[name] = time_query(spark, fn, sf_dir, runs=runs)
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -104,7 +104,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        sf1 = run_suite(spark, SF1_DIR)
+        # single timed run after warm-up: the slope needs one honest
+        # point, not a median, and it keeps the per-round bench fast
+        sf1 = run_suite(spark, SF1_DIR, runs=1)
         out["sf1_queries"] = sf1
         out["sf1_value"] = round(sum(t for t in sf1.values() if t > 0), 3)
     print(json.dumps(out))
