@@ -35,23 +35,29 @@ def clean_tokens(col: Column) -> Column:
     )
 
 
-def shingles(tok: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles as strings (word n-grams).
+def pos_ngrams(tok: Column, n: int) -> Column:
+    """Positional n-grams (every offset, duplicates kept), O(n·L).
 
-    ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice))`` —
-    all built-in array ops, 1-indexed to mirror the DuckDB oracle.
+    arrays_zip of n shifted slices: each slice is evaluated ONCE per
+    row, and the transform lambda only touches the materialized
+    structs. The naive per-gram formulation (element_at or slice
+    inside the lambda) re-evaluates the unmaterialized token
+    expression — a filter+split higher-order chain — on every gram,
+    i.e. O(L²) per doc; measured 64x slower on sf1 bigrams.
     """
-    # Guard: Spark's sequence(1, stop) counts *down* when stop < 1, so
-    # short docs must short-circuit to an empty array explicitly.
-    # array_join(slice(...)) is one array op per gram instead of n
-    # element_at lookups — these higher-order lambdas run interpreted,
-    # so per-gram expression-node count is the real cost (3.5x measured
-    # on the window-hash twin of this pattern at sf1).
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.array_join(F.slice(tok, i, n), " "),
+    cnt = F.greatest(F.size(tok) - (n - 1), F.lit(0))
+    parts = [F.slice(tok, k + 1, cnt).alias(f"g{k}") for k in range(n)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"g{k}"] for k in range(n)])
     )
-    return F.when(F.size(tok) >= n, F.array_distinct(grams)).otherwise(
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles as strings (word n-grams), 1-indexed
+    to mirror the DuckDB oracle."""
+    # Guard: short docs short-circuit to a typed empty array.
+    return F.when(F.size(tok) >= n, F.array_distinct(pos_ngrams(tok, n))).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -120,10 +126,7 @@ def window_hashes(tok: Column, w: int = 10) -> Column:
     docs sharing any w-token window share a verbatim span. md5 of the
     joined window so the DuckDB oracle is bit-identical.
     """
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (w - 1)),
-        lambda i: F.md5(F.array_join(F.slice(tok, i, w), " ")),
-    )
+    grams = F.transform(pos_ngrams(tok, w), F.md5)
     return F.when(F.size(tok) >= w, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -290,20 +290,15 @@ FROM d GROUP BY source
 # ---------------------------------------------------------------------------
 
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pos_ngrams keeps this O(L) per doc (see functions/text.py); the
+    # scan re-parallelizes because the gram build is the CPU stage.
     docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     tok = TX.tokens(F.col("text"))
-    grams = F.when(
-        F.size(tok) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(tok, i.cast("int")),
-                F.element_at(tok, (i + 1).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(grams).alias("bigram"))
+        docs.select(F.explode(TX.pos_ngrams(tok, 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
