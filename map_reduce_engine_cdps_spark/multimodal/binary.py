@@ -219,9 +219,11 @@ def doc_embeddings(spark, sf_dir: str) -> DataFrame:
     norm hex-digit by hex-digit, quantizing each component to float32
     (CAST AS FLOAT) exactly like the UDF — both sides then square and
     sum in float64, so the pre-round values are bit-identical."""
-    from map_reduce_engine_cdps_spark.sources.readers import load_table
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Arrow batches follow partitioning: a single-file scan would feed
+    # ONE Python worker; re-parallelize so the UDF fans out.
+    docs = load_parallel(spark, sf_dir, "documents")
     embed = text_embedder_udf()
     out = docs.select("doc_id", embed(F.col("text")).alias("embedding"))
     return out.select(

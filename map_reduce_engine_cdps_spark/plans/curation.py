@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from map_reduce_engine_cdps_spark.functions import text as TX
-from map_reduce_engine_cdps_spark.sources.readers import load_table
+from map_reduce_engine_cdps_spark.sources.readers import load_parallel, load_table
 
 # Stopword set shared by the Spark and DuckDB sides (tiny on purpose:
 # the synthetic corpus vocabulary is small; real deployments swap in a
@@ -135,7 +135,7 @@ DECON_SHINGLE_N = 3
 
 
 def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
         "source",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_engine_cdps_spark.functions import text as TX
-from map_reduce_engine_cdps_spark.sources.readers import load_table
+from map_reduce_engine_cdps_spark.sources.readers import load_parallel, load_table
 
 N_MINHASH = 8          # minhash components
 BAND_ROWS = 4          # components per band → 2 bands
@@ -296,7 +296,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster the broadcast becomes a shuffle join on the term if the
     vocabulary outgrows the broadcast threshold; AQE picks.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
     ex = docs.select("doc_id", F.explode(tok).alias("tk"))
     vocab = ex.select("tk").distinct()
@@ -546,10 +546,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     A pathologically hot boilerplate window means you want the
     hash-mod sampling estimate described above anyway.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = load_parallel(spark, sf_dir, "documents")
     wins = docs.select(
         "doc_id",
         F.explode(TX.window_hashes(TX.tokens(F.col("text")), SPAN_W)).alias(

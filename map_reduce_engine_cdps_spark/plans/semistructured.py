@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 from map_reduce_engine_cdps_spark.plans.curation import CHUNK_TOKENS
-from map_reduce_engine_cdps_spark.sources.readers import load_table
+from map_reduce_engine_cdps_spark.sources.readers import load_parallel, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +115,7 @@ class ChunkDocUDTF:
 
 
 def udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     spark.udtf.register("chunk_doc", ChunkDocUDTF)
     docs.createOrReplaceTempView("_udtf_docs")
     return spark.sql(
@@ -151,7 +151,7 @@ class SentencesUDTF:
 
 
 def udtf_doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     spark.udtf.register("doc_sentences", SentencesUDTF)
     docs.createOrReplaceTempView("_udtf_docs_sent")
     return spark.sql(
@@ -270,7 +270,7 @@ class TopTokensUDTF:
 def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf as _udtf
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     spark.udtf.register("top_tokens", _udtf(TopTokensUDTF))
     docs.createOrReplaceTempView("_udtf_docs_topk")
     return spark.sql(

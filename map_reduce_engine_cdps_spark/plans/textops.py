@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_engine_cdps_spark.functions import text as TX
-from map_reduce_engine_cdps_spark.sources.readers import load_table
+from map_reduce_engine_cdps_spark.sources.readers import load_parallel, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -21,7 +21,7 @@ from map_reduce_engine_cdps_spark.sources.readers import load_table
 # ---------------------------------------------------------------------------
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -47,7 +47,7 @@ SELECT word, count(*) AS cnt FROM toks WHERE length(word) > 0 GROUP BY word
 # ---------------------------------------------------------------------------
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
     d = docs.withColumn("toks", tok)
     n = F.size("toks")
@@ -96,7 +96,7 @@ FROM t
 # ---------------------------------------------------------------------------
 
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
     pred = F.when(TX.stopword_ratio(tok) >= 0.05, "en").otherwise("other")
     d = docs.withColumn("pred_lang", pred)
@@ -135,7 +135,7 @@ FROM scored GROUP BY lang
 # ---------------------------------------------------------------------------
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.md5(F.col("text")).alias("fingerprint"),
@@ -238,7 +238,7 @@ _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_RE), 0)
     first = lambda t: F.substring(t, 1, 1)  # noqa: E731
     d = docs.select(
@@ -292,10 +292,7 @@ FROM d GROUP BY source
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pos_ngrams keeps this O(L) per doc (see functions/text.py); the
     # scan re-parallelizes because the gram build is the CPU stage.
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
     return (
         docs.select(F.explode(TX.pos_ngrams(tok, 2)).alias("bigram"))
@@ -337,7 +334,7 @@ MAX_DUP_BIGRAM_FRAC = 0.5
 
 
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
     grams = F.when(
         F.size(tok) >= 2,
@@ -397,7 +394,7 @@ FROM g
 # ---------------------------------------------------------------------------
 
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
     )
@@ -453,7 +450,7 @@ VOCAB_SIZE = 30
 
 
 def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
     )
@@ -522,7 +519,7 @@ _BM25_B = 0.75
 
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
     )
@@ -601,7 +598,7 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 # ---------------------------------------------------------------------------
 
 def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
     )
@@ -651,7 +648,7 @@ _BPE_MERGES = 8
 
 
 def _bpe_word_freqs(spark: SparkSession, sf_dir: str, top_v: int) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
         .filter(F.length("word") > 0)
@@ -712,7 +709,7 @@ def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     word before vs after, corpus-weighted. The merge list is broadcast;
     the word table never leaves the executors."""
     full = (
-        load_table(spark, sf_dir, "documents")
+        load_parallel(spark, sf_dir, "documents")
         .select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
@@ -773,7 +770,7 @@ def bpe_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -818,7 +815,7 @@ FROM ranked
 
 
 def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     bounds = docs.agg(
         F.min("doc_id").alias("lo"), (F.max("doc_id") - F.min("doc_id") + 1).alias("span")
     )
@@ -891,7 +888,7 @@ _SENT_LEXICON = {
 
 
 def sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     lex = F.create_map(
         *[F.lit(x) for kv in sorted(_SENT_LEXICON.items()) for x in kv]
     )
@@ -967,7 +964,7 @@ _KWIC_RE = (
 
 
 def kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     hit = docs.filter(F.col("text").rlike(rf"\b{_KWIC_TERM}\b"))
     ctx = hit.select(
         F.concat(

@@ -61,6 +61,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + re-parallelize when the scan yields fewer partitions
+    than cores.
+
+    For queries whose map stage does CPU-heavy per-row work
+    (tokenization, interpreted higher-order lambdas, Arrow/UDTF
+    crossings), a single small parquet file pins that stage to one
+    thread; one cheap row-exchange up front buys full-width execution.
+    Scan-light relational queries should NOT use this — the exchange
+    would cost more than it saves, and on a real cluster the scan
+    already yields one partition per ~128 MB split.
+    """
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
