@@ -1127,3 +1127,80 @@ SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY doc_id) - 1 AS row_id
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction_stats — PII scrubbing, the privacy pass every
+# training-data pipeline runs before tokenization: regex-redact emails
+# and phone numbers, report per-segment match counts and bytes removed.
+# The synthetic corpus carries no PII, so the redaction input is a
+# deterministic contact card derived from the customer key — the
+# operator itself (regexp_count + global regexp_replace, JVM-side) is
+# exactly what runs over raw text at 100 TB: an embarrassingly
+# parallel map with a tiny final aggregate, zero extra shuffle. Both
+# regexes are RE2-and-Java-compatible so the DuckDB oracle runs the
+# byte-identical patterns.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_PHONE_RE = "\\+1-[0-9]{3}-555-[0-9]{4}"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> +1-"),
+        F.lpad((F.col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    d = cust.select("c_mktsegment", contact.alias("contact"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("contact"), F.lit(PII_EMAIL_RE), F.lit("[EMAIL]")),
+        F.lit(PII_PHONE_RE),
+        F.lit("[PHONE]"),
+    )
+    per_row = d.select(
+        "c_mktsegment",
+        F.regexp_count(F.col("contact"), F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("contact"), F.lit(PII_PHONE_RE)).alias("n_phone"),
+        (F.length("contact") - F.length(redacted)).alias("removed"),
+    )
+    return per_row.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_email").cast("long").alias("emails_redacted"),
+        F.sum("n_phone").cast("long").alias("phones_redacted"),
+        F.sum("removed").cast("long").alias("chars_removed"),
+    )
+
+
+PII_REDACTION_STATS_SQL = f"""
+WITH c AS (
+  SELECT c_mktsegment,
+         c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+         '@example.com> +1-' ||
+         lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') ||
+         '-555-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM customer
+), r AS (
+  SELECT c_mktsegment,
+         len(regexp_extract_all(contact, '{PII_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(contact, '{PII_PHONE_RE}')) AS n_phone,
+         length(contact) - length(
+           regexp_replace(
+             regexp_replace(contact, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g')) AS removed
+  FROM c
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(sum(removed) AS BIGINT) AS chars_removed
+FROM r
+GROUP BY c_mktsegment
+"""

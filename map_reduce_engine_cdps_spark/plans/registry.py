@@ -717,6 +717,21 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.order_gap_stats,
         analytics.ORDER_GAP_STATS_SQL,
     ),
+    # --- privacy pass: PII regex redaction before tokenization ---
+    "pii_redaction_stats": (
+        curation.pii_redaction_stats,
+        curation.PII_REDACTION_STATS_SQL,
+    ),
+    # --- SemDeDup: cluster-bounded semantic near-dup pruning ---
+    "semdedup_prune": (
+        similarity.semdedup_prune,
+        similarity.SEMDEDUP_PRUNE_SQL,
+    ),
+    # --- CCNet perplexity head/middle/tail corpus split ---
+    "ccnet_perplexity_buckets": (
+        textops.ccnet_perplexity_buckets,
+        textops.CCNET_PERPLEXITY_BUCKETS_SQL,
+    ),
 }
 
 

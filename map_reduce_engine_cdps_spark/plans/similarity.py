@@ -926,3 +926,93 @@ def tree_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vals.append(round(float(cov[i, j] / (std[i] * std[j])), 6))
     schema = ", ".join(f"{c} double" for c in names)
     return spark.createDataFrame([tuple(vals)], schema)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — SemDeDup-style semantic deduplication (Abbas et al.
+# 2023, arXiv:2303.09540): cluster the embedding space with a coarse
+# quantizer, then prune within-cluster semantic duplicates. The
+# deterministic keep rule — a vector is pruned iff an earlier-id vector
+# in its cluster has cosine >= SEMDEDUP_TAU — replaces the paper's
+# "keep farthest from centroid" tie-break so both engines agree
+# bit-for-bit. Clusters come from the same per-label-mean coarse
+# quantizer as ivf_ann_topk (deterministic, unlike k-means, so the
+# oracle can rebuild it).
+#
+# Scale: centroids are K×dim and broadcast; assignment is a map-side
+# argmin pass; the duplicate join is an equi-join on cluster_id, so the
+# pair expansion is bounded per cluster — at 100 TB K grows with the
+# corpus (the paper uses ~0.1% of N) keeping clusters ~constant-size,
+# which is precisely why SemDeDup scales where all-pairs cosine cannot.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = F.broadcast(
+        _centroids(emb).select(F.col("label").alias("cluster_id"), "centroid")
+    )
+    scored = emb.crossJoin(cent).select(
+        "vec_id",
+        "embedding",
+        "cluster_id",
+        F.round(V.cosine(F.col("embedding"), F.col("centroid")), 6).alias("c_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cluster_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(F.col("pruned"), F.lit(False)).alias("is_pruned"),
+    )
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH exploded AS (
+  SELECT label, t.pos, embedding[t.pos]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(pos)
+), comp AS (
+  SELECT label, pos, sum(val) / count(*) AS m
+  FROM exploded GROUP BY label, pos
+), cent AS (
+  SELECT label AS cluster_id, list(m ORDER BY pos) AS centroid
+  FROM comp GROUP BY label
+), assign AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, cent.cluster_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos_lists('e.embedding', 'cent.centroid')} DESC,
+                      cent.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_duck_cos_lists('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cluster_id, (d.vec_id IS NOT NULL) AS is_pruned
+FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+"""

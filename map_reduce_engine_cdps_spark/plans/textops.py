@@ -993,3 +993,88 @@ WITH hit AS (
 SELECT context, count(*) AS n FROM ctx
 GROUP BY context ORDER BY n DESC, context ASC LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets — CCNet-style perplexity bucketing (Wenzek et
+# al. 2020, arXiv:1911.00359): score every document with the language
+# model (here the corpus unigram LM — same scorer as
+# unigram_logprob_scores), then split each language into head / middle
+# / tail terciles by score; downstream pipelines keep head+middle and
+# drop or downweight tail. The tercile is ntile(3) over (score, doc_id)
+# so the cut is deterministic across engines.
+#
+# Scale: the LM table is O(vocab) and broadcast; scoring is the same
+# one-shuffle token aggregate as unigram_logprob_scores; the ntile is a
+# per-language window — with thousands of languages the partitioning is
+# wide, and a skewed giant language is handled the standard way
+# (approx percentile cutoffs instead of an exact window; SCALE.md).
+# ---------------------------------------------------------------------------
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "word", (-F.log(F.col("c") / F.col("t"))).alias("neg_logp")
+    )
+    scored = (
+        toks.join(F.broadcast(logp), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("neg_logp"), 4).alias("avg_neg_logp"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.asc("avg_neg_logp"), F.asc("doc_id"))
+    bucketed = scored.withColumn(
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("avg_neg_logp"), 4).alias("mean_score"),
+    )
+
+
+CCNET_PERPLEXITY_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, w.word
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(list_transform(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0),
+             x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0) AS words
+    FROM documents
+  ), unnest(words) AS w(word)
+), freq AS (
+  SELECT word, count(*) AS c FROM toks GROUP BY word
+), tot AS (
+  SELECT sum(c) AS t FROM freq
+), scored AS (
+  SELECT doc_id, lang, count(*) AS n_tokens,
+         round(avg(-ln(c::DOUBLE / t::DOUBLE)), 4) AS avg_neg_logp
+  FROM toks JOIN freq USING (word) CROSS JOIN tot
+  GROUP BY doc_id, lang
+), bucketed AS (
+  SELECT lang, n_tokens, avg_neg_logp,
+         (['head', 'middle', 'tail'])[
+           ntile(3) OVER (PARTITION BY lang
+                          ORDER BY avg_neg_logp ASC, doc_id ASC)] AS bucket
+  FROM scored
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(avg_neg_logp), 4) AS mean_score
+FROM bucketed
+GROUP BY lang, bucket
+"""

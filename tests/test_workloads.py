@@ -225,3 +225,52 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
         psum[r["from_type"]] += r["prob"]
     for ft, s in psum.items():
         assert abs(s - 1.0) < 1e-4, (ft, s)
+
+
+def test_pii_redaction_covers_every_contact(spark, sf_dir):
+    """Every synthesized contact card carries exactly one email and one
+    phone, so redaction counts must equal the customer count and the
+    redacted text must be strictly shorter (both tokens shrink)."""
+    from map_reduce_engine_cdps_spark.plans.curation import pii_redaction_stats
+
+    rows = pii_redaction_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["emails_redacted"] == r["n_customers"]
+        assert r["phones_redacted"] == r["n_customers"]
+        assert r["chars_removed"] > 0
+
+
+def test_semdedup_prune_keep_rule(spark, sf_dir):
+    """The earliest vec_id in every cluster can never be pruned (no
+    earlier neighbor exists), and at least one vector survives while at
+    least one is pruned at the chosen tau on this corpus."""
+    from map_reduce_engine_cdps_spark.plans.similarity import semdedup_prune
+
+    rows = semdedup_prune(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        first = min(members, key=lambda r: r["vec_id"])
+        assert not first["is_pruned"]
+    flags = {r["is_pruned"] for r in rows}
+    assert flags == {True, False}
+
+
+def test_ccnet_buckets_balanced_per_lang(spark, sf_dir):
+    """ntile(3) terciles: per language all three buckets appear, sizes
+    differ by at most one, and mean score is monotone head<=middle<=tail
+    (head = best = lowest avg negative log-prob)."""
+    from map_reduce_engine_cdps_spark.plans.textops import ccnet_perplexity_buckets
+
+    rows = ccnet_perplexity_buckets(spark, sf_dir).collect()
+    langs = {}
+    for r in rows:
+        langs.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in langs.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        sizes = [buckets[b]["n_docs"] for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, lang
+        scores = [buckets[b]["mean_score"] for b in ("head", "middle", "tail")]
+        assert scores[0] <= scores[1] <= scores[2], lang
