@@ -1204,3 +1204,91 @@ SELECT c_mktsegment,
 FROM r
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights — DSIR data selection (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log importance
+# ratio ln(p_target(f)/p_raw(f)) averaged over its hashed token
+# features; resampling by this weight selects raw data that looks like
+# the target domain. Target here = the English slice (the usual
+# "select web data resembling curated English" setup); features are
+# 256-way hashed unigrams — the first md5 hex byte, so both engines
+# bucket identically. Laplace 0.5-smoothing keeps target-unseen
+# features finite.
+#
+# Scale: the two feature histograms are 256 rows each — computed with
+# one conditional aggregate over the token stream (no second corpus
+# pass for the target side) and broadcast back; per-doc scoring is the
+# token-stream group-by that every other text op already pays. Nothing
+# grows with corpus size except the two streaming aggregates.
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_B = 256          # hashed-feature buckets (first md5 hex byte)
+DSIR_ALPHA = 0.5      # Laplace smoothing
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(TX.clean_tokens(F.col("text"))).alias("word"),
+    ).withColumn("f", F.substring(F.md5(F.col("word")), 1, 2))
+    hist = toks.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("c_tgt"),
+    )
+    tot = hist.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    logw = hist.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (
+            F.log(
+                ((F.col("c_tgt") + DSIR_ALPHA) / (F.col("t_tgt") + DSIR_ALPHA * DSIR_B))
+                / ((F.col("c_raw") + DSIR_ALPHA) / (F.col("t_raw") + DSIR_ALPHA * DSIR_B))
+            )
+        ).alias("lw"),
+    )
+    return (
+        toks.join(F.broadcast(logw), "f")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lw"), 4).alias("dsir_logw"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, substr(md5(w.word), 1, 2) AS f
+  FROM (
+    SELECT doc_id, source, lang,
+           list_filter(list_transform(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0),
+             x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0) AS words
+    FROM documents
+  ), unnest(words) AS w(word)
+), hist AS (
+  SELECT f, count(*) AS c_raw,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+  FROM toks GROUP BY f
+), tot AS (
+  SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw, CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM hist
+), logw AS (
+  SELECT f,
+         ln(((c_tgt + {DSIR_ALPHA}) / (t_tgt + {DSIR_ALPHA * DSIR_B}))
+            / ((c_raw + {DSIR_ALPHA}) / (t_raw + {DSIR_ALPHA * DSIR_B}))) AS lw
+  FROM hist CROSS JOIN tot
+)
+SELECT doc_id, source, lang, count(*) AS n_tokens,
+       round(avg(lw), 4) + 0.0 AS dsir_logw
+FROM toks JOIN logw USING (f)
+GROUP BY doc_id, source, lang
+"""

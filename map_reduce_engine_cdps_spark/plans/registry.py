@@ -732,6 +732,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.ccnet_perplexity_buckets,
         textops.CCNET_PERPLEXITY_BUCKETS_SQL,
     ),
+    # --- DSIR hashed-ngram importance weights for data selection ---
+    "dsir_importance_weights": (
+        curation.dsir_importance_weights,
+        curation.DSIR_IMPORTANCE_WEIGHTS_SQL,
+    ),
 }
 
 

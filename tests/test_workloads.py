@@ -274,3 +274,16 @@ def test_ccnet_buckets_balanced_per_lang(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1, lang
         scores = [buckets[b]["mean_score"] for b in ("head", "middle", "tail")]
         assert scores[0] <= scores[1] <= scores[2], lang
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """DSIR sanity: the mean importance log-weight of target-language
+    (en) docs must exceed the mean over non-target docs — selecting by
+    the weight should pull the sample toward the target domain."""
+    from map_reduce_engine_cdps_spark.plans.curation import dsir_importance_weights
+
+    rows = dsir_importance_weights(spark, sf_dir).collect()
+    en = [r["dsir_logw"] for r in rows if r["lang"] == "en"]
+    rest = [r["dsir_logw"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
