@@ -174,16 +174,17 @@ MINHASH_SIGNATURES_SQL = (
 # not-O(n²) path: the self-join is an equi-join on the band key.
 # ---------------------------------------------------------------------------
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate generation is bucket-local: posexplode the band keys
-    (one signature pass over the corpus — a band self-join would
-    re-evaluate the signature pipeline once per join side), shuffle
-    once on (band_idx, band), and emit intra-bucket pairs with a
-    built-in nested-transform over the collected bucket members.
-    LSH buckets are tiny by construction (that is the point of
-    banding); a pathological hot bucket means the banding parameters
-    are wrong for the corpus, and AQE's skew handling bounds the
-    damage meanwhile.
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with both shingle sets attached (columns
+    doc_a, doc_b, sh_a, sh_b) — the shared front half of every
+    MinHash consumer. Bucket-local: posexplode the band keys (one
+    signature pass over the corpus — a band self-join would re-evaluate
+    the signature pipeline once per join side), shuffle once on
+    (band_idx, band), and emit intra-bucket pairs with a built-in
+    nested-transform over the collected bucket members. LSH buckets are
+    tiny by construction (that is the point of banding); a pathological
+    hot bucket means the banding parameters are wrong for the corpus,
+    and AQE's skew handling bounds the damage meanwhile.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = _with_minhash_bands(docs)
@@ -211,7 +212,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n.shingles AS sa, m.shingles AS sb) END)))
         """
     )
-    cand = (
+    return (
         buckets.select(F.explode(pair_expr).alias("p"))
         .select(
             F.col("p.da").alias("doc_a"),
@@ -221,6 +222,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard verification over the shared LSH candidate set."""
+    cand = _lsh_candidates(spark, sf_dir)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -273,6 +279,67 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE len(list_intersect(sh_a, sh_b))::DOUBLE /
       (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE >= 0.2
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# minhash_containment — containment similarity |A∩B| / min(|A|,|B|)
+# over the LSH candidate pairs. Jaccard misses doc-in-doc duplication
+# (a small doc fully embedded in a large one has tiny union-relative
+# overlap); containment normalizes by the smaller shingle set, so a
+# full-subset pair scores 1.0 regardless of size skew. Same candidate
+# pipeline as minhash_lsh_pairs (shared front half — one signature
+# pass, bucket-local pair expansion), so the scale argument is
+# unchanged; only the verification formula differs, and the threshold
+# keeps pairs Jaccard would drop.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_MIN = 0.5
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidates(spark, sf_dir)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / smaller.cast("double"), 4).alias(
+                "containment"
+            ),
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+    )
+
+
+MINHASH_CONTAINMENT_SQL = (
+    _duck_bands_cte()
+    + f"""
+, banded AS (
+  SELECT doc_id, shingles, band0 AS band, 0 AS b FROM bands
+  UNION ALL
+  SELECT doc_id, shingles, band1 AS band, 1 AS b FROM bands
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.b = b.b
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+               least(len(sh_a), len(sh_b))::DOUBLE, 4) AS containment,
+         round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+               (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
+               4) AS jaccard
+  FROM cand
+)
+SELECT doc_a, doc_b, containment, jaccard
+FROM scored WHERE containment >= {CONTAINMENT_MIN}
 """
 )
 

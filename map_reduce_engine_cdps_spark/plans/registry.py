@@ -737,6 +737,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.dsir_importance_weights,
         curation.DSIR_IMPORTANCE_WEIGHTS_SQL,
     ),
+    # --- containment dedup: doc-in-doc overlap Jaccard misses ---
+    "minhash_containment": (
+        dedup.minhash_containment,
+        dedup.MINHASH_CONTAINMENT_SQL,
+    ),
+    # --- product quantization: codebook usage + reconstruction error ---
+    "pq_quantize_stats": (
+        similarity.pq_quantize_stats,
+        similarity.PQ_QUANTIZE_STATS_SQL,
+    ),
 }
 
 

@@ -1016,3 +1016,101 @@ WITH exploded AS (
 SELECT a.vec_id, a.cluster_id, (d.vec_id IS NOT NULL) AS is_pruned
 FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# pq_quantize_stats — product quantization (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"): split each vector into
+# PQ_M subvectors, quantize every subvector against a per-subspace
+# codebook, report per-(subspace, codeword) usage and reconstruction
+# error. PQ is how a 100 TB embedding corpus fits an ANN index in RAM —
+# M codes of one byte replace D floats (here 64 floats → 8 bytes, 32×).
+# The codebooks are the per-label mean subvectors (same deterministic
+# coarse-quantizer trick as ivf_ann_topk, so the oracle rebuilds them);
+# production swaps in k-means-per-subspace, which kmeans_lloyd already
+# demonstrates.
+#
+# Scale: codebooks are M×K×(D/M) floats — broadcast; assignment is a
+# map-side argmin per subvector; the only shuffles are the two tiny
+# codebook aggregates and the final (M×K)-row stats rollup.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8     # subspaces
+PQ_D = 8     # dims per subspace (embeddings are 64-dim)
+
+
+def pq_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda s: F.slice("embedding", s * PQ_D + 1, F.lit(PQ_D)),
+            )
+        ).alias("sub_id", "subvec"),
+    )
+    ex = subs.select("sub_id", "label", F.posexplode("subvec").alias("pos", "val"))
+    comp = ex.groupBy("sub_id", "label", "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    cb = comp.groupBy("sub_id", "label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("codeword")
+    )
+    cb2 = cb.select("sub_id", F.col("label").alias("code"), "codeword")
+    j = subs.select("vec_id", "sub_id", "subvec").join(F.broadcast(cb2), "sub_id")
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "subvec",
+                "codeword",
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = j.select("vec_id", "sub_id", "code", d2.alias("d2"))
+    w = W.partitionBy("vec_id", "sub_id").orderBy(F.asc("d2"), F.asc("code"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("sub_id", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("d2"), 4).alias("avg_sq_err"),
+    )
+
+
+PQ_QUANTIZE_STATS_SQL = f"""
+WITH subs AS (
+  SELECT vec_id, label, t.s AS sub_id,
+         list_transform(range(1, {PQ_D} + 1),
+                        p -> embedding[t.s * {PQ_D} + p]::DOUBLE) AS subvec
+  FROM embeddings, unnest(range(0, {PQ_M})) AS t(s)
+), ex AS (
+  SELECT sub_id, label, u.p AS pos, subvec[u.p] AS val
+  FROM subs, unnest(range(1, {PQ_D} + 1)) AS u(p)
+), comp AS (
+  SELECT sub_id, label, pos, avg(val) AS m
+  FROM ex GROUP BY sub_id, label, pos
+), cb AS (
+  SELECT sub_id, label AS code, list(m ORDER BY pos) AS codeword
+  FROM comp GROUP BY sub_id, label
+), scored AS (
+  SELECT s.vec_id, s.sub_id, c.code,
+         round(list_sum(list_transform(range(1, {PQ_D} + 1),
+               i -> (s.subvec[i] - c.codeword[i]) * (s.subvec[i] - c.codeword[i]))),
+               6) AS d2
+  FROM subs s JOIN cb c USING (sub_id)
+), best AS (
+  SELECT vec_id, sub_id, code, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                 ORDER BY d2 ASC, code ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT sub_id, code, count(*) AS n_vecs, round(avg(d2), 4) AS avg_sq_err
+FROM best GROUP BY sub_id, code
+"""

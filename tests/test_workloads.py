@@ -287,3 +287,36 @@ def test_dsir_weights_favor_target_language(spark, sf_dir):
     rest = [r["dsir_logw"] for r in rows if r["lang"] != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_containment_bounds_and_dominates_jaccard(spark, sf_dir):
+    """Containment >= Jaccard always (min-normalizer <= union), both in
+    [0,1], and every reported pair clears the containment threshold."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        CONTAINMENT_MIN,
+        minhash_containment,
+    )
+
+    rows = minhash_containment(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert CONTAINMENT_MIN <= r["containment"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["containment"] >= r["jaccard"]
+
+
+def test_pq_codebook_shape_and_coverage(spark, sf_dir):
+    """Every (vec, subspace) is assigned exactly once: per-subspace
+    usage counts sum to the corpus size, and reconstruction error is
+    nonnegative everywhere."""
+    from map_reduce_engine_cdps_spark.plans.similarity import PQ_M, pq_quantize_stats
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    rows = pq_quantize_stats(spark, sf_dir).collect()
+    per_sub = {}
+    for r in rows:
+        per_sub[r["sub_id"]] = per_sub.get(r["sub_id"], 0) + r["n_vecs"]
+        assert r["avg_sq_err"] >= 0.0
+    assert set(per_sub) == set(range(PQ_M))
+    assert all(v == n_vecs for v in per_sub.values())
