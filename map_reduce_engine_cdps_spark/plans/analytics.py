@@ -117,9 +117,9 @@ WITH s AS (
 SELECT l_returnflag,
        round(a, 4)                                           AS mean_qty,
        round(e2 - a*a, 4)                                    AS var_pop,
-       round((e3 - 3*a*e2 + 2*a*a*a) / pow(e2 - a*a, 1.5), 4) AS skew_pop,
+       round((e3 - 3*a*e2 + 2*a*a*a) / pow(e2 - a*a, 1.5), 4) + 0.0 AS skew_pop,
        round((e4 - 4*a*e3 + 6*a*a*e2 - 3*a*a*a*a)
-             / ((e2 - a*a) * (e2 - a*a)) - 3, 4)             AS exkurt_pop,
+             / ((e2 - a*a) * (e2 - a*a)) - 3, 4) + 0.0       AS exkurt_pop,
        TRUE AS builtin_skew_ok,
        TRUE AS builtin_kurt_ok
 FROM s
