@@ -747,6 +747,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.pq_quantize_stats,
         similarity.PQ_QUANTIZE_STATS_SQL,
     ),
+    # --- Naive Bayes lang-ID: counting-classifier train+apply ---
+    "nb_lang_confusion": (
+        textops.nb_lang_confusion,
+        textops.NB_LANG_CONFUSION_SQL,
+    ),
 }
 
 

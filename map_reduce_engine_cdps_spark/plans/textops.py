@@ -1078,3 +1078,148 @@ SELECT lang, bucket, count(*) AS n_docs,
 FROM bucketed
 GROUP BY lang, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# nb_lang_confusion — multinomial Naive Bayes language ID, trained AND
+# applied distributed: training is nothing but two aggregations (per-
+# (lang, word) counts and per-lang doc priors with Laplace smoothing),
+# so "fit" costs one shuffle and the model is a broadcastable table —
+# the pattern for every counting-based classifier (fastText-style
+# lang-ID, spam/quality NB gates) at corpus scale. Docs with
+# doc_id % 5 == 4 are the held-out test fold; output is the per-
+# (true, predicted) confusion matrix. The argmax compares scores
+# rounded to 6 decimals with a lexicographic language tie-break so
+# both engines pick identical winners.
+#
+# Scale: model size is O(vocab × langs) — aggregated, then broadcast;
+# scoring joins the test token stream against the broadcast model and
+# reduces per (doc, lang): two narrow shuffles total, no iteration.
+# ---------------------------------------------------------------------------
+
+NB_TEST_FOLD = 4
+NB_FOLDS = 5
+
+
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    train = toks.filter(F.col("doc_id") % NB_FOLDS != NB_TEST_FOLD)
+    test = toks.filter(F.col("doc_id") % NB_FOLDS == NB_TEST_FOLD)
+
+    counts = train.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    c_lang = counts.groupBy("lang").agg(F.sum("c").alias("cl"))
+    vocab_n = counts.select("word").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    doc_prior = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    tot_docs = doc_prior.agg(F.sum("nd").alias("td"))
+    langs = (
+        doc_prior.crossJoin(F.broadcast(tot_docs))
+        .join(c_lang, "lang")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            F.log(F.col("nd") / F.col("td")).alias("log_prior"),
+            "cl",
+            "v",
+        )
+    )
+
+    scored = (
+        test.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col("lang").alias("cand_lang"), "word", "c"
+                )
+            ),
+            ["cand_lang", "word"],
+            "left",
+        )
+        .withColumn(
+            "ll",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("cl") + F.col("v")).cast("double")
+            ),
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            F.round(F.first("log_prior") + F.sum("ll"), 6).alias("score")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"))
+    )
+    truth = docs.filter(F.col("doc_id") % NB_FOLDS == NB_TEST_FOLD).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+NB_LANG_CONFUSION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, w.word
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(list_transform(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0),
+             x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0) AS words
+    FROM documents
+  ), unnest(words) AS w(word)
+), train AS (
+  SELECT * FROM toks WHERE doc_id % {NB_FOLDS} != {NB_TEST_FOLD}
+), test AS (
+  SELECT * FROM toks WHERE doc_id % {NB_FOLDS} = {NB_TEST_FOLD}
+), counts AS (
+  SELECT lang, word, count(*) AS c FROM train GROUP BY lang, word
+), c_lang AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM counts GROUP BY lang
+), vocab_n AS (
+  SELECT count(DISTINCT word) AS v FROM counts
+), doc_prior AS (
+  SELECT lang, count(DISTINCT doc_id) AS nd FROM train GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(nd) AS BIGINT) AS td FROM doc_prior
+), langs AS (
+  SELECT p.lang AS cand_lang, ln(p.nd::DOUBLE / t.td::DOUBLE) AS log_prior,
+         l.cl, v.v
+  FROM doc_prior p CROSS JOIN tot t JOIN c_lang l ON p.lang = l.lang
+  CROSS JOIN vocab_n v
+), scored AS (
+  SELECT te.doc_id, g.cand_lang,
+         round(any_value(g.log_prior) +
+               sum(ln((coalesce(c.c, 0) + 1)::DOUBLE / (g.cl + g.v)::DOUBLE)),
+               6) AS score
+  FROM test te CROSS JOIN langs g
+  LEFT JOIN counts c ON c.lang = g.cand_lang AND c.word = te.word
+  GROUP BY te.doc_id, g.cand_lang
+), pred AS (
+  SELECT doc_id, cand_lang AS pred_lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cand_lang ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+WHERE d.doc_id % {NB_FOLDS} = {NB_TEST_FOLD}
+GROUP BY d.lang, p.pred_lang
+"""

@@ -320,3 +320,23 @@ def test_pq_codebook_shape_and_coverage(spark, sf_dir):
         assert r["avg_sq_err"] >= 0.0
     assert set(per_sub) == set(range(PQ_M))
     assert all(v == n_vecs for v in per_sub.values())
+
+
+def test_nb_confusion_partitions_test_fold(spark, sf_dir):
+    """Confusion cells cover the held-out fold exactly once: counts sum
+    to the number of test docs with at least one token, and every
+    predicted language is one observed in training."""
+    from map_reduce_engine_cdps_spark.plans.textops import (
+        NB_FOLDS,
+        NB_TEST_FOLD,
+        nb_lang_confusion,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = nb_lang_confusion(spark, sf_dir).collect()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    n_test = docs.filter(f"doc_id % {NB_FOLDS} = {NB_TEST_FOLD}").count()
+    assert sum(r["n_docs"] for r in rows) == n_test
+    for r in rows:
+        assert r["true_lang"] in langs and r["pred_lang"] in langs

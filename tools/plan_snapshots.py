@@ -141,6 +141,34 @@ SNAPSHOTS: dict[str, str] = {
         "event — window/slide) feeds partial aggregation; the distinct "
         "shuffle carries (window, type, user) triples only."
     ),
+    "semdedup_prune": (
+        "SemDeDup: centroids broadcast (`BroadcastNestedLoopJoin` over "
+        "the K-row codebook — a map-side argmin, not a data shuffle); "
+        "the duplicate detection is an equi-join on cluster_id "
+        "(`SortMergeJoin`), so pair expansion stays cluster-bounded. No "
+        "cartesian anywhere despite the all-pairs semantics."
+    ),
+    "pq_quantize_stats": (
+        "Product quantization: both codebook aggregates are partial "
+        "hash aggregates over (sub_id, label, pos) — tiny keyspaces; "
+        "the M×K codebook re-enters broadcast, assignment is a "
+        "row-local zip_with fold inside codegen, and only the final "
+        "(M×K)-row stats rollup shuffles."
+    ),
+    "dsir_importance_weights": (
+        "DSIR: one token-stream pass computes BOTH histograms via a "
+        "conditional aggregate (no second corpus scan for the target "
+        "slice); the 256-row log-weight table broadcasts back; per-doc "
+        "scoring reuses the same exploded stream with a single group-by "
+        "shuffle on doc_id."
+    ),
+    "minhash_containment": (
+        "Containment: identical candidate plan to minhash_lsh_pairs "
+        "(one signature pass, posexploded bands, bucket-local pair "
+        "expansion inside a higher-order transform) — only the "
+        "verification projection differs, so the not-O(n²) structure "
+        "is shared, not re-derived."
+    ),
 }
 
 
