@@ -1111,9 +1111,12 @@ GROUP BY source
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # rsd=0.01: the default 0.05 is a standard deviation, not a bound —
+    # at sf0.1 the estimate drifted past the 5% assertion. A 1% rsd
+    # sketch keeps the 5%-window claim ~5 sigma safe at every SF.
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("approx"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
     )
     return agg.select(
         "event_type",
@@ -1215,9 +1218,13 @@ GROUP BY GROUPING SETS ((l_returnflag),
 
 def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Order on the FRACTIONAL epoch (cast to double = micros/1e6, the
+    # identical float both engines produce): unix_timestamp() truncates
+    # to whole seconds while DuckDB's epoch() keeps microseconds, so a
+    # pair straddling the 3600 s boundary by <1 s diverged at sf0.1.
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(F.col("ts").cast("double"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(

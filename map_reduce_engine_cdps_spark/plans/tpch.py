@@ -393,15 +393,24 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        # sum in integer cents: double summation is order-dependent in
+        # the last ULP, and at sf0.1 one group landed exactly on a
+        # half-cent rounding boundary — integer addition is exact and
+        # associative, so any partial-aggregation order agrees.
+        .agg(
+            F.round(
+                F.sum(F.round(profit * 100).cast("long")) / 100.0, 2
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 PRODUCT_TYPE_PROFIT_SQL = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+       round(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT))
+             AS DOUBLE) / CAST(100.0 AS DOUBLE), 2) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -960,9 +969,28 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        # per-row ratio quantized to integer micros before the sum:
+        # double averaging is order-dependent in the last ULP, and at
+        # sf0.1 one group sat exactly on the 4th-decimal rounding
+        # boundary; integer sums agree under any aggregation order.
+        # ... and the 4-decimal rounding happens WITHOUT a scale
+        # multiply (round-to-integer of sum/(n*100), then /10000):
+        # Spark rounds via the decimal string, DuckDB via x*10^4 —
+        # on a knife-edge double the scaled value crosses the .5
+        # differently. Round-to-integer has no scaling error, so
+        # identical input doubles round identically in both engines.
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
-            .alias("unit_cost")
+            (
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice") / F.col("l_quantity") * 1000000
+                        ).cast("long")
+                    )
+                    / (F.count(F.lit(1)) * 100.0)
+                )
+                / 10000.0
+            ).alias("unit_cost")
         )
     )
     w = W.partitionBy("p_partkey")
@@ -978,7 +1006,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIN_COST_SUPPLIER_SQL = f"""
 WITH cost AS (
   SELECT p_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
-         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+         round(CAST(sum(CAST(round(l_extendedprice / l_quantity * 1000000)
+                    AS BIGINT)) AS DOUBLE)
+               / (count(*) * CAST(100.0 AS DOUBLE)))
+           / CAST(10000.0 AS DOUBLE) AS unit_cost
   FROM lineitem
   JOIN part ON l_partkey = p_partkey AND p_type = '{Q2_TYPE}'
   JOIN supplier s ON l_suppkey = s.s_suppkey
