@@ -22,11 +22,19 @@ N_PLANES = 8
 
 
 def _queries_and_candidates(spark: SparkSession, sf_dir: str):
+    """Query/candidate sides with their norms precomputed below the
+    pair join (V.cosine_pre — 3× fewer interpreted folds per pair)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm(F.col("embedding")).alias("q_n"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        V.norm(F.col("embedding")).alias("c_n"),
+    )
     return q, c
 
 
@@ -45,7 +53,12 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine_pre(
+                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -95,13 +108,13 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_bucket(tbl_alias: str) -> str:
+def _duck_bucket(tbl_alias: str, planes: int = N_PLANES) -> str:
     bits = " || ".join(
         f"""(CASE WHEN list_sum(list_transform(range(1, len({tbl_alias}.embedding) + 1),
               i -> {tbl_alias}.embedding[i]::DOUBLE *
                    ((({h} * 31 + (i - 1) * 17) % 7) - 3)::DOUBLE)) > 0
            THEN '1' ELSE '0' END)"""
-        for h in range(N_PLANES)
+        for h in range(planes)
     )
     return bits
 
@@ -126,16 +139,29 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
     q = d.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm(F.col("embedding")).alias("q_n"),
+        "bucket",
     )
-    c = d.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket")
+    c = d.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        V.norm(F.col("embedding")).alias("c_n"),
+        "bucket",
+    )
     sims = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine_pre(
+                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -214,12 +240,36 @@ FROM comp GROUP BY label
 
 NEAR_DUP_COS = 0.3
 
+# Banding must scale with the corpus or the bucket self-join goes
+# quadratic: with 8 fixed planes the 10×-replicated sf1 corpus put
+# ~800 vectors in the hottest bucket (3.7 M candidate pairs, 57 s);
+# two extra planes per 4× corpus growth keeps expected occupancy — and
+# therefore pair expansion per bucket — bounded. The tier table is the
+# shared contract: Spark picks from it via count(), the oracle via a
+# CASE on the same scalar count, so both engines band identically.
+NEAR_DUP_TIERS = ((4096, 8), (16384, 10), (65536, 12))
+NEAR_DUP_MAX_PLANES = 14
+
+
+def _near_dup_planes(n: int) -> int:
+    for cap, p in NEAR_DUP_TIERS:
+        if n <= cap:
+            return p
+    return NEAR_DUP_MAX_PLANES
+
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    planes = _near_dup_planes(emb.count())
+    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), planes))
+    d = d.withColumn("nrm", V.norm(F.col("embedding")))
     a = d.alias("a")
     b = d.alias("b")
+    # Verification runs on EVERY candidate pair — on a near-dup-dense
+    # corpus that's millions of pairs, where the interpreted fold costs
+    # ~15 µs each. dot_arrow is the bit-identical Arrow-vectorized twin
+    # (3.4× at sf1); norms and rounding stay JVM-side.
+    dot_pd = V.dot_arrow()
     return (
         a.join(
             b,
@@ -230,7 +280,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+                dot_pd(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= NEAR_DUP_COS)
@@ -238,9 +290,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-WITH b AS (
-  SELECT e.vec_id, e.embedding, {_duck_bucket('e')} AS bucket
-  FROM embeddings e
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+b AS (
+  SELECT e.vec_id, e.embedding,
+         CASE WHEN nn.n <= {NEAR_DUP_TIERS[0][0]} THEN {_duck_bucket('e', NEAR_DUP_TIERS[0][1])}
+              WHEN nn.n <= {NEAR_DUP_TIERS[1][0]} THEN {_duck_bucket('e', NEAR_DUP_TIERS[1][1])}
+              WHEN nn.n <= {NEAR_DUP_TIERS[2][0]} THEN {_duck_bucket('e', NEAR_DUP_TIERS[2][1])}
+              ELSE {_duck_bucket('e', NEAR_DUP_MAX_PLANES)} END AS bucket
+  FROM embeddings e CROSS JOIN nn
 )
 SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
        {_DUCK_COS} AS cos_sim
@@ -281,15 +338,27 @@ def _centroids(emb: DataFrame) -> DataFrame:
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = F.broadcast(
-        _centroids(emb).select(F.col("label").alias("list_id"), "centroid")
+        _centroids(emb).select(
+            F.col("label").alias("list_id"),
+            "centroid",
+            V.norm(F.col("centroid")).alias("cent_n"),
+        )
     )
 
-    def nearest_lists(side: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+    def nearest_lists(
+        side: DataFrame, id_col: str, vec_col: str, n_col: str, n: int
+    ) -> DataFrame:
         scored = side.crossJoin(cent).select(
             id_col,
             vec_col,
+            n_col,
             "list_id",
-            F.round(V.cosine(F.col(vec_col), F.col("centroid")), 6).alias("c_sim"),
+            F.round(
+                V.cosine_pre(
+                    F.col(vec_col), F.col("centroid"), F.col(n_col), F.col("cent_n")
+                ),
+                6,
+            ).alias("c_sim"),
         )
         w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
         return (
@@ -299,14 +368,20 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     assign = nearest_lists(
-        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")),
-        "cand_id", "c_emb", 1,
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_emb"),
+            V.norm(F.col("embedding")).alias("c_n"),
+        ),
+        "cand_id", "c_emb", "c_n", 1,
     )
     probes = nearest_lists(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            V.norm(F.col("embedding")).alias("q_n"),
         ),
-        "query_id", "q_emb", NPROBE,
+        "query_id", "q_emb", "q_n", NPROBE,
     )
     sims = (
         probes.join(assign, "list_id")
@@ -314,7 +389,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine_pre(
+                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -563,10 +643,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
     q = d.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        V.norm(F.col("embedding")).alias("q_n"),
+        "bucket",
     )
     c = d.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        V.norm(F.col("embedding")).alias("c_n"),
+        "bucket",
     )
     sims = (
         q.join(c, "bucket")
@@ -574,7 +660,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            F.round(
+                V.cosine_pre(
+                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -952,19 +1043,30 @@ SEMDEDUP_TAU = 0.3
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = F.broadcast(
-        _centroids(emb).select(F.col("label").alias("cluster_id"), "centroid")
+        _centroids(emb).select(
+            F.col("label").alias("cluster_id"),
+            "centroid",
+            V.norm(F.col("centroid")).alias("cent_n"),
+        )
     )
-    scored = emb.crossJoin(cent).select(
+    embn = emb.withColumn("nrm", V.norm(F.col("embedding")))
+    scored = embn.crossJoin(cent).select(
         "vec_id",
         "embedding",
+        "nrm",
         "cluster_id",
-        F.round(V.cosine(F.col("embedding"), F.col("centroid")), 6).alias("c_sim"),
+        F.round(
+            V.cosine_pre(
+                F.col("embedding"), F.col("centroid"), F.col("nrm"), F.col("cent_n")
+            ),
+            6,
+        ).alias("c_sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cluster_id"))
     assign = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster_id")
+        .select("vec_id", "embedding", "nrm", "cluster_id")
     )
     a, b = assign.alias("a"), assign.alias("b")
     dup = (
@@ -974,7 +1076,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            F.round(
+                V.cosine_pre(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a.nrm"),
+                    F.col("b.nrm"),
+                ),
+                6,
+            )
             >= SEMDEDUP_TAU
         )
         .select(F.col("b.vec_id").alias("vec_id"))

@@ -340,3 +340,28 @@ def test_nb_confusion_partitions_test_fold(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_test
     for r in rows:
         assert r["true_lang"] in langs and r["pred_lang"] in langs
+
+
+def test_dot_arrow_bitwise_equals_fold(spark, sf_dir):
+    """The Arrow-vectorized dot must be BIT-identical to the JVM fold
+    on real embedding pairs (cumsum reproduces the left fold order)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.functions import vectors as V
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") % 17 == F.col("ib") % 17).limit(5000)
+    dot_pd = V.dot_arrow()
+    mx = (
+        pairs.select(
+            F.abs(
+                dot_pd(F.col("ea"), F.col("eb")) - V.dot(F.col("ea"), F.col("eb"))
+            ).alias("d")
+        )
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert mx == 0.0
