@@ -1518,11 +1518,18 @@ def click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # The two cogroup sides MUST come from separate scans: when both
+    # derive from one parent DataFrame, Catalyst deduplicates the
+    # right side's (user_id, ts) onto the left's attribute ids, and
+    # column pruning (e.g. under .count()) then drops the right ts
+    # entirely — the UDF silently received a ts-less purchases frame
+    # and produced 0 rows while .collect() produced 18 k.
+    ev_l = load_table(spark, sf_dir, "events")
+    ev_r = load_table(spark, sf_dir, "events")
+    clicks = ev_l.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    purchases = ev_r.filter(F.col("event_type") == "purchase").select("user_id", "ts")
 
     def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         if left.empty:

@@ -365,3 +365,22 @@ def test_dot_arrow_bitwise_equals_fold(spark, sf_dir):
         .collect()[0][0]
     )
     assert mx == 0.0
+
+
+def test_cogroup_asof_count_equals_collect(spark, sf_dir):
+    """Regression: with both cogroup sides derived from one parent
+    DataFrame, Catalyst deduplicated the right side's ts onto the
+    left's attribute ids and column pruning under count() starved the
+    UDF (count()=0 while collect() had rows). The two sides now come
+    from separate scans; count must equal materialized length and the
+    as-of join twin's row count."""
+    from map_reduce_engine_cdps_spark.plans.relational import (
+        click_asof_cogroup,
+        click_asof_purchase,
+    )
+
+    df = click_asof_cogroup(spark, sf_dir)
+    n_count = df.count()
+    n_rows = len(df.collect())
+    assert n_count == n_rows > 0
+    assert n_count == click_asof_purchase(spark, sf_dir).count()
