@@ -907,12 +907,30 @@ FROM sizes JOIN norms USING (label)
 
 _NEG_K = 4
 
+# Bucket count scales with the corpus (1 md5 hex char = 16 buckets per
+# tier step, ×16 buckets per tier): a FIXED bucket count makes the
+# bucket self-join O(n²/buckets) — at sf1 the 16-bucket version built
+# 25 M pairs (24 s); two hex chars cut it 16×. Tier thresholds keep
+# worst-case bucket occupancy ≥ ~16 so every anchor still finds
+# >= _NEG_K cross-label negatives. Shared with the oracle via CASE on
+# the same count, like NEAR_DUP_TIERS.
+_NEG_BUCKET_TIERS = ((4096, 1), (65536, 2))
+_NEG_MAX_CHARS = 3
+
+
+def _neg_bucket_chars(n: int) -> int:
+    for cap, d in _NEG_BUCKET_TIERS:
+        if n <= cap:
+            return d
+    return _NEG_MAX_CHARS
+
 
 def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    bucket = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    chars = _neg_bucket_chars(emb.count())
+    bucket = F.substring(F.md5(F.col("vec_id").cast("string")), 1, chars)
     anchors = emb.select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -941,9 +959,14 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEGATIVE_SAMPLING_PAIRS_SQL = f"""
-WITH e AS (
-  SELECT vec_id, label, substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS bucket
-  FROM embeddings
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+e AS (
+  SELECT vec_id, label,
+         substr(md5(CAST(vec_id AS VARCHAR)), 1,
+                CASE WHEN nn.n <= {_NEG_BUCKET_TIERS[0][0]} THEN {_NEG_BUCKET_TIERS[0][1]}
+                     WHEN nn.n <= {_NEG_BUCKET_TIERS[1][0]} THEN {_NEG_BUCKET_TIERS[1][1]}
+                     ELSE {_NEG_MAX_CHARS} END) AS bucket
+  FROM embeddings CROSS JOIN nn
 ),
 joined AS (
   SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
