@@ -769,3 +769,56 @@ WHERE da.source != db.source
 GROUP BY 1, 2
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# dup_graph_triangles — triangle counting over the near-dup pair graph:
+# the standard graph-health diagnostic for dedup candidate sets. A high
+# triangle density means duplicate groups are tight cliques (safe to
+# collapse via connected components); triangle-free stretches signal
+# chains — border-line pairs transitively linking non-duplicates, the
+# classic false-merge hazard for CC-based dedup.
+#
+# Scale: edges arrive canonically oriented (doc_a < doc_b — the LSH
+# pair expansion emits each pair once), so the enumeration join
+# e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) counts each triangle exactly once with
+# no candidate blow-up beyond wedge count; both joins are equi-joins
+# on edge endpoints. This is the degree-oriented formulation that
+# parallelizes on any cluster; edge lists are candidate-bounded
+# (output of banded LSH), not O(n²).
+# ---------------------------------------------------------------------------
+
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    n_edges = edges.count()
+    return tris.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.lit(n_edges).alias("n_edges"),
+        F.round(
+            F.count(F.lit(1)) * 3.0 / F.greatest(F.lit(n_edges), F.lit(1)), 4
+        ).alias("closure_ratio"),
+    )
+
+
+DUP_GRAPH_TRIANGLES_SQL = (
+    "WITH pairs AS (" + MINHASH_LSH_PAIRS_SQL + """
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+), tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT count(*) AS n_triangles,
+       (SELECT count(*) FROM edges) AS n_edges,
+       round(count(*) * 3.0 / greatest((SELECT count(*) FROM edges), 1), 4)
+         AS closure_ratio
+FROM tris
+"""
+)

@@ -752,6 +752,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.nb_lang_confusion,
         textops.NB_LANG_CONFUSION_SQL,
     ),
+    # --- triangle census of the near-dup pair graph ---
+    "dup_graph_triangles": (
+        dedup.dup_graph_triangles,
+        dedup.DUP_GRAPH_TRIANGLES_SQL,
+    ),
 }
 
 

@@ -384,3 +384,15 @@ def test_cogroup_asof_count_equals_collect(spark, sf_dir):
     n_rows = len(df.collect())
     assert n_count == n_rows > 0
     assert n_count == click_asof_purchase(spark, sf_dir).count()
+
+
+def test_triangle_census_consistency(spark, sf_dir):
+    """Triangles close wedges of the near-dup edge list: every reported
+    triangle implies its three edges exist, so the count is bounded by
+    edges and the closure ratio stays in [0, 3]."""
+    from map_reduce_engine_cdps_spark.plans.dedup import dup_graph_triangles
+
+    row = dup_graph_triangles(spark, sf_dir).collect()[0]
+    assert row["n_edges"] > 0
+    assert 0 <= row["n_triangles"]
+    assert 0.0 <= row["closure_ratio"] <= 3.0
