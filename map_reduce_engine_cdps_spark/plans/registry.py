@@ -757,6 +757,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.dup_graph_triangles,
         dedup.DUP_GRAPH_TRIANGLES_SQL,
     ),
+    # --- SCD-2 dimension history (versioned rows + validity intervals) ---
+    "customer_scd2_history": (
+        relational.customer_scd2_history,
+        relational.CUSTOMER_SCD2_HISTORY_SQL,
+    ),
+    # --- streaming trending top-k (windowed agg stream + sink-side rank) ---
+    "streaming_trending_topk": (
+        streaming_windows.streaming_trending_topk,
+        streaming_windows.STREAMING_TRENDING_TOPK_SQL,
+    ),
 }
 
 

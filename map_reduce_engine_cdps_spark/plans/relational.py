@@ -2421,3 +2421,65 @@ SELECT l_returnflag,
        round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS rev_o
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# customer_scd2_history — slowly-changing-dimension TYPE 2: instead of
+# overwriting (customer_upsert is the SCD-1 twin), every change becomes
+# a versioned row with a validity interval. Change events are the
+# customer's order dates (each order "restates" the row); the history
+# is built with one lead() window per customer — version number,
+# effective/end dates (end = next effective, NULL while current), and
+# the is_current flag. This is the warehouse-standard dimension-history
+# build: one shuffle on the business key, intervals from lead(), no
+# self-join — the formulation that survives a billion-row dimension.
+# ---------------------------------------------------------------------------
+
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    changes = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long") / 100.0, 2).alias("restated_value"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    hist = changes.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("eff_date"),
+        "restated_value",
+        F.row_number().over(w).alias("version"),
+        F.lead("o_orderdate").over(w).alias("end_date"),
+    ).withColumn("is_current", F.col("end_date").isNull())
+    return (
+        hist.join(F.broadcast(cust.select("c_custkey", "c_mktsegment").distinct()), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+            F.max("version").alias("max_depth"),
+        )
+    )
+
+
+CUSTOMER_SCD2_HISTORY_SQL = """
+WITH changes AS (
+  SELECT o_custkey, o_orderdate,
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+           AS restated_value
+  FROM orders GROUP BY o_custkey, o_orderdate
+), hist AS (
+  SELECT o_custkey AS c_custkey, o_orderdate AS eff_date, restated_value,
+         row_number() OVER w AS version,
+         lead(o_orderdate) OVER w AS end_date
+  FROM changes
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+)
+SELECT c_mktsegment,
+       count(*) AS n_versions,
+       count(DISTINCT h.c_custkey) AS n_customers,
+       CAST(sum(CASE WHEN end_date IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       max(version) AS max_depth
+FROM hist h JOIN customer c ON h.c_custkey = c.c_custkey
+GROUP BY c_mktsegment
+"""

@@ -265,3 +265,52 @@ def streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table("streaming_sliding_distinct_out")
+
+
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k: per tumbling hour, the 3 most frequent event
+    types. The aggregation runs as a REAL stream (watermark + windowed
+    count, complete mode into a memory sink); the rank is applied on
+    the sink read — ranking over a streaming aggregate isn't allowed in
+    one query, and sink-side ranking is the standard production shape
+    (the dashboard query over the continuously-maintained agg table).
+    Oracle-checked against the equivalent batch SQL.
+
+    Scale: streaming state is O(open windows × event types); the rank
+    runs over the compact agg output, never the event stream.
+    """
+    stream = stream_events_from_parquet(spark, sf_dir)
+    agg = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("trending_topk_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql import Window as W
+
+    sink = spark.table("trending_topk_agg")
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        sink.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n", "rank")
+    )
+
+
+STREAMING_TRENDING_TOPK_SQL = """
+WITH agg AS (
+  SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP,
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, event_type ASC) AS rank
+  FROM agg
+)
+SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
