@@ -1292,3 +1292,102 @@ SELECT doc_id, source, lang, count(*) AS n_tokens,
 FROM toks JOIN logw USING (f)
 GROUP BY doc_id, source, lang
 """
+
+
+# ---------------------------------------------------------------------------
+# length_bucket_batches — length-bucketed batching: sort each language's
+# docs by token count and cut consecutive batches of BATCH_B, so batch
+# members have similar lengths and per-batch padding (to the batch max)
+# collapses. The query quantifies the win: padding-waste ratio of
+# length-sorted batches vs naive arrival-order batches — the metric
+# every inference/training batcher optimizes. All integer arithmetic;
+# two window passes per language partition (the same bounded-partition
+# shape as pack_chunks_bins; a skewed giant language range-partitions
+# on length first, exactly like epoch_shuffle_write's materialization).
+# ---------------------------------------------------------------------------
+
+BATCH_B = 16
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
+    )
+    w_sorted = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    w_naive = W.partitionBy("lang").orderBy("doc_id")
+    b = d.select(
+        "lang",
+        "n_tokens",
+        ((F.row_number().over(w_sorted) - 1) / BATCH_B).cast("long").alias("sb"),
+        ((F.row_number().over(w_naive) - 1) / BATCH_B).cast("long").alias("nb"),
+    )
+
+    def waste(batch_col: str, tag: str) -> DataFrame:
+        per_batch = b.groupBy("lang", batch_col).agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("n_tokens").alias("mx"),
+            F.sum("n_tokens").cast("long").alias("sm"),
+        )
+        return per_batch.groupBy("lang").agg(
+            F.count(F.lit(1)).alias(f"{tag}_batches"),
+            F.sum(F.col("k") * F.col("mx") - F.col("sm")).cast("long").alias(f"{tag}_pad"),
+            F.sum(F.col("k") * F.col("mx")).cast("long").alias(f"{tag}_slots"),
+        )
+
+    s = waste("sb", "sorted")
+    n = waste("nb", "naive")
+    return (
+        s.join(n, "lang")
+        .select(
+            "lang",
+            F.col("sorted_batches").alias("n_batches"),
+            F.round(F.col("sorted_pad") / F.col("sorted_slots"), 4).alias(
+                "sorted_waste_ratio"
+            ),
+            F.round(F.col("naive_pad") / F.col("naive_slots"), 4).alias(
+                "naive_waste_ratio"
+            ),
+        )
+    )
+
+
+LENGTH_BUCKET_BATCHES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0)) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT lang, n_tokens,
+         (row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) - 1)
+           // {BATCH_B} AS sb,
+         (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+           // {BATCH_B} AS nb
+  FROM d
+), ps AS (
+  SELECT lang, sb, count(*) AS k, max(n_tokens) AS mx,
+         CAST(sum(n_tokens) AS BIGINT) AS sm
+  FROM b GROUP BY lang, sb
+), pn AS (
+  SELECT lang, nb, count(*) AS k, max(n_tokens) AS mx,
+         CAST(sum(n_tokens) AS BIGINT) AS sm
+  FROM b GROUP BY lang, nb
+), ws AS (
+  SELECT lang, count(*) AS n_batches,
+         CAST(sum(k * mx - sm) AS BIGINT) AS pad,
+         CAST(sum(k * mx) AS BIGINT) AS slots
+  FROM ps GROUP BY lang
+), wn AS (
+  SELECT lang,
+         CAST(sum(k * mx - sm) AS BIGINT) AS pad,
+         CAST(sum(k * mx) AS BIGINT) AS slots
+  FROM pn GROUP BY lang
+)
+SELECT ws.lang, ws.n_batches,
+       round(ws.pad / ws.slots, 4) AS sorted_waste_ratio,
+       round(wn.pad / wn.slots, 4) AS naive_waste_ratio
+FROM ws JOIN wn ON ws.lang = wn.lang
+"""

@@ -767,6 +767,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         streaming_windows.streaming_trending_topk,
         streaming_windows.STREAMING_TRENDING_TOPK_SQL,
     ),
+    # --- length-bucketed batching: padding-waste vs naive batches ---
+    "length_bucket_batches": (
+        curation.length_bucket_batches,
+        curation.LENGTH_BUCKET_BATCHES_SQL,
+    ),
 }
 
 

@@ -396,3 +396,14 @@ def test_triangle_census_consistency(spark, sf_dir):
     assert row["n_edges"] > 0
     assert 0 <= row["n_triangles"]
     assert 0.0 <= row["closure_ratio"] <= 3.0
+
+
+def test_length_bucketing_beats_naive(spark, sf_dir):
+    """Sorting by length before cutting batches can only reduce padding:
+    sorted waste ratio <= naive waste ratio for every language."""
+    from map_reduce_engine_cdps_spark.plans.curation import length_bucket_batches
+
+    rows = length_bucket_batches(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["sorted_waste_ratio"] <= r["naive_waste_ratio"] <= 1.0
