@@ -21,6 +21,7 @@ from __future__ import annotations
 import sys
 
 import duckdb
+from pyspark.sql import functions as F
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -145,3 +146,60 @@ def test_unblessed_integer_sum_fails_the_harness(spark):
     # value itself round-trips as python int, so the TYPE lint (not the
     # value compare) is the guard — assert we understand why:
     assert rel.fetchall() == [(3,)]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    micros=st.lists(
+        st.integers(min_value=1_500_000_000_000_000, max_value=1_900_000_000_000_000),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fractional_epoch_parity(spark, micros):
+    """Range-window time bases must agree to the microsecond: Spark's
+    ts.cast('double') and DuckDB's epoch(ts) both compute micros/1e6 in
+    float64, so the doubles are identical for ANY microsecond timestamp
+    (unix_timestamp() truncates to seconds and is NOT safe — the
+    rolling_1h_user_value lesson)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(micros, unit="us")})
+    sdf = spark.createDataFrame(pdf)
+    s_vals = [
+        r[0] for r in sdf.select(F.col("ts").cast("double")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("ts_t", pdf)
+    d_vals = [r[0] for r in con.sql("SELECT epoch(ts) FROM ts_t").fetchall()]
+    assert sorted(map(repr, s_vals)) == sorted(map(repr, d_vals))
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_integer_cents_sum_parity(spark, cents):
+    """The order-free money-sum formulation: per-row values quantized to
+    integer cents, integer-summed, divided once — identical doubles in
+    both engines for any input and any aggregation order (the
+    product_type_profit lesson; naive round(sum(double),2) is NOT safe
+    on rounding-boundary groups)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"v": [c / 100.0 for c in cents]})
+    sdf = spark.createDataFrame(pdf)
+    (s_val,) = sdf.agg(
+        F.round(F.sum(F.round(F.col("v") * 100).cast("long")) / 100.0, 2)
+    ).collect()[0]
+    con = duckdb.connect()
+    con.register("m_t", pdf)
+    (d_val,) = con.sql(
+        "SELECT round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)"
+        " / CAST(100.0 AS DOUBLE), 2) FROM m_t"
+    ).fetchone()
+    assert repr(s_val) == repr(float(d_val))
