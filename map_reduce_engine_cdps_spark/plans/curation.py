@@ -1391,3 +1391,49 @@ SELECT ws.lang, ws.n_batches,
        round(wn.pad / wn.slots, 4) AS naive_waste_ratio
 FROM ws JOIN wn ON ws.lang = wn.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# kanon_release_stats — k-anonymity release gate, the structured-data
+# privacy step that pairs with pii_redaction_stats's text scrub: an
+# aggregate over quasi-identifiers (segment × nation) may only be
+# published for groups of at least K individuals; smaller groups are
+# suppressed entirely. Output is the release audit — published vs
+# suppressed group counts and the population coverage of the release.
+# One hash aggregate + a broadcast scalar; nothing scales with rows
+# but the first group-by.
+# ---------------------------------------------------------------------------
+
+KANON_K = 12
+
+
+def kanon_release_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
+    )
+    flagged = groups.withColumn("released", F.col("n") >= KANON_K)
+    return flagged.groupBy("c_mktsegment").agg(
+        F.sum(F.col("released").cast("long")).alias("groups_released"),
+        F.sum((~F.col("released")).cast("long")).alias("groups_suppressed"),
+        F.sum(F.when(F.col("released"), F.col("n")).otherwise(0)).cast("long").alias("people_covered"),
+        F.sum("n").cast("long").alias("people_total"),
+        F.sum(F.when(F.col("released"), F.col("bal_cents")).otherwise(0)).cast("long").alias("released_bal_cents"),
+    )
+
+
+KANON_RELEASE_STATS_SQL = f"""
+WITH g AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN n >= {KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS groups_released,
+       CAST(sum(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS groups_suppressed,
+       CAST(sum(CASE WHEN n >= {KANON_K} THEN n ELSE 0 END) AS BIGINT) AS people_covered,
+       CAST(sum(n) AS BIGINT) AS people_total,
+       CAST(sum(CASE WHEN n >= {KANON_K} THEN bal_cents ELSE 0 END) AS BIGINT) AS released_bal_cents
+FROM g GROUP BY c_mktsegment
+"""

@@ -822,3 +822,74 @@ SELECT count(*) AS n_triangles,
 FROM tris
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# customer_record_linkage — entity resolution over STRUCTURED records
+# (the text dedup family's relational sibling): block on coarse
+# attributes (nation × market segment), then score only within-block
+# pairs — name edit distance plus balance proximity — and report the
+# per-block candidate/match funnel. Blocking is what makes record
+# linkage scale: the pair expansion is an equi-join on the block key,
+# bounded by block size, never O(n²) over the dimension; skewed blocks
+# split under AQE like every bucket self-join here.
+# ---------------------------------------------------------------------------
+
+LINK_MAX_EDIT = 2
+LINK_MAX_BAL_DIFF_CENTS = 100_000
+
+
+def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.col("a.c_mktsegment").alias("mktsegment"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("edit_d"),
+        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")).alias("bal_diff"),
+    )
+    matched = (F.col("edit_d") <= LINK_MAX_EDIT) & (
+        F.col("bal_diff") <= LINK_MAX_BAL_DIFF_CENTS
+    )
+    return pairs.groupBy("nationkey", "mktsegment").agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(matched.cast("long")).alias("n_matches"),
+        F.min(F.when(matched, F.col("edit_d"))).alias("best_edit_d"),
+    )
+
+
+CUSTOMER_RECORD_LINKAGE_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), pairs AS (
+  SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+         levenshtein(a.c_name, b.c_name) AS edit_d,
+         abs(a.bal_cents - b.bal_cents) AS bal_diff
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+)
+SELECT nationkey, mktsegment,
+       count(*) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN edit_d <= {LINK_MAX_EDIT}
+                      AND bal_diff <= {LINK_MAX_BAL_DIFF_CENTS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       min(CASE WHEN edit_d <= {LINK_MAX_EDIT}
+                 AND bal_diff <= {LINK_MAX_BAL_DIFF_CENTS}
+                THEN edit_d END) AS best_edit_d
+FROM pairs GROUP BY nationkey, mktsegment
+"""

@@ -772,6 +772,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.length_bucket_batches,
         curation.LENGTH_BUCKET_BATCHES_SQL,
     ),
+    # --- k-anonymity suppression audit for aggregate release ---
+    "kanon_release_stats": (
+        curation.kanon_release_stats,
+        curation.KANON_RELEASE_STATS_SQL,
+    ),
+    # --- blocked entity resolution over structured records ---
+    "customer_record_linkage": (
+        dedup.customer_record_linkage,
+        dedup.CUSTOMER_RECORD_LINKAGE_SQL,
+    ),
 }
 
 
