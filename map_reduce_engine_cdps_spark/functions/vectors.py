@@ -57,6 +57,10 @@ def dot_arrow() -> "object":
 
     @pandas_udf("double")
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            # np.vstack raises on an empty sequence; Arrow happily hands
+            # a zero-row batch to the UDF when a partition is empty.
+            return pd.Series([], dtype="float64")
         av = np.vstack(a.to_numpy()).astype(np.float64)
         bv = np.vstack(b.to_numpy()).astype(np.float64)
         return pd.Series(np.cumsum(av * bv, axis=1)[:, -1])

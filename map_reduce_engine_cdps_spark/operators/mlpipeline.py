@@ -301,3 +301,30 @@ def one_vs_one_shim(spark: SparkSession, sf_dir: str, n_workers: int = 4) -> Dat
         "pair_key string, label_a int, label_b int, n_samples long, "
         "train_acc double, coef_norm double, intercept double",
     )
+
+
+def one_vs_one_shim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable projection of the shim's routing ledger.
+
+    ``n_samples`` in the shim output is the number of rows the
+    multicast shuffle actually DELIVERED to the worker that trained
+    pair (a, b) — so comparing it against a plain per-label-pair
+    count(*) certifies that the init/map/multicast-shuffle/reduce
+    machinery routed exactly the right rows to exactly one worker per
+    pair (no drops, no double-delivery). The iterative trainer metrics
+    stay in the rows-only ``one_vs_one_shim`` entry.
+    """
+    return one_vs_one_shim(spark, sf_dir).select(
+        "pair_key", "label_a", "label_b", "n_samples"
+    )
+
+
+ONE_VS_ONE_SHIM_PAIRS_SQL = """
+WITH counts AS (
+  SELECT label, count(*) AS n FROM embeddings GROUP BY label
+)
+SELECT cast(a.label AS varchar) || '_' || cast(b.label AS varchar) AS pair_key,
+       a.label AS label_a, b.label AS label_b,
+       cast(a.n + b.n AS bigint) AS n_samples
+FROM counts a JOIN counts b ON a.label < b.label
+"""

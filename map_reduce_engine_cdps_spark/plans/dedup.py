@@ -174,30 +174,69 @@ MINHASH_SIGNATURES_SQL = (
 # not-O(n²) path: the self-join is an equi-join on the band key.
 # ---------------------------------------------------------------------------
 
-def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs with both shingle sets attached (columns
-    doc_a, doc_b, sh_a, sh_b) — the shared front half of every
-    MinHash consumer. Bucket-local: posexplode the band keys (one
-    signature pass over the corpus — a band self-join would re-evaluate
-    the signature pipeline once per join side), shuffle once on
-    (band_idx, band), and emit intra-bucket pairs with a built-in
-    nested-transform over the collected bucket members. LSH buckets are
-    tiny by construction (that is the point of banding); a pathological
-    hot bucket means the banding parameters are wrong for the corpus,
-    and AQE's skew handling bounds the damage meanwhile.
+BUCKET_CAP = 256  # max docs scored per LSH bucket (degenerate-band guard)
+
+
+def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs scored bucket-locally — columns
+    ``doc_a, doc_b, inter, n_a, n_b`` (intersection size + shingle-set
+    sizes), all SCALARS. The shared front half of every MinHash
+    consumer.
+
+    Scale shape: posexplode the band keys (one signature pass over the
+    corpus — a band self-join would re-evaluate the signature pipeline
+    once per join side), shuffle ONCE on (band_idx, band) — the only
+    exchange that ever carries shingle sets, and it carries each doc's
+    set exactly once per band as an array of 8-byte hashed longs (never
+    array<string>), linear in corpus size — then
+    compute ``size(array_intersect)`` INSIDE the bucket-local pair
+    expression. Everything downstream of the bucket (the pair-dedup
+    exchange, every consumer) moves only the five scalars, so no pair
+    row ever carries a shingle payload across an exchange and the plan
+    cannot live on the spill boundary.
+
+    Two guards bound the one array-carrying row:
+    - buckets are truncated to their ``BUCKET_CAP`` smallest doc_ids
+      (deterministic, mirrored in the DuckDB oracle), so a degenerate
+      band key — e.g. a constant-text corpus slice hashing to one
+      bucket — caps the collected row at ~CAP × shingle-set bytes and
+      the pair fan-out at CAP²/2 instead of unbounded;
+    - normal LSH buckets are tiny by construction (that is the point
+      of banding); a corpus whose typical bucket approaches the cap
+      means the banding parameters are mis-sized.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = _with_minhash_bands(docs)
     n_bands = N_MINHASH // BAND_ROWS
+    # Shingle sets cross the one exchange as 8-byte md5-derived 60-bit
+    # ints, not ~20-byte strings (≥2.5x smaller shuffle payload; set
+    # sizes and intersections are preserved — a within-doc 60-bit
+    # collision is ~2^-47 per doc, and the hash is identical in both
+    # engines so the oracle agrees even then). Spark's
+    # conv(substr(md5,1,15),16,10) and DuckDB's ('0x'||...)::BIGINT
+    # parse the same 15 hex chars to the same long.
+    sh_hash = F.transform(
+        "shingles",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
     banded = d.select(
         "doc_id",
-        "shingles",
+        sh_hash.alias("shingles"),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "b", "band"
         ),
     )
+    # row_number streams through the sorted partition (no giant buffered
+    # row), and the groupBy below reuses the window's (b, band) hash
+    # partitioning — the cap costs a sort, not an extra exchange.
+    w = W.partitionBy("b", "band").orderBy("doc_id")
+    capped = (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BUCKET_CAP)
+        .drop("rn")
+    )
     buckets = (
-        banded.groupBy("b", "band")
+        capped.groupBy("b", "band")
         .agg(F.collect_list(F.struct("doc_id", "shingles")).alias("members"))
         .filter(F.size("members") >= 2)
     )
@@ -207,9 +246,11 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
           transform(slice(members, i + 2, size(members)), n ->
             CASE WHEN m.doc_id < n.doc_id
                  THEN struct(m.doc_id AS da, n.doc_id AS db,
-                             m.shingles AS sa, n.shingles AS sb)
+                             size(array_intersect(m.shingles, n.shingles)) AS inter,
+                             size(m.shingles) AS na, size(n.shingles) AS nb)
                  ELSE struct(n.doc_id AS da, m.doc_id AS db,
-                             n.shingles AS sa, m.shingles AS sb) END)))
+                             size(array_intersect(m.shingles, n.shingles)) AS inter,
+                             size(n.shingles) AS na, size(m.shingles) AS nb) END)))
         """
     )
     return (
@@ -217,21 +258,25 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p.da").alias("doc_a"),
             F.col("p.db").alias("doc_b"),
-            F.col("p.sa").alias("sh_a"),
-            F.col("p.sb").alias("sh_b"),
+            F.col("p.inter").alias("inter"),
+            F.col("p.na").alias("n_a"),
+            F.col("p.nb").alias("n_b"),
         )
+        # A pair colliding in both bands is scored twice bucket-locally
+        # (bounded 2x work) so this dedup exchange moves scalars only;
+        # the scores are deterministic per pair, so either copy wins.
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard verification over the shared LSH candidate set."""
-    cand = _lsh_candidates(spark, sf_dir)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    cand = _lsh_scored_pairs(spark, sf_dir)
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (
         cand.withColumn(
-            "jaccard", F.round(inter.cast("double") / union.cast("double"), 4)
+            "jaccard",
+            F.round(F.col("inter").cast("double") / union.cast("double"), 4),
         )
         .filter(F.col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "jaccard")
@@ -258,27 +303,42 @@ def _lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-MINHASH_LSH_PAIRS_SQL = (
-    _duck_bands_cte()
-    + f"""
+# Shared candidate CTE tail: banded rows capped at BUCKET_CAP smallest
+# doc_ids per (b, band) — mirroring the Spark-side row_number guard —
+# then scalar-scored pairs (inter, n_a, n_b), mirroring the bucket-local
+# scoring so the two engines gate on identical arithmetic.
+_DUCK_SCORED_CAND = f"""
 , banded AS (
-  SELECT doc_id, shingles, band0 AS band, 0 AS b FROM bands
-  UNION ALL
-  SELECT doc_id, shingles, band1 AS band, 1 AS b FROM bands
+  SELECT doc_id, sh_h, band, b FROM (
+    SELECT doc_id,
+           list_transform(shingles,
+                          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS sh_h,
+           band, b,
+           row_number() OVER (PARTITION BY b, band ORDER BY doc_id) AS rn
+    FROM (
+      SELECT doc_id, shingles, band0 AS band, 0 AS b FROM bands
+      UNION ALL
+      SELECT doc_id, shingles, band1 AS band, 1 AS b FROM bands
+    )
+  ) WHERE rn <= {BUCKET_CAP}
 ), cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+         any_value(len(list_intersect(a.sh_h, b.sh_h))) AS inter,
+         any_value(len(a.sh_h)) AS n_a, any_value(len(b.sh_h)) AS n_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.b = b.b
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
+"""
+
+MINHASH_LSH_PAIRS_SQL = (
+    _duck_bands_cte()
+    + _DUCK_SCORED_CAND
+    + """
 SELECT doc_a, doc_b,
-       round(len(list_intersect(sh_a, sh_b))::DOUBLE /
-             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
-             4) AS jaccard
+       round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) AS jaccard
 FROM cand
-WHERE len(list_intersect(sh_a, sh_b))::DOUBLE /
-      (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE >= 0.2
+WHERE round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) >= 0.2
 """
 )
 
@@ -299,18 +359,16 @@ CONTAINMENT_MIN = 0.5
 
 
 def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _lsh_candidates(spark, sf_dir)
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    cand = _lsh_scored_pairs(spark, sf_dir)
+    inter = F.col("inter").cast("double")
+    smaller = F.least("n_a", "n_b").cast("double")
+    union = (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
     return (
         cand.select(
             "doc_a",
             "doc_b",
-            F.round(inter.cast("double") / smaller.cast("double"), 4).alias(
-                "containment"
-            ),
-            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+            F.round(inter / smaller, 4).alias("containment"),
+            F.round(inter / union, 4).alias("jaccard"),
         )
         .filter(F.col("containment") >= CONTAINMENT_MIN)
     )
@@ -318,24 +376,12 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_CONTAINMENT_SQL = (
     _duck_bands_cte()
+    + _DUCK_SCORED_CAND
     + f"""
-, banded AS (
-  SELECT doc_id, shingles, band0 AS band, 0 AS b FROM bands
-  UNION ALL
-  SELECT doc_id, shingles, band1 AS band, 1 AS b FROM bands
-), cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.b = b.b
-  WHERE a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-), scored AS (
+, scored AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(sh_a, sh_b))::DOUBLE /
-               least(len(sh_a), len(sh_b))::DOUBLE, 4) AS containment,
-         round(len(list_intersect(sh_a, sh_b))::DOUBLE /
-               (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))::DOUBLE,
-               4) AS jaccard
+         round(inter::DOUBLE / least(n_a, n_b)::DOUBLE, 4) AS containment,
+         round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) AS jaccard
   FROM cand
 )
 SELECT doc_a, doc_b, containment, jaccard

@@ -425,6 +425,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "one_vs_one_training": (mlpipeline.one_vs_one_metrics, None),
     "ensemble_vote_accuracy": (mlpipeline.ensemble_vote_accuracy, None),
     "one_vs_one_shim": (mlpipeline.one_vs_one_shim, None),
+    # --- oracle-checkable projection of the shim's routing ledger:
+    # n_samples per pair == count(*) per label pair iff the multicast
+    # shuffle delivered exactly the right rows to the owning worker ---
+    "one_vs_one_shim_pairs": (
+        mlpipeline.one_vs_one_shim_pairs,
+        mlpipeline.ONE_VS_ONE_SHIM_PAIRS_SQL,
+    ),
     # --- embedding near-dup (LSH-bucketed cosine pairs) ---
     "embedding_near_dup": (
         similarity.embedding_near_dup,
@@ -796,10 +803,107 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # long-tail analytics extras. Names are stable; only iteration order
 # changes.
 # ---------------------------------------------------------------------------
+# The window ROTATES per round: rounds 2-3 certified the first 50 of the
+# round-2 ordering (SURVEY §2 core + shims + scans + dedup + similarity
+# head — all green in CORRECTNESS_r02/_r03). Round 4 keeps a small canary
+# set from that window and promotes the next oracle-backed tranche (text
+# analysis, curation, event-time/as-of, streaming twins) into positions
+# 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
+# driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # SURVEY §2 core: expressions + aggregations + joins + sort + sampling
+    # canaries held over from the rounds-2/3 window (regression tripwires
+    # across the operator families certified there)
     "pricing_summary",
     "danger_topk",
+    "wordcount_shim",
+    "danger_shim",
+    "minhash_lsh_pairs",
+    "lsh_ann_topk",
+    # NEW: oracle-checkable projection of the one-vs-one shim's routing
+    # ledger (the rows-only shim itself moved past entry 50)
+    "one_vs_one_shim_pairs",
+    # text analysis (promoted round 4)
+    "text_quality",
+    "lang_id_accuracy",
+    "token_stats",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "inverted_index_stats",
+    "top_bigrams",
+    "doc_repetition_stats",
+    "unigram_logprob_scores",
+    "sentiment_scores",
+    "vocab_coverage_stats",
+    "zipf_fit",
+    "vocab_growth_heaps",
+    "kwic_snippets",
+    # curation (promoted round 4)
+    "quality_filter_flags",
+    "decontamination",
+    "token_budget_sample",
+    "source_mixing_weights",
+    "doc_chunks",
+    "pack_chunks_bins",
+    "epoch_shuffle",
+    "weighted_doc_sample",
+    "winsorized_price_stats",
+    "source_lang_entropy",
+    "source_interleave",
+    # event-time windows / sessions / as-of (promoted round 4)
+    "user_sessions",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "sliding_distinct_users",
+    "windowed_p95_value",
+    "session_window_counts",
+    "user_session_duration",
+    "latest_event_per_user",
+    "window_ranks",
+    "click_asof_purchase",
+    "click_asof_cogroup",
+    # streaming twins (promoted round 4; same oracles as batch)
+    "streaming_window_counts",
+    "streaming_sliding_distinct",
+    "streaming_user_sessions",
+    "streaming_dedup_events",
+    "streaming_segment_counts",
+    "streaming_click_purchase_join",
+    # ---- entry 51+: round-5 rotation candidates (oracle-backed, not yet
+    # driver-certified) ----
+    "click_purchase_within_1h",
+    "customer_upsert",
+    "order_status_runs",
+    "salted_type_stats",
+    "salted_above_type_mean",
+    "approx_distinct_users",
+    "approx_quantile_check",
+    "embedding_quantize_stats",
+    "negative_sampling_pairs",
+    "label_centroid_norms",
+    "tree_covariance",
+    "arrow_norm_stats",
+    "arrow_label_centroids",
+    "doc_embeddings",
+    "media_features",
+    "image_dhash_dedup",
+    "audio_window_features",
+    "variant_props_stats",
+    "variant_typeof_profile",
+    "json_props_extract",
+    "udtf_top_tokens",
+    "udtf_doc_chunks",
+    "udtf_doc_sentences",
+    "pyds_synthetic_stats",
+    # rows-only (no oracle by design — iterative / non-SQL-expressible)
+    "kmeans_lloyd",
+    "bpe_merges",
+    "bpe_token_compression",
+    "video_frame_samples",
+    "one_vs_one_training",
+    "ensemble_vote_accuracy",
+    "one_vs_one_shim",
+    # ---- already driver-certified in rounds 2-3 (CORRECTNESS_r02/_r03) ----
     "wordcount",
     "revenue_by_nation",
     "customers_with_orders",
@@ -816,11 +920,6 @@ _PRIORITY_ORDER = [
     "systematic_sample",
     "sampled_docs_per_source",
     "train_test_split",
-    # compat shims: reference 4-hook programs through the same oracles
-    "wordcount_shim",
-    "danger_shim",
-    "one_vs_one_shim",
-    # scans/sinks: CSV/JSONL/ORC/XML/partitioned/bucketed round-trips
     "csv_roundtrip_counts",
     "jsonl_roundtrip_stats",
     "partitioned_pruned_stats",
@@ -831,106 +930,23 @@ _PRIORITY_ORDER = [
     "file_provenance_stats",
     "stable_row_ids",
     "bucketed_join_stats",
-    # deduplication family
     "dedup_exact",
     "dedup_keep_best",
     "incremental_dedup",
     "minhash_signatures",
-    "minhash_lsh_pairs",
     "simhash_buckets",
     "ngram_jaccard_topk",
     "near_dup_clusters",
     "duplicate_spans",
     "edit_distance_pairs",
     "cross_source_leakage",
-    # similarity search / embeddings
     "knn_bruteforce",
     "lsh_bucket_stats",
-    "lsh_ann_topk",
     "ivf_ann_topk",
     "ann_recall_eval",
     "embedding_near_dup",
     "embedding_covariance",
     "embedding_dim_stats",
-    "embedding_quantize_stats",
-    "negative_sampling_pairs",
-    "label_centroid_norms",
-    "tree_covariance",
-    "arrow_norm_stats",
-    "arrow_label_centroids",
-    "kmeans_lloyd",
-    # text analysis
-    "text_quality",
-    "lang_id_accuracy",
-    "token_stats",
-    "doc_fingerprints",
-    "tfidf_top_terms",
-    "bm25_scores",
-    "inverted_index_stats",
-    "top_bigrams",
-    "doc_repetition_stats",
-    "unigram_logprob_scores",
-    "sentiment_scores",
-    "vocab_coverage_stats",
-    "zipf_fit",
-    "vocab_growth_heaps",
-    "kwic_snippets",
-    "bpe_merges",
-    "bpe_token_compression",
-    # curation
-    "quality_filter_flags",
-    "decontamination",
-    "token_budget_sample",
-    "source_mixing_weights",
-    "doc_chunks",
-    "pack_chunks_bins",
-    "epoch_shuffle",
-    "weighted_doc_sample",
-    "winsorized_price_stats",
-    "source_lang_entropy",
-    "source_interleave",
-    # multimodal + ML pipeline (T44-T49)
-    "doc_embeddings",
-    "media_features",
-    "image_dhash_dedup",
-    "audio_window_features",
-    "video_frame_samples",
-    "one_vs_one_training",
-    "ensemble_vote_accuracy",
-    # event-time windows / sessions / as-of (batch)
-    "user_sessions",
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "sliding_distinct_users",
-    "windowed_p95_value",
-    "session_window_counts",
-    "user_session_duration",
-    "latest_event_per_user",
-    "window_ranks",
-    "click_asof_purchase",
-    "click_asof_cogroup",
-    "click_purchase_within_1h",
-    "customer_upsert",
-    "order_status_runs",
-    "salted_type_stats",
-    "salted_above_type_mean",
-    "approx_distinct_users",
-    "approx_quantile_check",
-    # streaming twins (same oracles as batch)
-    "streaming_window_counts",
-    "streaming_sliding_distinct",
-    "streaming_user_sessions",
-    "streaming_dedup_events",
-    "streaming_segment_counts",
-    "streaming_click_purchase_join",
-    # semistructured / UDTF / custom data source
-    "variant_props_stats",
-    "variant_typeof_profile",
-    "json_props_extract",
-    "udtf_top_tokens",
-    "udtf_doc_chunks",
-    "udtf_doc_sentences",
-    "pyds_synthetic_stats",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -185,3 +185,58 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), plan[:1500]
+
+
+DEDUP_FAMILY = [
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_containment",
+    "ngram_jaccard_topk",
+    "near_dup_clusters",
+    "duplicate_spans",
+    "edit_distance_pairs",
+    "cross_source_leakage",
+    "dup_graph_triangles",
+    "customer_record_linkage",
+]
+
+
+def test_dedup_exchanges_carry_no_string_arrays(spark):
+    """No dedup-family exchange may move an array-of-string payload:
+    shingle sets cross the one banded shuffle as hashed longs and every
+    pair row downstream is scalar-only (plans/dedup.py). This is the
+    regression gate for the round-2/3 spill-boundary instability
+    (driver sf1: 31.4 s vs 2.1 s on identical code)."""
+    from tools.plan_audit import string_array_exchanges
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in DEDUP_FAMILY:
+            df = _REGISTRY[name][0](spark, SF_DIR)
+            bad = string_array_exchanges(df)
+            assert not bad, f"{name}: string-array shuffle payload {bad}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_lsh_pair_exchanges_are_scalar_only(spark):
+    """Stronger shape check for the LSH verifier itself: downstream of
+    the single banded exchange (the only one allowed to carry ANY array
+    — hashed-long shingle sets), the pair-dedup exchange must carry only
+    scalar columns."""
+    from tools.plan_audit import exchange_payload_types
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _REGISTRY["minhash_lsh_pairs"][0](spark, SF_DIR)
+        payloads = exchange_payload_types(df)
+        array_cols = [t for t in payloads if t[2].startswith("array<")]
+        # exactly one exchange may carry arrays: the banded shuffle,
+        # whose shingle payload is array<bigint>
+        assert all(t[2] == "array<bigint>" for t in array_cols), array_cols
+        nodes_with_arrays = {t[0] + t[1] for t in array_cols}
+        assert len({t[1] for t in array_cols}) <= 1, nodes_with_arrays
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -367,6 +367,27 @@ def test_dot_arrow_bitwise_equals_fold(spark, sf_dir):
     assert mx == 0.0
 
 
+def test_dot_arrow_survives_empty_partitions(spark):
+    """Arrow hands zero-row batches to the UDF for empty partitions;
+    np.vstack raises on an empty sequence, so the UDF must short-circuit
+    (VERDICT r2/r3 finding). Repartition to more partitions than rows to
+    force empty ones, and filter-to-empty for the zero-row plan."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.functions import vectors as V
+
+    dot_pd = V.dot_arrow()
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0], [3.0, 4.0]) for i in range(3)], "id long, a array<double>, b array<double>"
+    ).repartition(8)
+    vals = sorted(
+        r["d"] for r in df.select(dot_pd("a", "b").alias("d")).collect()
+    )
+    assert vals == [11.0, 11.0, 11.0]
+    empty = df.filter("id < 0").select(dot_pd("a", "b").alias("d"))
+    assert empty.count() == 0
+
+
 def test_cogroup_asof_count_equals_collect(spark, sf_dir):
     """Regression: with both cogroup sides derived from one parent
     DataFrame, Catalyst deduplicated the right side's ts onto the

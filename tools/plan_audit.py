@@ -117,6 +117,57 @@ AUDITS: dict[str, dict] = {
 }
 
 
+def exchange_payload_types(df) -> list[tuple[str, str, str]]:
+    """(node, column, type) for every output attribute of every Exchange
+    in the df's physical plan — the shuffle payload schema. Walk with AQE
+    disabled at plan-build time: the non-adaptive tree exposes plain
+    children() all the way down (AdaptiveSparkPlanExec hides stages).
+    """
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if "Exchange" in name:
+            attrs = node.output()
+            for i in range(attrs.size()):
+                a = attrs.apply(i)
+                out.append((name, a.name(), a.dataType().catalogString()))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+# Dedup-family plans must never move an array-of-string across an
+# exchange: shingle sets cross the single banded shuffle as hashed longs
+# (plans/dedup.py), and every pair row downstream is scalar-only. A
+# string-array payload reappearing here is the spill-boundary regression
+# the round-2/3 drivers measured (31.4 s vs 2.1 s at sf1, same code).
+ARRAY_STRING_EXCHANGE_BAN = [
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "minhash_containment",
+    "ngram_jaccard_topk",
+    "near_dup_clusters",
+    "duplicate_spans",
+    "edit_distance_pairs",
+    "cross_source_leakage",
+    "dup_graph_triangles",
+    "customer_record_linkage",
+]
+
+
+def string_array_exchanges(df) -> list[tuple[str, str, str]]:
+    """Exchange payload columns whose type embeds an array of strings."""
+    return [
+        t
+        for t in exchange_payload_types(df)
+        if re.search(r"array<[^>]*string", t[2])
+    ]
+
+
 def audit(name: str, sf_dir: str) -> list[str]:
     spark = get_spark(app_name="plan_audit")
     fn, _ = _REGISTRY[name]
