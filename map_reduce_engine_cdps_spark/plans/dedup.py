@@ -71,6 +71,16 @@ def _with_minhash_bands(docs: DataFrame) -> DataFrame:
     for b in range(n_bands):
         parts = [F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
         d = d.withColumn(f"band{b}", F.md5(F.concat_ws("|", *parts)))
+    # Shingle-identity hashes for the LSH verification path: 60-bit longs
+    # derived from the FIRST signature digest (no extra md5 pass — set
+    # identity only needs uniqueness, so sharing bits with mh0/mh1 is
+    # fine). DuckDB twin: ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT.
+    d = d.withColumn(
+        "sh_h",
+        F.transform(
+            "_hx0", lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        ),
+    )
     return d.drop(*[f"_hx{j}" for j in range(n_hashes)])
 
 
@@ -209,19 +219,15 @@ def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_minhash_bands(docs)
     n_bands = N_MINHASH // BAND_ROWS
     # Shingle sets cross the one exchange as 8-byte md5-derived 60-bit
-    # ints, not ~20-byte strings (≥2.5x smaller shuffle payload; set
-    # sizes and intersections are preserved — a within-doc 60-bit
-    # collision is ~2^-47 per doc, and the hash is identical in both
-    # engines so the oracle agrees even then). Spark's
-    # conv(substr(md5,1,15),16,10) and DuckDB's ('0x'||...)::BIGINT
-    # parse the same 15 hex chars to the same long.
-    sh_hash = F.transform(
-        "shingles",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
+    # ints (sh_h, derived in _with_minhash_bands from the signature
+    # digest already computed — no extra hash pass), not ~20-byte
+    # strings: ≥2.5x smaller shuffle payload, and set sizes and
+    # intersections are preserved (a within-doc 60-bit collision is
+    # ~2^-47 per doc, and the hash is identical in both engines so the
+    # oracle agrees even then).
     banded = d.select(
         "doc_id",
-        sh_hash.alias("shingles"),
+        F.col("sh_h").alias("shingles"),
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
             "b", "band"
         ),
@@ -312,7 +318,7 @@ _DUCK_SCORED_CAND = f"""
   SELECT doc_id, sh_h, band, b FROM (
     SELECT doc_id,
            list_transform(shingles,
-                          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS sh_h,
+                          s -> ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT) AS sh_h,
            band, b,
            row_number() OVER (PARTITION BY b, band ORDER BY doc_id) AS rn
     FROM (
