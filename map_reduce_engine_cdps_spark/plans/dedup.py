@@ -887,8 +887,16 @@ FROM tris
 # bucket, in the standard OFFSET DOUBLE-BUCKETING scheme: two grids of
 # width 2×max_diff, the second shifted by half a grid — any pair within
 # max_diff shares a bucket in at least one grid, so recall is exact
-# while candidates stay O(n × bucket). Pairs found by both grids are
-# deduplicated before scoring.
+# while candidates stay O(n × bucket). A pair can co-occur in both
+# grids; rather than deduplicating pair ROWS (an exchange carrying
+# name payloads, measured 6.4x slope sf0.1->sf1), grid-1 emission is
+# suppressed inline when the pair already shares a grid-0 bucket —
+# both join sides carry bal_cents, so "same grid-0 bucket" is a
+# stateless predicate and the dedup costs zero shuffle. Levenshtein
+# (the per-pair CPU cost) is evaluated only where the balance gate
+# passes: every aggregate that consults edit_d is conditioned on
+# `matched`, which requires bal_diff <= max, so pairs outside the
+# balance gate can skip the edit-distance evaluation entirely.
 # ---------------------------------------------------------------------------
 
 LINK_MAX_EDIT = 2
@@ -915,31 +923,37 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     blocked = grids[0].unionByName(grids[1])
     a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.grid") == F.col("b.grid"))
-            & (F.col("a.bb") == F.col("b.bb"))
-            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_nationkey").alias("nationkey"),
-            F.col("a.c_mktsegment").alias("mktsegment"),
-            F.col("a.c_custkey").alias("ka"),
-            F.col("b.c_custkey").alias("kb"),
-            F.col("a.c_name").alias("na"),
-            F.col("b.c_name").alias("nb"),
-            (F.col("a.bal_cents") - F.col("b.bal_cents")).alias("bd"),
-        )
-        .dropDuplicates(["ka", "kb"])
+    same_g0_bucket = F.floor(F.col("a.bal_cents") / _LINK_GRID_W) == F.floor(
+        F.col("b.bal_cents") / _LINK_GRID_W
     )
+    pairs = a.join(
+        b,
+        (F.col("a.grid") == F.col("b.grid"))
+        & (F.col("a.bb") == F.col("b.bb"))
+        & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+        # inline cross-grid dedup: a pair that shares a grid-0 bucket is
+        # emitted by the grid-0 join row only (same candidate SET as
+        # dropDuplicates(ka, kb), zero extra exchange).
+        & ((F.col("a.grid") == 0) | ~same_g0_bucket),
+    ).select(
+        F.col("a.c_nationkey").alias("nationkey"),
+        F.col("a.c_mktsegment").alias("mktsegment"),
+        F.col("a.c_name").alias("na"),
+        F.col("b.c_name").alias("nb"),
+        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")).alias("bal_diff"),
+    )
+    # edit_d is only consulted under the balance gate — evaluate
+    # levenshtein on the gated subset, never on balance-rejected pairs.
     scored = pairs.select(
         "nationkey",
         "mktsegment",
-        F.levenshtein(F.col("na"), F.col("nb")).alias("edit_d"),
-        F.abs(F.col("bd")).alias("bal_diff"),
+        "bal_diff",
+        F.when(
+            F.col("bal_diff") <= LINK_MAX_BAL_DIFF_CENTS,
+            F.levenshtein(F.col("na"), F.col("nb")),
+        ).alias("edit_d"),
     )
     matched = (F.col("edit_d") <= LINK_MAX_EDIT) & (
         F.col("bal_diff") <= LINK_MAX_BAL_DIFF_CENTS
@@ -963,18 +977,20 @@ WITH c AS (
                     / CAST({_LINK_GRID_W} AS DOUBLE)) AS BIGINT) AS bb
   FROM c CROSS JOIN (SELECT 0 AS grid UNION ALL SELECT 1) g
 ), pairs AS (
-  SELECT DISTINCT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
-         a.c_custkey AS ka, b.c_custkey AS kb,
+  SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
          a.c_name AS na, b.c_name AS nb,
-         a.bal_cents - b.bal_cents AS bd
+         abs(a.bal_cents - b.bal_cents) AS bal_diff
   FROM blocked a JOIN blocked b
     ON a.grid = b.grid AND a.bb = b.bb
    AND a.c_nationkey = b.c_nationkey
    AND a.c_mktsegment = b.c_mktsegment
    AND a.c_custkey < b.c_custkey
+   AND (a.grid = 0 OR floor(a.bal_cents / CAST({_LINK_GRID_W} AS DOUBLE))
+                   <> floor(b.bal_cents / CAST({_LINK_GRID_W} AS DOUBLE)))
 ), scored AS (
-  SELECT nationkey, mktsegment,
-         levenshtein(na, nb) AS edit_d, abs(bd) AS bal_diff
+  SELECT nationkey, mktsegment, bal_diff,
+         CASE WHEN bal_diff <= {LINK_MAX_BAL_DIFF_CENTS}
+              THEN levenshtein(na, nb) END AS edit_d
   FROM pairs
 )
 SELECT nationkey, mktsegment,
