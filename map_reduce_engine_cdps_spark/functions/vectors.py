@@ -68,6 +68,29 @@ def dot_arrow() -> "object":
     return _dot
 
 
+def norm_arrow() -> "object":
+    """Arrow-vectorized twin of :func:`norm` (sqrt of the self-dot).
+
+    Same bit-exactness argument as :func:`dot_arrow`: float32→float64
+    widening is exact, products are single IEEE multiplies, ``np.cumsum``
+    adds strictly left-to-right like the JVM fold, and ``np.sqrt`` /
+    ``Math.sqrt`` are both correctly-rounded IEEE sqrt. Use where norms
+    are computed per-row over a large relation inside a bigger plan —
+    the interpreted fold costs ~25 µs/row, measured dominating e.g.
+    `knn_bruteforce` wall time at the sf1 point.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _norm(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        av = np.vstack(a.to_numpy()).astype(np.float64)
+        return pd.Series(np.sqrt(np.cumsum(av * av, axis=1)[:, -1]))
+
+    return _norm
+
+
 def hyperplane_bit(a: Column, h: int) -> Column:
     """Sign bit of the projection of ``a`` onto a deterministic integer
     pseudo-random hyperplane: w[j] = ((h*31 + j*17) % 7) - 3 for
@@ -87,5 +110,44 @@ def hyperplane_bit(a: Column, h: int) -> Column:
 
 
 def lsh_bucket(a: Column, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: concatenated sign bits."""
+    """Random-hyperplane LSH bucket id: concatenated sign bits.
+
+    This is the REFERENCE formulation (pure JVM expressions, the shape
+    the DuckDB oracle mirrors); hot paths use :func:`lsh_bucket_arrow`,
+    whose bit-identity to this column is pinned by
+    tests/test_workloads.py.
+    """
     return F.concat(*[hyperplane_bit(a, h) for h in range(n_planes)])
+
+
+def lsh_bucket_arrow(n_planes: int = 8) -> "object":
+    """Arrow-vectorized twin of :func:`lsh_bucket`.
+
+    The interpreted formulation evaluates n_planes nested
+    sequence/transform/aggregate lambdas per row — measured ~85 µs/row
+    at 8 planes, which made bucket derivation (not the bucket join!)
+    the dominant cost of every LSH-ANN query at the sf1 point. Here the
+    whole batch is one float64 elementwise product + ``np.cumsum``
+    per plane, strictly left-to-right like the JVM fold, so the
+    projection doubles — and therefore the sign bits — are
+    bit-identical (pinned on every sf0.1 vector by
+    tests/test_workloads.py::test_lsh_bucket_arrow_bitwise_equals_fold).
+    Weights are the same deterministic integers, regenerated per batch:
+    w[h][j] = ((h*31 + j*17) % 7) - 3.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _bucket(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="object")
+        E = np.vstack(a.to_numpy()).astype(np.float64)
+        j = np.arange(E.shape[1])
+        Wm = np.stack(
+            [(((h * 31 + j * 17) % 7) - 3).astype(np.float64) for h in range(n_planes)]
+        )
+        proj = np.cumsum(E[:, None, :] * Wm[None, :, :], axis=2)[:, :, -1]
+        bits = np.where(proj > 0, "1", "0")
+        return pd.Series(["".join(r) for r in bits])
+
+    return _bucket

@@ -14,26 +14,44 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from map_reduce_engine_cdps_spark.functions import vectors as V
-from map_reduce_engine_cdps_spark.sources.readers import load_table
+from map_reduce_engine_cdps_spark.sources.readers import load_parallel, load_table
 
 N_QUERIES = 10     # vec_id < N_QUERIES are the query vectors
 TOP_K = 3
 N_PLANES = 8
 
 
+# Every per-row/per-pair vector kernel in this module runs through the
+# Arrow twins (V.norm_arrow / V.lsh_bucket_arrow / V.dot_arrow): the
+# interpreted JVM higher-order folds they replace measured ~25-85 µs per
+# evaluation and dominated every ANN query's wall time at the sf1 point
+# (bucket derivation alone: ~1.7 s for 20 k vectors). The twins are
+# BIT-identical (np.cumsum reproduces the fold's left-to-right addition;
+# pinned by tests/test_workloads.py), so the DuckDB oracles — which
+# mirror the fold formulation — are unaffected. Rounding stays JVM-side
+# (F.round) per the dot_arrow contract.
+
+
+def _cos_pre_arrow(qe, ce, qn, cn):
+    """Arrow-vectorized V.cosine_pre twin: dot_arrow over the pair plus
+    the same two scalar IEEE ops (multiply, divide) — bit-identical."""
+    return V.dot_arrow()(qe, ce) / (qn * cn)
+
+
 def _queries_and_candidates(spark: SparkSession, sf_dir: str):
     """Query/candidate sides with their norms precomputed below the
-    pair join (V.cosine_pre — 3× fewer interpreted folds per pair)."""
+    pair join (3× fewer per-pair kernel evaluations than raw cosine)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    norm_pd = V.norm_arrow()
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        V.norm(F.col("embedding")).alias("q_n"),
+        norm_pd(F.col("embedding")).alias("q_n"),
     )
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        V.norm(F.col("embedding")).alias("c_n"),
+        norm_pd(F.col("embedding")).alias("c_n"),
     )
     return q, c
 
@@ -54,7 +72,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             F.round(
-                V.cosine_pre(
+                _cos_pre_arrow(
                     F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
                 ),
                 6,
@@ -102,7 +120,9 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {TOP_K}
 
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    d = emb.withColumn(
+        "bucket", V.lsh_bucket_arrow(N_PLANES)(F.col("embedding"))
+    )
     return d.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
     )
@@ -137,17 +157,20 @@ FROM b GROUP BY bucket
 
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    norm_pd = V.norm_arrow()
+    d = emb.withColumn(
+        "bucket", V.lsh_bucket_arrow(N_PLANES)(F.col("embedding"))
+    )
     q = d.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        V.norm(F.col("embedding")).alias("q_n"),
+        norm_pd(F.col("embedding")).alias("q_n"),
         "bucket",
     )
     c = d.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        V.norm(F.col("embedding")).alias("c_n"),
+        norm_pd(F.col("embedding")).alias("c_n"),
         "bucket",
     )
     sims = (
@@ -157,7 +180,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             F.round(
-                V.cosine_pre(
+                _cos_pre_arrow(
                     F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
                 ),
                 6,
@@ -259,16 +282,22 @@ def _near_dup_planes(n: int) -> int:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # load_parallel: clustered corpora concentrate the corpus in few
+    # buckets (sf1: 119 occupied of 4096, hottest 822 members → 3.7 M
+    # candidate pairs), and the pair-verification work rides the PROBE
+    # side's partitioning — a 2-file scan would run millions of dots on
+    # 2 cores. On a real cluster the 128 MB scan splits provide this
+    # width for free.
+    emb = load_parallel(spark, sf_dir, "embeddings")
     planes = _near_dup_planes(emb.count())
-    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), planes))
-    d = d.withColumn("nrm", V.norm(F.col("embedding")))
+    d = emb.withColumn("bucket", V.lsh_bucket_arrow(planes)(F.col("embedding")))
+    d = d.withColumn("nrm", V.norm_arrow()(F.col("embedding")))
     a = d.alias("a")
     b = d.alias("b")
     # Verification runs on EVERY candidate pair — on a near-dup-dense
     # corpus that's millions of pairs, where the interpreted fold costs
     # ~15 µs each. dot_arrow is the bit-identical Arrow-vectorized twin
-    # (3.4× at sf1); norms and rounding stay JVM-side.
+    # (3.4× at sf1); rounding stays JVM-side.
     dot_pd = V.dot_arrow()
     return (
         a.join(
@@ -337,6 +366,8 @@ def _centroids(emb: DataFrame) -> DataFrame:
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # centroid side is K rows and broadcast — the interpreted fold is
+    # fine there; corpus-side norms and all pair scoring go Arrow.
     cent = F.broadcast(
         _centroids(emb).select(
             F.col("label").alias("list_id"),
@@ -344,6 +375,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.norm(F.col("centroid")).alias("cent_n"),
         )
     )
+    norm_pd = V.norm_arrow()
 
     def nearest_lists(
         side: DataFrame, id_col: str, vec_col: str, n_col: str, n: int
@@ -354,7 +386,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_col,
             "list_id",
             F.round(
-                V.cosine_pre(
+                _cos_pre_arrow(
                     F.col(vec_col), F.col("centroid"), F.col(n_col), F.col("cent_n")
                 ),
                 6,
@@ -371,7 +403,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             F.col("vec_id").alias("cand_id"),
             F.col("embedding").alias("c_emb"),
-            V.norm(F.col("embedding")).alias("c_n"),
+            norm_pd(F.col("embedding")).alias("c_n"),
         ),
         "cand_id", "c_emb", "c_n", 1,
     )
@@ -379,7 +411,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            V.norm(F.col("embedding")).alias("q_n"),
+            norm_pd(F.col("embedding")).alias("q_n"),
         ),
         "query_id", "q_emb", "q_n", NPROBE,
     )
@@ -390,7 +422,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             F.round(
-                V.cosine_pre(
+                _cos_pre_arrow(
                     F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
                 ),
                 6,
@@ -641,17 +673,20 @@ FROM e GROUP BY pos ORDER BY pos
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_bruteforce(spark, sf_dir)  # query_id, cand_id, cos_sim, rank
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), N_PLANES))
+    norm_pd = V.norm_arrow()
+    d = emb.withColumn(
+        "bucket", V.lsh_bucket_arrow(N_PLANES)(F.col("embedding"))
+    )
     q = d.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        V.norm(F.col("embedding")).alias("q_n"),
+        norm_pd(F.col("embedding")).alias("q_n"),
         "bucket",
     )
     c = d.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        V.norm(F.col("embedding")).alias("c_n"),
+        norm_pd(F.col("embedding")).alias("c_n"),
         "bucket",
     )
     sims = (
@@ -661,7 +696,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             F.round(
-                V.cosine_pre(
+                _cos_pre_arrow(
                     F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
                 ),
                 6,
@@ -1072,14 +1107,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.norm(F.col("centroid")).alias("cent_n"),
         )
     )
-    embn = emb.withColumn("nrm", V.norm(F.col("embedding")))
+    embn = emb.withColumn("nrm", V.norm_arrow()(F.col("embedding")))
     scored = embn.crossJoin(cent).select(
         "vec_id",
         "embedding",
         "nrm",
         "cluster_id",
         F.round(
-            V.cosine_pre(
+            _cos_pre_arrow(
                 F.col("embedding"), F.col("centroid"), F.col("nrm"), F.col("cent_n")
             ),
             6,
@@ -1092,25 +1127,28 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "nrm", "cluster_id")
     )
     a, b = assign.alias("a"), assign.alias("b")
+    # pair cosine is projected (not a join-condition residual) so the
+    # Arrow UDF evaluates once per candidate pair post-join.
     dup = (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
             F.round(
-                V.cosine_pre(
+                _cos_pre_arrow(
                     F.col("a.embedding"),
                     F.col("b.embedding"),
                     F.col("a.nrm"),
                     F.col("b.nrm"),
                 ),
                 6,
-            )
-            >= SEMDEDUP_TAU
+            ).alias("pair_sim"),
         )
-        .select(F.col("b.vec_id").alias("vec_id"))
+        .filter(F.col("pair_sim") >= SEMDEDUP_TAU)
+        .select("vec_id")
         .distinct()
         .withColumn("pruned", F.lit(True))
     )

@@ -367,6 +367,58 @@ def test_dot_arrow_bitwise_equals_fold(spark, sf_dir):
     assert mx == 0.0
 
 
+def test_lsh_bucket_and_norm_arrow_bitwise_equal_fold(spark, sf_dir):
+    """lsh_bucket_arrow / norm_arrow must be BIT-identical to the JVM
+    interpreted formulations on every real embedding (the cumsum
+    reproduces the fold's left-to-right addition; sqrt is IEEE
+    correctly-rounded in both engines). The DuckDB oracles mirror the
+    fold formulation, so this pin is what lets the hot paths use the
+    Arrow twins without touching any oracle."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_engine_cdps_spark.functions import vectors as V
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for planes in (8, 10):
+        n_mismatch = (
+            emb.select(
+                V.lsh_bucket(F.col("embedding"), planes).alias("jvm"),
+                V.lsh_bucket_arrow(planes)(F.col("embedding")).alias("arw"),
+            )
+            .filter(F.col("jvm") != F.col("arw"))
+            .count()
+        )
+        assert n_mismatch == 0, f"planes={planes}: {n_mismatch} bucket mismatches"
+    norm_pd = V.norm_arrow()
+    mx = (
+        emb.select(
+            F.abs(
+                norm_pd(F.col("embedding")) - V.norm(F.col("embedding"))
+            ).alias("d")
+        )
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert mx == 0.0
+
+
+def test_arrow_twins_survive_empty_partitions(spark):
+    """Same zero-row-batch guard contract as dot_arrow (VERDICT r2/r3)."""
+    from map_reduce_engine_cdps_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 2.0]) for i in range(3)], "id long, a array<double>"
+    ).repartition(8)
+    norms = sorted(r["n"] for r in df.select(V.norm_arrow()("a").alias("n")).collect())
+    assert norms == [3.0, 3.0, 3.0]
+    buckets = df.select(V.lsh_bucket_arrow(4)("a").alias("b")).collect()
+    assert len(buckets) == 3 and all(len(r["b"]) == 4 for r in buckets)
+    empty = df.filter("id < 0")
+    assert empty.select(V.norm_arrow()("a")).count() == 0
+    assert empty.select(V.lsh_bucket_arrow(4)("a")).count() == 0
+
+
 def test_dot_arrow_survives_empty_partitions(spark):
     """Arrow hands zero-row batches to the UDF for empty partitions;
     np.vstack raises on an empty sequence, so the UDF must short-circuit
