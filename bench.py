@@ -104,9 +104,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        # single timed run after warm-up: the slope needs one honest
-        # point, not a median, and it keeps the per-round bench fast
-        sf1 = run_suite(spark, SF1_DIR, runs=1)
+        # median of 3 timed runs after warm-up, same as sf0.1: ambient
+        # load on a shared host can inflate any single run ~3x (measured
+        # spiking a different query per run), and a runs=1 slope point
+        # bakes that noise into the recorded artifact
+        sf1 = run_suite(spark, SF1_DIR, runs=3)
         out["sf1_queries"] = sf1
         out["sf1_value"] = round(sum(t for t in sf1.values() if t > 0), 3)
     print(json.dumps(out))
