@@ -327,7 +327,11 @@ CHUNK_TOKENS = 50
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # load_parallel: per-row cost here is tokenize + per-chunk slice +
+    # md5 (interpreted HOFs) — the full-registry slope sweep flagged
+    # this query at 4.8x for 10x data because the work rode a 2-file
+    # scan; on a real cluster the 128 MB splits provide the width.
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
     n_chunks = F.ceil(F.size(tok) / F.lit(CHUNK_TOKENS)).cast("int")
     chunks = F.transform(

@@ -1568,9 +1568,19 @@ def click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = (
         "event_id long, user_id long, click_us long, purchase_us long, gap_s double"
     )
+    # Explicit hash repartition on the cogroup key: AQE coalesces the
+    # co-partitioning shuffle by BYTES, and a byte-small but group-MANY
+    # cogroup (1 500 users here) then collapses onto one partition —
+    # but grouped-map cost is per-GROUP (~2.5 ms of Arrow flush + Python
+    # sync each), so the collapse serialized ~4 s of machinery onto one
+    # core (measured 12 s query wall at sf0.1, 1.3 s after). A
+    # user-specified repartition N is exempt from AQE coalescing, and
+    # the cogroup reuses its hash partitioning (no extra exchange).
+    par = spark.sparkContext.defaultParallelism
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.repartition(par, "user_id")
+        .groupBy("user_id")
+        .cogroup(purchases.repartition(par, "user_id").groupBy("user_id"))
         .applyInPandas(lambda left, right: merge(left, right), schema=out_schema)
     )
 

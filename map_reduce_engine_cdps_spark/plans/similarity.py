@@ -1211,7 +1211,11 @@ PQ_D = 8     # dims per subspace (embeddings are 64-dim)
 
 
 def pq_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # load_parallel: the reconstruction-distance fold runs per
+    # (vector, subspace, candidate code) — M*K interpreted evaluations
+    # per vector — and rides the scan partitioning (slope-sweep hit
+    # 4.0x for 10x on a 2-file scan; cluster splits provide the width).
+    emb = load_parallel(spark, sf_dir, "embeddings")
     subs = emb.select(
         "vec_id",
         "label",

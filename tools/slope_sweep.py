@@ -1,0 +1,62 @@
+"""Full-registry scale-slope sweep: time EVERY registered query once at
+two scale factors and report the wall-time ratio, to catch super-linear
+cliffs hiding outside the 27-query headline set (the round-3 verdict's
+ask #9, generalized — bench.py and round_bench.py only cover curated
+subsets).
+
+Methodology: one cold run per query per SF in a single Spark session
+(cold = includes planning; queries share JVM/codegen warm-up order, so
+sub-second timings are noisy — the signal is queries ≥1 s at the large
+SF whose ratio exceeds ~4x for 10x data). Prints one JSON line:
+{"queries": {name: {"small": s, "large": s, "ratio": r}},
+ "flagged": [...]}  with `flagged` = large ≥ 1 s AND ratio > 4.
+
+Run: python tools/slope_sweep.py [small_sf_dir] [large_sf_dir]
+Defaults: /root/testdata/sf0.1 and /root/repo/.benchdata/sf1
+(generate the latter with tools/scale_data.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+from map_reduce_engine_cdps_spark.session import get_spark
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    large = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
+    spark = get_spark(app_name="slope_sweep")
+    out: dict[str, dict] = {}
+    for name, (fn, _) in _REGISTRY.items():
+        rec: dict = {}
+        for key, sf_dir in (("small", small), ("large", large)):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                rec[key] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"sweep error {name}@{key}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                rec[key] = -1.0
+        if rec.get("small", 0) > 0 and rec.get("large", 0) > 0:
+            rec["ratio"] = round(rec["large"] / rec["small"], 2)
+        out[name] = rec
+        print(f"{name}: {rec}", file=sys.stderr)
+    flagged = sorted(
+        (n for n, r in out.items()
+         if r.get("large", 0) >= 1.0 and r.get("ratio", 0) > 4.0),
+        key=lambda n: -out[n]["ratio"],
+    )
+    print(json.dumps({"queries": out, "flagged": flagged,
+                      "small": small, "large": large}))
+
+
+if __name__ == "__main__":
+    main()
