@@ -582,8 +582,12 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one assign per iteration, final assign) — cache it once instead of
     # re-reading parquet per Lloyd round. MEMORY_AND_DISK so a 100 TB
     # run degrades to local-disk re-read, never recompute-from-source.
+    # load_parallel before persist: assignment evaluates K interpreted
+    # 64-dim distance folds per row, and the cached partitioning IS the
+    # scan partitioning — a 2-file scan would pin every Lloyd round to
+    # 2 cores (slope sweep: 7.6-8.2 s at sf1 before, 3.3 s after).
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        load_parallel(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .persist()
     )
