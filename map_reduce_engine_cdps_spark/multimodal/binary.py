@@ -89,11 +89,66 @@ def _pillow_decode(payload: bytes, size: tuple = (224, 224)) -> np.ndarray:
         return np.asarray(img, dtype=np.float32)
 
 
+def ppm_encode(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8-valued array → binary PPM (P6) payload. The
+    fixture-side inverse of :func:`_ppm_decode` for tests/demos."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _ppm_decode(payload: bytes, size: tuple = (224, 224)) -> np.ndarray:
+    """REAL image decode with zero codec dependencies: binary PPM (P6)
+    is raw RGB behind a text header, so this branch executes in
+    containers without Pillow — upgrading the decode step from
+    env-gated to in-container-testable for uncompressed payloads.
+    Same canvas rule as :func:`_pillow_decode` (centered pad-to-square
+    on white); the resize policy is nearest-neighbor (deterministic and
+    library-free — LANCZOS belongs to the Pillow branch). Returns
+    float32 (H, W, 3)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    arr = (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .astype(np.float32)
+    )
+    if w != h:
+        side = max(w, h)
+        canvas = np.full((side, side, 3), 255.0, dtype=np.float32)
+        y0, x0 = (side - h) // 2, (side - w) // 2
+        canvas[y0 : y0 + h, x0 : x0 + w] = arr
+        arr = canvas
+    side = arr.shape[0]
+    yi = np.arange(size[0]) * side // size[0]
+    xi = np.arange(size[1]) * side // size[1]
+    return arr[yi][:, xi]
+
+
 def _pixel_grid_features(arr: np.ndarray) -> np.ndarray:
     """(H, W, 3) pixels → FEATURE_DIM grayscale 4x4 grid means in [0,1].
     A real deployment replaces this with the CNN forward pass; the grid
-    summary keeps the pillow path end-to-end testable without TF."""
-    g = arr.mean(axis=2)
+    summary keeps the decode paths end-to-end testable without TF.
+    Means and the /255 normalization run in float64 with a final
+    float32 quantization — the double-then-float order a SQL oracle
+    (`CAST(x/255.0 AS FLOAT)`) reproduces exactly; a float32-native
+    division could double-round differently in the last ULP."""
+    g = arr.astype(np.float64).mean(axis=2)
     h, w = g.shape
     gh, gw = h // 4, w // 4
     grid = g[: gh * 4, : gw * 4].reshape(4, gh, 4, gw).mean(axis=(1, 3))
@@ -105,6 +160,10 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     ``decode`` picks the per-batch payload treatment:
       - ``"fake"``: deterministic md5 pseudo-features (no media libs).
+      - ``"ppm"``: REAL image decode for binary PPM (P6) payloads —
+        dependency-free (raw RGB behind a text header), so it executes
+        and is oracle-checked in this container: pad-to-square /
+        nearest-neighbor 224x224 / pixel-grid features.
       - ``"pillow"``: REAL image decode — RGB / pad-to-square /
         LANCZOS 224x224 per the reference — then a pixel-grid feature
         summary. Raises a clear error if Pillow is not installed.
@@ -115,7 +174,7 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     Python boundary; metadata stays JVM-side and is re-joined by the
     caller if needed.
     """
-    if decode not in ("fake", "pillow", "real"):
+    if decode not in ("fake", "ppm", "pillow", "real"):
         raise ValueError(f"unknown decode mode: {decode}")
     if decode == "pillow" and not pillow_available():
         raise ImportError(
@@ -132,7 +191,14 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
                 raise NotImplementedError(
                     "real embedding inference requires an ML runtime, absent here"
                 )
-            if decode == "pillow":
+            if decode == "ppm":
+                feats = [
+                    _pixel_grid_features(_ppm_decode(bytes(b)))
+                    if b is not None
+                    else None
+                    for b in pdf["content"]
+                ]
+            elif decode == "pillow":
                 feats = [
                     _pixel_grid_features(_pillow_decode(bytes(b)))
                     if b is not None
@@ -278,6 +344,79 @@ def media_features(spark, sf_dir: str) -> DataFrame:
             4,
         ).alias("feat_sum"),
     )
+
+
+def ppm_image_features(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: the REAL (non-stubbed) image-decode path,
+    executable and oracle-checked in this container. JVM-side, each
+    document derives a deterministic constant-color SQUARE binary PPM
+    payload (side 8..16 px, pixel value 0..96 — ASCII-safe so the
+    ISO-8859-1 encode is the identity byte map); the Python side then
+    performs a genuine decode: header parse, raw-RGB reshape,
+    pad-to-square, nearest-neighbor 224x224 resize, pixel-grid
+    features. Constant-color fixtures keep the expected features
+    arithmetically reconstructable in SQL (grid mean of a constant
+    image is the constant, whatever the resize does); the
+    gradient/non-square decode math is pinned separately by unit
+    tests. Scale shape: payload construction is pure JVM expression
+    work, only (media_id, content) cross the Arrow boundary, and the
+    scan re-parallelizes because decode cost is per-row Python."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id")
+    side = (F.col("doc_id") % 9 + 8).cast("int")
+    val = (F.col("doc_id") * 37 % 97).cast("int")
+    header = F.concat(
+        F.lit("P6\n"),
+        side.cast("string"),
+        F.lit(" "),
+        side.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixels = F.expr(
+        "repeat(char(cast(doc_id * 37 % 97 as int)), "
+        "cast((doc_id % 9 + 8) * (doc_id % 9 + 8) * 3 as int))"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(header, pixels), "ISO-8859-1").alias("content"),
+    )
+    feats = extract_features(media, decode="ppm")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("features"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("feat_sum"),
+    )
+
+
+# The oracle reconstructs the whole pipeline arithmetically: payload
+# size = header + side^2*3 raw bytes, and each of the 16 grid features
+# is CAST(v/255.0 AS FLOAT) — the same double-then-float32 quantization
+# _pixel_grid_features performs — summed in float64 like the Spark
+# aggregate.
+PPM_IMAGE_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 9 + 8 AS side,
+         doc_id * 37 % 97 AS v
+  FROM documents
+)
+SELECT media_id,
+       3 + 2 * length(CAST(side AS VARCHAR)) + 1 + 5 + side * side * 3 AS n_bytes,
+       16 AS dim,
+       round(CAST(16 AS DOUBLE)
+             * CAST(CAST(v AS DOUBLE) / CAST(255.0 AS DOUBLE) AS FLOAT), 4)
+         AS feat_sum
+FROM p
+"""
 
 
 FRAME_SCHEMA = T.StructType(

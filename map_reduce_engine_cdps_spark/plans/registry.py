@@ -444,6 +444,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- multimodal plumbing: binary column + typed metadata +
     # mapInPandas feature extraction (deterministic fake decode) — rows-only ---
     "media_features": (binary.media_features, binary.MEDIA_FEATURES_SQL),
+    # REAL dependency-free image decode (binary PPM) — T5 executable
+    # in-container, not just env-gated plumbing
+    "ppm_image_features": (binary.ppm_image_features, binary.PPM_IMAGE_FEATURES_SQL),
     "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
     # --- video frame sampling: one-to-many mapInPandas fan-out with
     # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
@@ -886,6 +889,7 @@ _PRIORITY_ORDER = [
     "arrow_label_centroids",
     "doc_embeddings",
     "media_features",
+    "ppm_image_features",
     "image_dhash_dedup",
     "audio_window_features",
     "variant_props_stats",

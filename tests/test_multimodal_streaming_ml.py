@@ -523,3 +523,83 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # fresh windows from run 1's file were eventually emitted
     fresh_ws = (base + dt.timedelta(hours=2)).strftime("%Y-%m-%d %H:%M:%S")
     assert fresh_ws in emitted, emitted
+
+
+def test_ppm_decode_roundtrip_exact():
+    """A 224x224 gradient PPM decodes to the original pixels exactly
+    (header parse + raw-RGB reshape; resize is the identity mapping at
+    the native size)."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _ppm_decode,
+        ppm_encode,
+    )
+
+    y, x = np.mgrid[0:224, 0:224]
+    arr = np.stack([(y * 31 + x * 17 + c * 7) % 256 for c in range(3)], axis=2)
+    out = _ppm_decode(ppm_encode(arr))
+    assert out.shape == (224, 224, 3)
+    assert np.array_equal(out, arr.astype(np.float32))
+
+
+def test_ppm_decode_pads_nonsquare_on_white():
+    """A 2x6 constant image centers on a white square canvas before the
+    resize: decoded pixels are only {v, 255}, with white at the top/
+    bottom bands and the constant in the middle rows."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _ppm_decode,
+        ppm_encode,
+    )
+
+    v = 40
+    arr = np.full((2, 6, 3), v, dtype=np.uint8)  # h=2, w=6 → pad top/bottom
+    out = _ppm_decode(ppm_encode(arr))
+    assert set(np.unique(out)) == {float(v), 255.0}
+    assert out[0, 0, 0] == 255.0 and out[-1, -1, -1] == 255.0  # corners white
+    assert out[112, 112, 0] == float(v)  # center row is image content
+
+
+def test_ppm_decode_handles_comments_and_value_range():
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import _ppm_decode
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = b"P6\n# a comment\n4 4\n255\n" + arr.tobytes()
+    out = _ppm_decode(payload, size=(4, 4))
+    assert np.array_equal(out, arr.astype(np.float32))
+
+
+def test_ppm_spark_pipeline_matches_local_decode(spark):
+    """extract_features(decode='ppm') through Arrow equals the local
+    decode+grid computation bit-for-bit, including a non-square image."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _pixel_grid_features,
+        _ppm_decode,
+        extract_features,
+        ppm_encode,
+    )
+
+    rng_imgs = []
+    for i, (h, w) in enumerate([(8, 8), (5, 9), (16, 12)]):
+        y, x = np.mgrid[0:h, 0:w]
+        rng_imgs.append(((y * 13 + x * 29 + i * 3) % 256).astype(np.uint8))
+    payloads = [
+        ppm_encode(np.stack([g, g, g], axis=2)) for g in rng_imgs
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, content binary",
+    )
+    rows = {
+        r["media_id"]: list(r["features"])
+        for r in extract_features(df, decode="ppm").collect()
+    }
+    for i, p in enumerate(payloads):
+        expect = _pixel_grid_features(_ppm_decode(p)).tolist()
+        assert rows[i] == expect, f"image {i} mismatch"
