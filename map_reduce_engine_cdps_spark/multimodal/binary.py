@@ -346,6 +346,121 @@ def media_features(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL convolutional inference in pure numpy (T48 upgraded as far as the
+# container physically allows; reference tasks/plants_classifier.py:99-113
+# runs a pretrained ConvNeXtTiny). The missing piece in this environment
+# is an ML *runtime + pretrained weights*, not inference machinery — so
+# the machinery is real: a seeded-deterministic small CNN (two 3x3
+# stride-2 valid convolutions with ReLU, global average pooling, L2
+# normalization) executed via im2col matmuls per Arrow batch with the
+# per-executor weight singleton. Swapping in trained weights changes
+# only _get_cnn(); the forward pass, batching, and distribution are the
+# production shape. Float64 end-to-end for cross-engine determinism.
+# ---------------------------------------------------------------------------
+
+_CNN_SINGLETON: dict = {}
+_CNN_CHANNELS = (8, FEATURE_DIM)  # conv1 out, conv2 out (== feature dim)
+
+
+def _get_cnn() -> dict:
+    """Per-executor lazy CNN weight init (He-style scaling, seeded rng —
+    deterministic across executors/engines). A real deployment loads
+    trained weights from shared storage here, once per python worker."""
+    if "w" not in _CNN_SINGLETON:
+        rng = np.random.default_rng(0xC0FFEE)
+        c1, c2 = _CNN_CHANNELS
+        w1 = rng.standard_normal((c1, 3, 3, 3)) * np.sqrt(2.0 / (3 * 9))
+        b1 = rng.standard_normal(c1) * 0.01
+        w2 = rng.standard_normal((c2, c1, 3, 3)) * np.sqrt(2.0 / (c1 * 9))
+        b2 = rng.standard_normal(c2) * 0.01
+        _CNN_SINGLETON["w"] = {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
+    return _CNN_SINGLETON["w"]
+
+
+def _conv2d_s2_valid(x: np.ndarray, w: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """3x3 stride-2 VALID convolution via im2col: x (H, W, Cin) float64,
+    w (Cout, Cin, 3, 3), b (Cout,) → (H', W', Cout). Correctness vs a
+    naive nested-loop conv is pinned by unit tests."""
+    h, w_in, cin = x.shape
+    oh, ow = (h - 3) // 2 + 1, (w_in - 3) // 2 + 1
+    cols = np.empty((oh * ow, cin * 9), dtype=np.float64)
+    idx = 0
+    for dy in range(3):
+        for dx in range(3):
+            patch = x[dy : dy + 2 * oh : 2, dx : dx + 2 * ow : 2, :]
+            cols[:, idx * cin : (idx + 1) * cin] = patch.reshape(oh * ow, cin)
+            idx += 1
+    wm = w.transpose(2, 3, 1, 0).reshape(cin * 9, -1)  # (dy,dx,cin) x cout
+    out = cols @ wm + b
+    return out.reshape(oh, ow, -1)
+
+
+def _cnn_forward(arr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) pixels in [0, 255] → L2-normalized FEATURE_DIM float64
+    embedding. Real convolutional forward pass (no stubs)."""
+    p = _get_cnn()
+    x = arr.astype(np.float64) / 255.0
+    x = np.maximum(_conv2d_s2_valid(x, p["w1"], p["b1"]), 0.0)
+    x = np.maximum(_conv2d_s2_valid(x, p["w2"], p["b2"]), 0.0)
+    v = x.mean(axis=(0, 1))
+    n = np.sqrt(np.sum(v * v))
+    return v / n if n > 0 else v
+
+
+CNN_INPUT_SIDE = 16  # decode-resize target for the CNN registry query
+
+
+def cnn_embeddings(df: DataFrame, input_side: int = CNN_INPUT_SIDE) -> DataFrame:
+    """content (binary PPM) → real CNN embedding via Arrow mapInPandas
+    with the per-executor weight singleton. Same boundary discipline as
+    extract_features: only (media_id, content) cross into Python."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = (input_side, input_side)
+        for pdf in it:
+            feats = [
+                _cnn_forward(_ppm_decode(bytes(b), size=size)).astype(np.float32)
+                if b is not None
+                else None
+                for b in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [
+                        len(bytes(b)) if b is not None else 0 for b in pdf["content"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def _const_ppm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic constant-color SQUARE binary PPM payload per
+    document, built with pure JVM expressions: side 8..16 px
+    (doc_id % 9 + 8), pixel value 0..96 (doc_id * 37 % 97 — ASCII-safe
+    so the ISO-8859-1 encode is the identity byte map)."""
+    side = (F.col("doc_id") % 9 + 8).cast("int")
+    header = F.concat(
+        F.lit("P6\n"),
+        side.cast("string"),
+        F.lit(" "),
+        side.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pixels = F.expr(
+        "repeat(char(cast(doc_id * 37 % 97 as int)), "
+        "cast((doc_id % 9 + 8) * (doc_id % 9 + 8) * 3 as int))"
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(header, pixels), "ISO-8859-1").alias("content"),
+    )
+
+
 def ppm_image_features(spark, sf_dir: str) -> DataFrame:
     """Registry entry: the REAL (non-stubbed) image-decode path,
     executable and oracle-checked in this container. JVM-side, each
@@ -364,24 +479,7 @@ def ppm_image_features(spark, sf_dir: str) -> DataFrame:
     from map_reduce_engine_cdps_spark.sources.readers import load_parallel
 
     docs = load_parallel(spark, sf_dir, "documents").select("doc_id")
-    side = (F.col("doc_id") % 9 + 8).cast("int")
-    val = (F.col("doc_id") * 37 % 97).cast("int")
-    header = F.concat(
-        F.lit("P6\n"),
-        side.cast("string"),
-        F.lit(" "),
-        side.cast("string"),
-        F.lit("\n255\n"),
-    )
-    pixels = F.expr(
-        "repeat(char(cast(doc_id * 37 % 97 as int)), "
-        "cast((doc_id % 9 + 8) * (doc_id % 9 + 8) * 3 as int))"
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.concat(header, pixels), "ISO-8859-1").alias("content"),
-    )
-    feats = extract_features(media, decode="ppm")
+    feats = extract_features(_const_ppm_media(docs), decode="ppm")
     return feats.select(
         "media_id",
         "n_bytes",
@@ -395,6 +493,61 @@ def ppm_image_features(spark, sf_dir: str) -> DataFrame:
             4,
         ).alias("feat_sum"),
     )
+
+
+def ppm_cnn_embeddings(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: REAL convolutional inference, value-certified.
+    Same deterministic constant-color PPM payloads as
+    ppm_image_features; the Python side performs a genuine decode +
+    two-layer CNN forward pass (im2col convolutions, ReLU, global
+    average pool, L2 normalize) with the per-executor weight singleton.
+
+    Certification split: the ORACLE pins the distributed pipeline —
+    decode, Arrow batching, singleton weights, fold order — by joining
+    against the 97 possible constant inputs' precomputed forwards
+    (identical inputs ⇒ bit-identical doubles, so feat_sum matches
+    EXACTLY with no rounding anywhere); the conv MATH itself is pinned
+    by unit tests against a naive nested-loop convolution."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id")
+    media = _const_ppm_media(docs)
+    feats = cnn_embeddings(media)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("dim"),
+        F.aggregate(
+            F.transform(F.col("features"), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("feat_sum"),
+    )
+
+
+def _ppm_cnn_sql() -> str:
+    """Build the oracle: for each of the 97 possible pixel values, run
+    the SAME forward pass the executors run on the decoded constant
+    image, sum the float32 features in float64 fold order, and embed
+    the exact double (repr round-trips bit-for-bit)."""
+    rows = []
+    for v in range(97):
+        arr = np.full((CNN_INPUT_SIDE, CNN_INPUT_SIDE, 3), float(v))
+        f32 = _cnn_forward(arr).astype(np.float32)
+        s = 0.0
+        for x in f32:
+            s += float(x)
+        rows.append(f"({v}, CAST('{s!r}' AS DOUBLE))")
+    values = ",\n         ".join(rows)
+    return f"""
+WITH vals(v, fs) AS (
+  VALUES {values}
+)
+SELECT d.doc_id AS media_id, 16 AS dim, vals.fs AS feat_sum
+FROM documents d JOIN vals ON vals.v = d.doc_id * 37 % 97
+"""
+
+
+PPM_CNN_EMBEDDINGS_SQL = _ppm_cnn_sql()
 
 
 # The oracle reconstructs the whole pipeline arithmetically: payload

@@ -447,6 +447,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # REAL dependency-free image decode (binary PPM) — T5 executable
     # in-container, not just env-gated plumbing
     "ppm_image_features": (binary.ppm_image_features, binary.PPM_IMAGE_FEATURES_SQL),
+    # REAL numpy CNN forward pass (im2col convs + pool + L2), value-certified
+    "ppm_cnn_embeddings": (binary.ppm_cnn_embeddings, binary.PPM_CNN_EMBEDDINGS_SQL),
     "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
     # --- video frame sampling: one-to-many mapInPandas fan-out with
     # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
@@ -890,6 +892,7 @@ _PRIORITY_ORDER = [
     "doc_embeddings",
     "media_features",
     "ppm_image_features",
+    "ppm_cnn_embeddings",
     "image_dhash_dedup",
     "audio_window_features",
     "variant_props_stats",

@@ -603,3 +603,76 @@ def test_ppm_spark_pipeline_matches_local_decode(spark):
     for i, p in enumerate(payloads):
         expect = _pixel_grid_features(_ppm_decode(p)).tolist()
         assert rows[i] == expect, f"image {i} mismatch"
+
+
+def test_conv2d_im2col_matches_naive_loop():
+    """The im2col stride-2 valid convolution must equal a naive
+    quadruple-loop conv on random input — this is the pin that makes
+    the CNN forward pass 'real', not just deterministic."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import _conv2d_s2_valid
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((11, 9, 3))
+    w = rng.standard_normal((4, 3, 3, 3))
+    b = rng.standard_normal(4)
+    got = _conv2d_s2_valid(x, w, b)
+    oh, ow = (11 - 3) // 2 + 1, (9 - 3) // 2 + 1
+    assert got.shape == (oh, ow, 4)
+    for oy in range(oh):
+        for ox in range(ow):
+            for co in range(4):
+                acc = b[co]
+                for dy in range(3):
+                    for dx in range(3):
+                        for ci in range(3):
+                            acc += x[oy * 2 + dy, ox * 2 + dx, ci] * w[co, ci, dy, dx]
+                assert abs(got[oy, ox, co] - acc) < 1e-9
+
+
+def test_cnn_forward_unit_norm_and_determinism():
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        FEATURE_DIM,
+        _cnn_forward,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(16, 16, 3)).astype(np.float64)
+    f1, f2 = _cnn_forward(arr), _cnn_forward(arr.copy())
+    assert f1.shape == (FEATURE_DIM,)
+    assert np.array_equal(f1, f2)
+    assert abs(np.sqrt(np.sum(f1 * f1)) - 1.0) < 1e-12
+
+
+def test_cnn_spark_pipeline_matches_local_forward(spark):
+    """cnn_embeddings through Arrow equals the local decode+forward
+    bit-for-bit (weight singleton, batching, float32 cast included)."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        CNN_INPUT_SIDE,
+        _cnn_forward,
+        _ppm_decode,
+        cnn_embeddings,
+        ppm_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    payloads = [
+        ppm_encode(rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+        for h, w in [(16, 16), (9, 13), (24, 24)]
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id long, content binary",
+    )
+    rows = {
+        r["media_id"]: list(r["features"]) for r in cnn_embeddings(df).collect()
+    }
+    size = (CNN_INPUT_SIDE, CNN_INPUT_SIDE)
+    for i, p in enumerate(payloads):
+        expect = _cnn_forward(_ppm_decode(p, size=size)).astype(np.float32).tolist()
+        assert rows[i] == expect, f"image {i} mismatch"
