@@ -96,18 +96,13 @@ def ppm_encode(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
-def _ppm_decode(payload: bytes, size: tuple = (224, 224)) -> np.ndarray:
-    """REAL image decode with zero codec dependencies: binary PPM (P6)
-    is raw RGB behind a text header, so this branch executes in
-    containers without Pillow — upgrading the decode step from
-    env-gated to in-container-testable for uncompressed payloads.
-    Same canvas rule as :func:`_pillow_decode` (centered pad-to-square
-    on white); the resize policy is nearest-neighbor (deterministic and
-    library-free — LANCZOS belongs to the Pillow branch). Returns
-    float32 (H, W, 3)."""
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a binary PPM (P6) payload")
-    pos, vals = 2, []
+def _ppm_header(payload: bytes, pos: int) -> tuple:
+    """Parse one P6 header starting at ``pos`` (magic, width, height,
+    maxval, with whitespace/comment handling) → (w, h, data_start)."""
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError(f"not a binary PPM (P6) header at offset {pos}")
+    pos += 2
+    vals = []
     while len(vals) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -123,6 +118,34 @@ def _ppm_decode(payload: bytes, size: tuple = (224, 224)) -> np.ndarray:
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    return w, h, pos
+
+
+def _ppm_split(payload: bytes) -> list:
+    """REAL container parse: a 'video' payload is a sequence of
+    back-to-back P6 frames (each with its own header, sizes may vary);
+    walk the headers to slice the per-frame extents."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        w, h, data_start = _ppm_header(payload, pos)
+        end = data_start + w * h * 3
+        if end > len(payload):
+            raise ValueError(f"truncated PPM frame at offset {pos}")
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def _ppm_decode(payload: bytes, size: tuple = (224, 224)) -> np.ndarray:
+    """REAL image decode with zero codec dependencies: binary PPM (P6)
+    is raw RGB behind a text header, so this branch executes in
+    containers without Pillow — upgrading the decode step from
+    env-gated to in-container-testable for uncompressed payloads.
+    Same canvas rule as :func:`_pillow_decode` (centered pad-to-square
+    on white); the resize policy is nearest-neighbor (deterministic and
+    library-free — LANCZOS belongs to the Pillow branch). Returns
+    float32 (H, W, 3)."""
+    w, h, pos = _ppm_header(payload, 0)
     arr = (
         np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         .reshape(h, w, 3)
@@ -591,15 +614,18 @@ def sample_frames(
     frame-sample step needs; reference analogue: the per-image loop of
     tasks/plants_classifier.py:141-163 generalized to frame sequences).
 
-    The frame *decode* is stubbed like extract_features: a "frame" is a
-    FRAME_BYTES slice of the payload at stride every_n, featurized with
-    the deterministic fake embedder; ``decode="real"`` marks the ffmpeg
+    Frame treatment per ``decode``: ``"fake"`` slices FRAME_BYTES
+    chunks at stride every_n and featurizes with the deterministic
+    fake embedder; ``"ppm"`` is a REAL container parse + decode — the
+    payload is a sequence of back-to-back P6 frames (own headers,
+    sizes may vary), split by header walk, each sampled frame decoded
+    for real and grid-featurized; ``"real"`` marks the ffmpeg
     seek+decode point. The Spark plumbing — pruned (media_id, content)
     crossing the Arrow boundary, per-batch fan-out, typed frame schema —
-    is the real, tested part. Output size is bounded by max_frames per
-    media row, so the fan-out ratio (and downstream shuffle) is capped.
+    is shared. Output size is bounded by max_frames per media row, so
+    the fan-out ratio (and downstream shuffle) is capped.
     """
-    if decode not in ("fake", "real"):
+    if decode not in ("fake", "ppm", "real"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -615,6 +641,19 @@ def sample_frames(
                 if payload is None:
                     continue
                 data = bytes(payload)
+                if decode == "ppm":
+                    frames = _ppm_split(data)
+                    taken = 0
+                    for f in range(0, len(frames), every_n):
+                        if taken >= max_frames:
+                            break
+                        out_ids.append(mid)
+                        out_idx.append(f)
+                        out_feats.append(
+                            _pixel_grid_features(_ppm_decode(frames[f]))
+                        )
+                        taken += 1
+                    continue
                 n_frames = max(len(data) // FRAME_BYTES, 1)
                 taken = 0
                 for f in range(0, n_frames, every_n):
@@ -634,6 +673,64 @@ def sample_frames(
             )
 
     return df.select("media_id", "content").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def ppm_video_frame_samples(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: REAL video-container parse + frame decode,
+    value-certified. Each document derives a payload of 1..5
+    back-to-back constant-color P6 frames (frame f's pixel value is
+    (doc_id*37 + f*11) % 97, side 8); the Python side walks the frame
+    headers for real, samples every 2nd frame up to 4, decodes and
+    grid-featurizes each. The oracle reconstructs the sampled
+    (frame_idx, feat_sum) set arithmetically — same certification
+    split as ppm_image_features (variable-size/gradient frame parsing
+    is pinned by unit tests)."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id")
+    n_frames = F.col("doc_id") % 5 + 1
+    parts = []
+    for f in range(5):
+        frame = F.concat(
+            F.lit("P6\n8 8\n255\n"),
+            F.expr(
+                f"repeat(char(cast((doc_id * 37 + {f} * 11) % 97 as int)), 192)"
+            ),
+        )
+        parts.append(F.when(F.lit(f) < n_frames, frame).otherwise(F.lit("")))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(*parts), "ISO-8859-1").alias("content"),
+    )
+    frames = sample_frames(media, every_n=2, max_frames=4, decode="ppm")
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.round(
+            F.aggregate(
+                F.transform(F.col("frame_features"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            4,
+        ).alias("feat_sum"),
+    )
+
+
+PPM_VIDEO_FRAME_SAMPLES_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 5 + 1 AS nf FROM documents
+), f AS (
+  SELECT media_id, nf, unnest(range(0, 5)) AS frame_idx FROM p
+)
+SELECT media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(CAST(16 AS DOUBLE)
+             * CAST(CAST((media_id * 37 + frame_idx * 11) % 97 AS DOUBLE)
+                    / CAST(255.0 AS DOUBLE) AS FLOAT), 4) AS feat_sum
+FROM f
+WHERE frame_idx < nf AND frame_idx % 2 = 0
+"""
 
 
 def video_frame_samples(spark, sf_dir: str) -> DataFrame:

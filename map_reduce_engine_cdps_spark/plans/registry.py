@@ -449,6 +449,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ppm_image_features": (binary.ppm_image_features, binary.PPM_IMAGE_FEATURES_SQL),
     # REAL numpy CNN forward pass (im2col convs + pool + L2), value-certified
     "ppm_cnn_embeddings": (binary.ppm_cnn_embeddings, binary.PPM_CNN_EMBEDDINGS_SQL),
+    # REAL multi-frame container parse (back-to-back P6 frames), value-certified
+    "ppm_video_frame_samples": (binary.ppm_video_frame_samples, binary.PPM_VIDEO_FRAME_SAMPLES_SQL),
     "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
     # --- video frame sampling: one-to-many mapInPandas fan-out with
     # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
@@ -893,6 +895,7 @@ _PRIORITY_ORDER = [
     "media_features",
     "ppm_image_features",
     "ppm_cnn_embeddings",
+    "ppm_video_frame_samples",
     "image_dhash_dedup",
     "audio_window_features",
     "variant_props_stats",

@@ -676,3 +676,38 @@ def test_cnn_spark_pipeline_matches_local_forward(spark):
     for i, p in enumerate(payloads):
         expect = _cnn_forward(_ppm_decode(p, size=size)).astype(np.float32).tolist()
         assert rows[i] == expect, f"image {i} mismatch"
+
+
+def test_ppm_split_varied_frame_sizes_and_sampling(spark):
+    """The container parse must walk real headers (frames of DIFFERENT
+    sizes), and decode='ppm' sampling must take every_n-th frame up to
+    max_frames with bit-parity to the local decode."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _pixel_grid_features,
+        _ppm_decode,
+        _ppm_split,
+        ppm_encode,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        ppm_encode(rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+        for h, w in [(8, 8), (4, 6), (10, 10), (6, 4), (8, 12), (5, 5)]
+    ]
+    payload = b"".join(frames)
+    assert _ppm_split(payload) == frames  # exact per-frame extents
+
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, content binary"
+    )
+    rows = sorted(
+        (r["frame_idx"], list(r["frame_features"]))
+        for r in sample_frames(df, every_n=2, max_frames=4, decode="ppm").collect()
+    )
+    assert [i for i, _ in rows] == [0, 2, 4]  # every 2nd of 6 frames
+    for idx, feats in rows:
+        expect = _pixel_grid_features(_ppm_decode(frames[idx])).tolist()
+        assert feats == expect
