@@ -770,6 +770,35 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def _wav_decode(payload: bytes) -> np.ndarray:
+    """REAL dependency-free audio decode: canonical RIFF/WAVE container
+    with 16-bit PCM. Walks the chunk list (fmt / data, skipping
+    others), validates PCM-16, and returns float64 samples in [-1, 1).
+    Compressed codecs (mp3/ogg/aac) stay env-gated on ffmpeg; WAV-PCM,
+    like PPM, is raw samples behind a header."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM-16 WAV supported (format={audio_format}, bits={bits})"
+                )
+            fmt_ok = True
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+
+
 def window_audio(
     df: DataFrame, window_samples: int = AUDIO_WINDOW_SAMPLES,
     max_windows: int = 8, decode: str = "fake"
@@ -777,13 +806,16 @@ def window_audio(
     """Audio windowing: one media row → ≤max_windows windows of
     window_samples samples each, with per-window RMS and peak.
 
-    The *decode* is stubbed: ``fake`` interprets the payload bytes as
-    int8 PCM (deterministic, no audio libs needed); ``decode="real"``
-    marks the soundfile/ffmpeg resample point. The Spark plumbing —
-    pruned (media_id, content) over Arrow, bounded one-to-many fan-out,
-    typed window schema — is real and tested, mirroring sample_frames.
+    ``decode`` picks the payload treatment: ``fake`` interprets the
+    raw bytes as int8 PCM (deterministic, no audio libs needed);
+    ``wav`` is a REAL RIFF/WAVE container parse + PCM-16 decode,
+    dependency-free and oracle-checked in-container; ``real`` marks
+    the soundfile/ffmpeg point for compressed codecs. The Spark
+    plumbing — pruned (media_id, content) over Arrow, bounded
+    one-to-many fan-out, typed window schema — is shared, mirroring
+    sample_frames.
     """
-    if decode not in ("fake", "real"):
+    if decode not in ("fake", "wav", "real"):
         raise ValueError(f"unknown decode mode: {decode}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -798,9 +830,12 @@ def window_audio(
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 if payload is None:
                     continue
-                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(
-                    np.float64
-                ) / 128.0
+                if decode == "wav":
+                    pcm = _wav_decode(bytes(payload))
+                else:
+                    pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(
+                        np.float64
+                    ) / 128.0
                 n_win = max((len(pcm) + window_samples - 1) // window_samples, 1)
                 for w in range(min(n_win, max_windows)):
                     chunk = pcm[w * window_samples : (w + 1) * window_samples]
@@ -838,6 +873,92 @@ def audio_window_features(spark, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 6).alias("avg_rms"),
         F.round(F.max("peak"), 6).alias("max_peak"),
     )
+
+
+def _le_chars_sql(val_sql: str, nbytes: int) -> str:
+    """SQL string expr producing the ``nbytes`` little-endian bytes of a
+    nonnegative int expression as ISO-8859-1 chars (char(n) maps
+    codepoint n → byte n under the ISO-8859-1 encode)."""
+    parts = [
+        f"char(cast(({val_sql}) div {256 ** i} % 256 as int))"
+        for i in range(nbytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def wav_audio_windows(spark, sf_dir: str) -> DataFrame:
+    """Registry entry: REAL audio-container decode, value-certified.
+    JVM expressions build a canonical 44-byte RIFF/WAVE PCM-16 header
+    plus N constant samples per document (N = doc_id%150+50, sample
+    value v = (doc_id*13)%2048-1024 stored two's-complement
+    little-endian); the Python side parses the container for real and
+    windows the decoded samples. Constant samples make RMS/peak exact
+    (|v|/32768 — a power-of-two division, bit-exact in both engines);
+    chunk-walk robustness (extra chunks, word alignment, gradient
+    samples) is pinned by unit tests."""
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id")
+    n = "doc_id % 150 + 50"  # samples
+    # v = (doc_id*13)%2048 - 1024 ∈ [-1024, 1023]; two's-complement
+    # 16-bit representation u = pmod(v, 65536)
+    u = "pmod((doc_id * 13) % 2048 - 1024, 65536)"
+    sample = f"concat(char(cast(({u}) % 256 as int)), char(cast(({u}) div 256 as int)))"
+    header = (
+        "concat('RIFF', "
+        + _le_chars_sql(f"36 + ({n}) * 2", 4)
+        + ", 'WAVE', 'fmt ', "
+        + _le_chars_sql("16", 4)
+        + ", "
+        + _le_chars_sql("1", 2)      # PCM
+        + ", "
+        + _le_chars_sql("1", 2)      # mono
+        + ", "
+        + _le_chars_sql("16000", 4)  # sample rate
+        + ", "
+        + _le_chars_sql("32000", 4)  # byte rate
+        + ", "
+        + _le_chars_sql("2", 2)      # block align
+        + ", "
+        + _le_chars_sql("16", 2)     # bits
+        + ", 'data', "
+        + _le_chars_sql(f"({n}) * 2", 4)
+        + ")"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.expr(f"concat({header}, repeat({sample}, cast({n} as int)))"),
+            "ISO-8859-1",
+        ).alias("content"),
+    )
+    wins = window_audio(media, decode="wav")
+    return wins.select(
+        "media_id",
+        "window_idx",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+WAV_AUDIO_WINDOWS_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         doc_id % 150 + 50 AS n,
+         (doc_id * 13) % 2048 - 1024 AS v
+  FROM documents
+), w AS (
+  SELECT media_id, n, v, unnest(range(0, 4)) AS window_idx FROM p
+)
+SELECT media_id,
+       CAST(window_idx AS INTEGER) AS window_idx,
+       CAST(least(64, n - window_idx * 64) AS INTEGER) AS n_samples,
+       round(abs(v) / CAST(32768 AS DOUBLE), 6) AS rms,
+       round(abs(v) / CAST(32768 AS DOUBLE), 6) AS peak
+FROM w
+WHERE window_idx * 64 < n
+"""
 
 
 # ---------------------------------------------------------------------------

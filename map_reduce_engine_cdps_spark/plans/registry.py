@@ -451,6 +451,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ppm_cnn_embeddings": (binary.ppm_cnn_embeddings, binary.PPM_CNN_EMBEDDINGS_SQL),
     # REAL multi-frame container parse (back-to-back P6 frames), value-certified
     "ppm_video_frame_samples": (binary.ppm_video_frame_samples, binary.PPM_VIDEO_FRAME_SAMPLES_SQL),
+    # REAL RIFF/WAVE PCM-16 container decode, value-certified
+    "wav_audio_windows": (binary.wav_audio_windows, binary.WAV_AUDIO_WINDOWS_SQL),
     "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
     # --- video frame sampling: one-to-many mapInPandas fan-out with
     # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
@@ -896,6 +898,7 @@ _PRIORITY_ORDER = [
     "ppm_image_features",
     "ppm_cnn_embeddings",
     "ppm_video_frame_samples",
+    "wav_audio_windows",
     "image_dhash_dedup",
     "audio_window_features",
     "variant_props_stats",

@@ -711,3 +711,65 @@ def test_ppm_split_varied_frame_sizes_and_sampling(spark):
     for idx, feats in rows:
         expect = _pixel_grid_features(_ppm_decode(frames[idx])).tolist()
         assert feats == expect
+
+
+def test_wav_decode_roundtrip_and_chunk_walk():
+    """RIFF/WAVE parse must recover random PCM-16 samples exactly,
+    skip unknown chunks, and honor word alignment for odd-size chunks."""
+    import struct
+
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import _wav_decode
+
+    rng = np.random.default_rng(9)
+    samples = rng.integers(-32768, 32768, size=137, dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    # odd-sized unknown chunk before fmt: parser must pad to word bound
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body = junk + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out = _wav_decode(payload)
+    assert np.array_equal(out, samples.astype(np.float64) / 32768.0)
+
+
+def test_wav_spark_windows_match_local(spark):
+    import struct
+
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _wav_decode,
+        window_audio,
+    )
+
+    rng = np.random.default_rng(21)
+    samples = rng.integers(-32768, 32768, size=200, dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    rows = sorted(
+        (r["window_idx"], r["n_samples"], r["rms"], r["peak"])
+        for r in window_audio(df, decode="wav").collect()
+    )
+    pcm = _wav_decode(payload)
+    assert [r[0] for r in rows] == [0, 1, 2, 3] and [r[1] for r in rows] == [64, 64, 64, 8]
+    for idx, ns, rms, peak in rows:
+        chunk = pcm[idx * 64 : idx * 64 + ns]
+        assert rms == float(np.sqrt(np.mean(chunk * chunk)))
+        assert peak == float(np.max(np.abs(chunk)))
