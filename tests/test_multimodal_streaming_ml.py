@@ -709,7 +709,9 @@ def test_ppm_split_varied_frame_sizes_and_sampling(spark):
     )
     assert [i for i, _ in rows] == [0, 2, 4]  # every 2nd of 6 frames
     for idx, feats in rows:
-        expect = _pixel_grid_features(_ppm_decode(frames[idx])).tolist()
+        expect = _pixel_grid_features(
+            _ppm_decode(frames[idx], size=None)
+        ).tolist()
         assert feats == expect
 
 
