@@ -317,6 +317,44 @@ GROUP BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# pipe_syntax_flag_counts — Spark 4 SQL PIPE syntax (`|>` operators, the
+# SQL:2023-era linear query style): FROM … |> WHERE … |> AGGREGATE …
+# |> ORDER BY compiles to the identical Catalyst plan as the nested
+# formulation, so the surface is free at any scale; the oracle is the
+# classic formulation, proving the two notations agree. Aggregates are
+# chosen order-invariant (count + sum of integer-valued quantities) so
+# the comparison is exact.
+# ---------------------------------------------------------------------------
+
+
+def pipe_syntax_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE count(*) AS n_items,
+                     sum(l_quantity) AS sum_qty,
+                     round(min(l_extendedprice), 2) AS min_price
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 0
+        """
+    )
+
+
+PIPE_SYNTAX_FLAG_COUNTS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       sum(l_quantity) AS sum_qty,
+       round(min(l_extendedprice), 2) AS min_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # locf_event_values — last-observation-carried-forward: only purchase
 # events carry a meaningful reading; every event row gets the latest
 # purchase value at-or-before it for its user, via

@@ -593,6 +593,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.sql_variable_pricey_parts,
         analytics.SQL_VARIABLE_PRICEY_PARTS_SQL,
     ),
+    # Spark 4 SQL pipe syntax (|> operators) vs classic formulation
+    "pipe_syntax_flag_counts": (analytics.pipe_syntax_flag_counts, analytics.PIPE_SYNTAX_FLAG_COUNTS_SQL),
     "locf_event_values": (
         analytics.locf_event_values,
         analytics.LOCF_EVENT_VALUES_SQL,
@@ -899,6 +901,7 @@ _PRIORITY_ORDER = [
     "ppm_cnn_embeddings",
     "ppm_video_frame_samples",
     "wav_audio_windows",
+    "pipe_syntax_flag_counts",
     "image_dhash_dedup",
     "audio_window_features",
     "variant_props_stats",
