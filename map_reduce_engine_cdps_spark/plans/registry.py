@@ -873,15 +873,22 @@ _PRIORITY_ORDER = [
     "window_ranks",
     "click_asof_purchase",
     "click_asof_cogroup",
-    # streaming twins (promoted round 4; same oracles as batch)
+    # streaming twins (promoted round 4; same oracles as batch — two
+    # certified here, the remaining four rotate in round 5)
     "streaming_window_counts",
     "streaming_sliding_distinct",
+    # round-4 NEW multimodal/real-decode queries — certified the round
+    # they were built
+    "ppm_image_features",
+    "ppm_cnn_embeddings",
+    "ppm_video_frame_samples",
+    "wav_audio_windows",
+    # ---- entry 51+: round-5 rotation candidates (oracle-backed, not yet
+    # driver-certified) ----
     "streaming_user_sessions",
     "streaming_dedup_events",
     "streaming_segment_counts",
     "streaming_click_purchase_join",
-    # ---- entry 51+: round-5 rotation candidates (oracle-backed, not yet
-    # driver-certified) ----
     "click_purchase_within_1h",
     "customer_upsert",
     "order_status_runs",
@@ -897,10 +904,6 @@ _PRIORITY_ORDER = [
     "arrow_label_centroids",
     "doc_embeddings",
     "media_features",
-    "ppm_image_features",
-    "ppm_cnn_embeddings",
-    "ppm_video_frame_samples",
-    "wav_audio_windows",
     "pipe_syntax_flag_counts",
     "image_dhash_dedup",
     "audio_window_features",
