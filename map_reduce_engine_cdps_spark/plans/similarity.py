@@ -392,6 +392,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("c_sim"),
         )
+        # NB: a min_by hash-aggregate argmin was tried for the n=1 case
+        # and reverted — isolated it beats the sort window 5x, but in
+        # the full query the WindowGroupLimit partial prune composes
+        # better with the downstream list_id join (whole-query sf1:
+        # 1.9 s window vs 2.5-3.0 s min_by). semdedup_prune, whose
+        # assignment feeds a plain equi-join, DOES use min_by.
         w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
         return (
             scored.withColumn("rn", F.row_number().over(w))
@@ -1124,11 +1130,22 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c_sim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cluster_id"))
+    # same hash-aggregate argmin as ivf_ann_topk's assignment (min_by
+    # on the (-sim, cluster_id) tie-broken key) — no corpus × K sort.
     assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", "cluster_id")
+        scored.groupBy("vec_id")
+        .agg(
+            F.expr(
+                "min_by(struct(embedding, nrm, cluster_id), "
+                "struct(-c_sim, cluster_id))"
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.embedding").alias("embedding"),
+            F.col("_b.nrm").alias("nrm"),
+            F.col("_b.cluster_id").alias("cluster_id"),
+        )
     )
     a, b = assign.alias("a"), assign.alias("b")
     # pair cosine is projected (not a join-condition residual) so the
