@@ -775,3 +775,69 @@ def test_wav_spark_windows_match_local(spark):
         chunk = pcm[idx * 64 : idx * 64 + ns]
         assert rms == float(np.sqrt(np.mean(chunk * chunk)))
         assert peak == float(np.max(np.abs(chunk)))
+
+
+def test_ppm_roundtrip_property():
+    """Hypothesis: encode→decode is the identity for ANY image shape
+    and pixel content (native-resolution mode)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _ppm_decode,
+        ppm_encode,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        out = _ppm_decode(ppm_encode(arr), size=None)
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, arr.astype(np.float32))
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: WAV encode→decode recovers ANY int16 sample vector
+    exactly, with arbitrary unknown chunks interleaved."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import _wav_decode
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(1, 500),
+        seed=st.integers(0, 2**31 - 1),
+        junk_len=st.integers(0, 9),
+    )
+    def check(n, seed, junk_len):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        junk = (
+            b"LIST" + struct.pack("<I", junk_len)
+            + bytes(junk_len) + (b"\x00" if junk_len % 2 else b"")
+        )
+        body = (
+            b"fmt " + struct.pack("<I", 16) + fmt
+            + junk
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        out = _wav_decode(payload)
+        assert np.array_equal(out, samples.astype(np.float64) / 32768.0)
+
+    check()
