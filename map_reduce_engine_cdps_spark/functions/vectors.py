@@ -40,6 +40,30 @@ def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / (na * nb)
 
 
+def _stack_fixed_dim(s: pd.Series, mask: np.ndarray) -> np.ndarray:
+    """vstack the masked-in rows of an array column, with a clear error
+    for ragged inputs. The JVM twins treat a NULL array as NULL output
+    (handled by the caller's mask); a RAGGED batch has no JVM-identical
+    vectorized answer, so it is a precondition violation, not data."""
+    vals = s[mask].to_numpy()
+    try:
+        return np.vstack(vals).astype(np.float64)
+    except ValueError as exc:
+        dims = {len(v) for v in vals}
+        raise ValueError(
+            "Arrow vector kernels require fixed-dimension embeddings; "
+            f"batch contains dims {sorted(dims)} — use the interpreted "
+            "fold (vectors.dot/norm/lsh_bucket) for ragged arrays"
+        ) from exc
+
+
+def _with_nulls(out: np.ndarray, mask: np.ndarray) -> pd.Series:
+    """float64 results + validity mask → Arrow-nullable Float64 series,
+    so masked-out rows surface as SQL NULL (matching the JVM folds on
+    NULL input), not NaN."""
+    return pd.Series(pd.array(out, dtype="Float64")).mask(~pd.Series(mask), pd.NA)
+
+
 def dot_arrow() -> "object":
     """Arrow-vectorized twin of :func:`dot` for HIGH-VOLUME pair joins.
 
@@ -48,7 +72,9 @@ def dot_arrow() -> "object":
     to the JVM's), and ``np.cumsum`` accumulates STRICTLY left-to-right
     — the same addition order as ``F.aggregate``'s fold — so the result
     double is bit-identical to :func:`dot` (verified exhaustively over
-    every sf0.1 LSH candidate pair: max abs diff 0.0). Use where the
+    every sf0.1 LSH candidate pair: max abs diff 0.0). NULL arrays on
+    either side yield SQL NULL, matching the JVM fold; ragged batches
+    raise with a pointer at the interpreted twin. Use where the
     interpreted higher-order fold dominates (millions of pairs); the
     ~15 µs/pair interpreter cost drops ~3.4× via Arrow batching. Keep
     rounding JVM-side (F.round) — np.round ties differently.
@@ -61,9 +87,13 @@ def dot_arrow() -> "object":
             # np.vstack raises on an empty sequence; Arrow happily hands
             # a zero-row batch to the UDF when a partition is empty.
             return pd.Series([], dtype="float64")
-        av = np.vstack(a.to_numpy()).astype(np.float64)
-        bv = np.vstack(b.to_numpy()).astype(np.float64)
-        return pd.Series(np.cumsum(av * bv, axis=1)[:, -1])
+        mask = a.notna().to_numpy() & b.notna().to_numpy()
+        out = np.zeros(len(a), dtype=np.float64)
+        if mask.any():
+            av = _stack_fixed_dim(a, mask)
+            bv = _stack_fixed_dim(b, mask)
+            out[mask] = np.cumsum(av * bv, axis=1)[:, -1]
+        return _with_nulls(out, mask)
 
     return _dot
 
@@ -85,8 +115,12 @@ def norm_arrow() -> "object":
     def _norm(a: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="float64")
-        av = np.vstack(a.to_numpy()).astype(np.float64)
-        return pd.Series(np.sqrt(np.cumsum(av * av, axis=1)[:, -1]))
+        mask = a.notna().to_numpy()
+        out = np.zeros(len(a), dtype=np.float64)
+        if mask.any():
+            av = _stack_fixed_dim(a, mask)
+            out[mask] = np.sqrt(np.cumsum(av * av, axis=1)[:, -1])
+        return _with_nulls(out, mask)
 
     return _norm
 
@@ -134,6 +168,13 @@ def lsh_bucket_arrow(n_planes: int = 8) -> "object":
     tests/test_workloads.py::test_lsh_bucket_arrow_bitwise_equals_fold).
     Weights are the same deterministic integers, regenerated per batch:
     w[h][j] = ((h*31 + j*17) % 7) - 3.
+
+    NULL-input divergence (deliberate): the interpreted formulation
+    degenerates to all-'0' bits on a NULL array (size(NULL)→NULL
+    propagates into each when/otherwise), which silently buckets all
+    NULL embeddings together; this twin emits SQL NULL instead. The
+    bit-parity pin covers non-null input, which is all the embeddings
+    table contains.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -141,13 +182,20 @@ def lsh_bucket_arrow(n_planes: int = 8) -> "object":
     def _bucket(a: pd.Series) -> pd.Series:
         if len(a) == 0:
             return pd.Series([], dtype="object")
-        E = np.vstack(a.to_numpy()).astype(np.float64)
-        j = np.arange(E.shape[1])
-        Wm = np.stack(
-            [(((h * 31 + j * 17) % 7) - 3).astype(np.float64) for h in range(n_planes)]
-        )
-        proj = np.cumsum(E[:, None, :] * Wm[None, :, :], axis=2)[:, :, -1]
-        bits = np.where(proj > 0, "1", "0")
-        return pd.Series(["".join(r) for r in bits])
+        mask = a.notna().to_numpy()
+        out = np.full(len(a), None, dtype=object)
+        if mask.any():
+            E = _stack_fixed_dim(a, mask)
+            j = np.arange(E.shape[1])
+            Wm = np.stack(
+                [
+                    (((h * 31 + j * 17) % 7) - 3).astype(np.float64)
+                    for h in range(n_planes)
+                ]
+            )
+            proj = np.cumsum(E[:, None, :] * Wm[None, :, :], axis=2)[:, :, -1]
+            bits = np.where(proj > 0, "1", "0")
+            out[mask] = ["".join(r) for r in bits]
+        return pd.Series(out, dtype="object")
 
     return _bucket

@@ -17,6 +17,7 @@ at the clearly marked point where the Pillow/ffmpeg call would go.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from collections.abc import Iterator
 
@@ -117,6 +118,9 @@ def _ppm_header(payload: bytes, pos: int) -> tuple:
         start = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
+        if start == pos:
+            # int(b"") would raise an opaque "invalid literal" here
+            raise ValueError(f"truncated PPM header at offset {start}")
         vals.append(int(payload[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = vals
@@ -556,6 +560,7 @@ def ppm_cnn_embeddings(spark, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def _ppm_cnn_sql() -> str:
     """Build the oracle: for each of the 97 possible pixel values, run
     the SAME forward pass the executors run on the decoded constant
@@ -579,7 +584,10 @@ FROM documents d JOIN vals ON vals.v = d.doc_id * 37 % 97
 """
 
 
-PPM_CNN_EMBEDDINGS_SQL = _ppm_cnn_sql()
+# Lazily built (97 CNN forward passes) — computed on first ORACLE_SQL()
+# access, NOT at import, so executors importing this module for the UDF
+# code never pay the BLAS warm-up. The registry accepts the callable.
+PPM_CNN_EMBEDDINGS_SQL = _ppm_cnn_sql
 
 
 # The oracle reconstructs the whole pipeline arithmetically: payload
@@ -800,10 +808,18 @@ def _wav_decode(payload: bytes) -> np.ndarray:
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             audio_format = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
             bits = int.from_bytes(body[14:16], "little")
             if audio_format != 1 or bits != 16:
                 raise ValueError(
                     f"only PCM-16 WAV supported (format={audio_format}, bits={bits})"
+                )
+            if n_channels != 1:
+                # A stereo stream decoded as one interleaved array would
+                # silently mix L/R into every window's RMS/peak.
+                raise ValueError(
+                    f"only mono WAV supported, got {n_channels} channels "
+                    "(deinterleave/downmix upstream)"
                 )
             fmt_ok = True
         elif cid == b"data":

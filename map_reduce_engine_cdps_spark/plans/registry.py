@@ -985,7 +985,14 @@ def QUERIES() -> dict[str, QueryFn]:
 
 
 def ORACLE_SQL() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    # A registry value may be a zero-arg callable building the SQL
+    # (e.g. the CNN-fixture oracle, expensive enough to keep off the
+    # import path); resolve it here, at oracle-check time only.
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }
 
 
 def get_query(name: str) -> QueryFn:

@@ -841,3 +841,49 @@ def test_wav_roundtrip_property():
         assert np.array_equal(out, samples.astype(np.float64) / 32768.0)
 
     check()
+
+
+def test_wav_decode_rejects_stereo():
+    """ADVICE r4: a stereo PCM-16 WAV must raise, not silently decode
+    the interleaved L/R stream as mono."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import _wav_decode
+
+    samples = np.arange(64, dtype=np.int16)
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)  # 2 channels
+    body = b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(samples.tobytes())) + samples.tobytes()
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="mono"):
+        _wav_decode(payload)
+
+
+def test_ppm_header_truncation_error_is_clear():
+    """ADVICE r4: a truncated header raises 'truncated PPM header', not
+    an opaque int() ValueError."""
+    import pytest
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import _ppm_header
+
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        _ppm_header(b"P6\n12 ", 0)
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        _ppm_header(b"P6\n", 0)
+    # whitespace-then-EOF after two tokens
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        _ppm_header(b"P6\n8 8\n", 0)
+
+
+def test_ppm_cnn_oracle_sql_is_lazy_and_resolves():
+    """ADVICE r4: the 97-forward-pass oracle must not run at import
+    time; the registry resolves the callable on ORACLE_SQL() access."""
+    from map_reduce_engine_cdps_spark.multimodal import binary
+    from map_reduce_engine_cdps_spark.plans import registry
+
+    assert callable(binary.PPM_CNN_EMBEDDINGS_SQL)
+    sql = registry.ORACLE_SQL()["ppm_cnn_embeddings"]
+    assert isinstance(sql, str) and "feat_sum" in sql

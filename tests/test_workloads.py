@@ -480,3 +480,32 @@ def test_length_bucketing_beats_naive(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 <= r["sorted_waste_ratio"] <= r["naive_waste_ratio"] <= 1.0
+
+
+def test_arrow_kernels_null_and_ragged_contract(spark):
+    """ADVICE r4: NULL arrays → SQL NULL from every Arrow kernel
+    (matching the JVM folds for dot/norm); ragged batches → a clear
+    precondition error, not a bare np.vstack traceback."""
+    import pytest
+
+    from map_reduce_engine_cdps_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0]), (None, [1.0, 1.0]), ([1.0, 1.0], None)],
+        "a array<double>, b array<double>",
+    ).coalesce(1)
+    rows = df.select(
+        V.dot_arrow()("a", "b").alias("d"),
+        V.norm_arrow()("a").alias("n"),
+        V.lsh_bucket_arrow()("a").alias("bk"),
+    ).collect()
+    assert rows[0]["d"] == 11.0 and rows[0]["n"] is not None
+    assert len(rows[0]["bk"]) == 8
+    assert rows[1]["d"] is None and rows[1]["n"] is None and rows[1]["bk"] is None
+    assert rows[2]["d"] is None and rows[2]["n"] is not None
+
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, 2.0, 3.0],)], "a array<double>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="fixed-dimension"):
+        ragged.select(V.norm_arrow()("a").alias("n")).collect()

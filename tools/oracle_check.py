@@ -89,6 +89,8 @@ def main() -> int:
     for name, (fn, sql) in _REGISTRY.items():
         if only and name not in only:
             continue
+        if callable(sql):  # lazily built oracle (see registry.ORACLE_SQL)
+            sql = sql()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
