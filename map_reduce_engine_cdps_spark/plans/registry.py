@@ -449,6 +449,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ppm_image_features": (binary.ppm_image_features, binary.PPM_IMAGE_FEATURES_SQL),
     # REAL numpy CNN forward pass (im2col convs + pool + L2), value-certified
     "ppm_cnn_embeddings": (binary.ppm_cnn_embeddings, binary.PPM_CNN_EMBEDDINGS_SQL),
+    # full-variability decode (gradient pixels, non-square pad, NN
+    # resize) inside the driver gate via embedded precomputed values
+    "ppm_gradient_features": (
+        binary.ppm_gradient_features,
+        binary.PPM_GRADIENT_FEATURES_SQL,
+    ),
     # REAL multi-frame container parse (back-to-back P6 frames), value-certified
     "ppm_video_frame_samples": (binary.ppm_video_frame_samples, binary.PPM_VIDEO_FRAME_SAMPLES_SQL),
     # REAL RIFF/WAVE PCM-16 container decode, value-certified
@@ -822,19 +828,124 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # canaries held over from the rounds-2/3 window (regression tripwires
-    # across the operator families certified there)
+    # canaries (5): one per certified operator family — relational agg,
+    # expression battery, dedup, ANN, text — regression tripwires for
+    # the r2-r4 windows
     "pricing_summary",
     "danger_topk",
-    "wordcount_shim",
-    "danger_shim",
     "minhash_lsh_pairs",
     "lsh_ann_topk",
-    # NEW: oracle-checkable projection of the one-vs-one shim's routing
-    # ledger (the rows-only shim itself moved past entry 50)
-    "one_vs_one_shim_pairs",
-    # text analysis (promoted round 4)
     "text_quality",
+    # remaining streaming twins (round-3/4 verdicts' top ask)
+    "streaming_user_sessions",
+    "streaming_dedup_events",
+    "streaming_segment_counts",
+    "streaming_click_purchase_join",
+    "streaming_trending_topk",
+    # TPC-H battery (plans/tpch.py)
+    "shipping_priority",
+    "priority_order_counts",
+    "small_qty_revenue",
+    "top_return_customers",
+    "brand_supplier_counts",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "disjunctive_part_revenue",
+    "waiting_suppliers",
+    "forecast_revenue",
+    "top_revenue_supplier",
+    "idle_rich_customers",
+    "min_cost_supplier",
+    "important_part_value",
+    "dominant_part_suppliers",
+    "local_supplier_volume",
+    "linestatus_priority_counts",
+    "customer_order_distribution",
+    # Spark-4 surfaces (pipe syntax, VARIANT, UDTFs)
+    "pipe_syntax_flag_counts",
+    "variant_props_stats",
+    "variant_typeof_profile",
+    "udtf_top_tokens",
+    "udtf_doc_chunks",
+    "udtf_doc_sentences",
+    # sketches / embedding workloads / Arrow-kernel projections
+    "approx_distinct_users",
+    "approx_quantile_check",
+    "embedding_quantize_stats",
+    "negative_sampling_pairs",
+    "label_centroid_norms",
+    "tree_covariance",
+    "arrow_norm_stats",
+    "arrow_label_centroids",
+    # multimodal leftovers + the round-5 NEW gradient-fixture decode
+    # (full-variability pad/resize arithmetic inside the driver gate)
+    "doc_embeddings",
+    "media_features",
+    "image_dhash_dedup",
+    "audio_window_features",
+    "ppm_gradient_features",
+    # ---- entry 51+: round-6 rotation candidates (oracle-backed, not yet
+    # driver-certified) ----
+    "click_purchase_within_1h",
+    "customer_upsert",
+    "order_status_runs",
+    "salted_type_stats",
+    "salted_above_type_mean",
+    "json_props_extract",
+    "pyds_synthetic_stats",
+    "multi_resolution_rollup",
+    "regr_price_qty",
+    "quantity_moments",
+    "hll_sketch_users",
+    "monthly_gapfill_revenue",
+    "collated_lang_counts",
+    "sql_variable_pricey_parts",
+    "locf_event_values",
+    "lateral_top_orders",
+    "freq_items_check",
+    "order_status_map_roundtrip",
+    "nation_trade_pagerank",
+    "trade_graph_degrees",
+    "brand_nation_chi2",
+    "lineitem_profile",
+    "mv_revenue_maintenance",
+    "decile_value_calibration",
+    "rfm_segments",
+    "table_diff",
+    "status_as_of",
+    "ks_two_sample",
+    "price_qty_heatmap",
+    "revenue_gini",
+    "type_pair_lift",
+    "linear_attribution",
+    "active_user_metrics",
+    "weighted_median_price",
+    "ltv_by_order_index",
+    "customer_survival_km",
+    "benford_first_digit",
+    "mannwhitney_u",
+    "bitmap_distinct_users",
+    "kmv_segment_jaccard",
+    "revenue_changepoint",
+    "revenue_acf",
+    "revenue_ewma",
+    "revenue_holt",
+    "dow_seasonality",
+    # rows-only (no oracle by design — iterative / non-SQL-expressible)
+    "kmeans_lloyd",
+    "bpe_merges",
+    "bpe_token_compression",
+    "video_frame_samples",
+    "one_vs_one_training",
+    "ensemble_vote_accuracy",
+    "one_vs_one_shim",
+    # ---- already driver-certified in rounds 2-4 ----
+    "wordcount_shim",
+    "danger_shim",
+    "one_vs_one_shim_pairs",
     "lang_id_accuracy",
     "token_stats",
     "doc_fingerprints",
@@ -849,7 +960,6 @@ _PRIORITY_ORDER = [
     "zipf_fit",
     "vocab_growth_heaps",
     "kwic_snippets",
-    # curation (promoted round 4)
     "quality_filter_flags",
     "decontamination",
     "token_budget_sample",
@@ -861,7 +971,6 @@ _PRIORITY_ORDER = [
     "winsorized_price_stats",
     "source_lang_entropy",
     "source_interleave",
-    # event-time windows / sessions / as-of (promoted round 4)
     "user_sessions",
     "tumbling_window_counts",
     "sliding_window_counts",
@@ -873,56 +982,12 @@ _PRIORITY_ORDER = [
     "window_ranks",
     "click_asof_purchase",
     "click_asof_cogroup",
-    # streaming twins (promoted round 4; same oracles as batch — two
-    # certified here, the remaining four rotate in round 5)
     "streaming_window_counts",
     "streaming_sliding_distinct",
-    # round-4 NEW multimodal/real-decode queries — certified the round
-    # they were built
     "ppm_image_features",
     "ppm_cnn_embeddings",
     "ppm_video_frame_samples",
     "wav_audio_windows",
-    # ---- entry 51+: round-5 rotation candidates (oracle-backed, not yet
-    # driver-certified) ----
-    "streaming_user_sessions",
-    "streaming_dedup_events",
-    "streaming_segment_counts",
-    "streaming_click_purchase_join",
-    "click_purchase_within_1h",
-    "customer_upsert",
-    "order_status_runs",
-    "salted_type_stats",
-    "salted_above_type_mean",
-    "approx_distinct_users",
-    "approx_quantile_check",
-    "embedding_quantize_stats",
-    "negative_sampling_pairs",
-    "label_centroid_norms",
-    "tree_covariance",
-    "arrow_norm_stats",
-    "arrow_label_centroids",
-    "doc_embeddings",
-    "media_features",
-    "pipe_syntax_flag_counts",
-    "image_dhash_dedup",
-    "audio_window_features",
-    "variant_props_stats",
-    "variant_typeof_profile",
-    "json_props_extract",
-    "udtf_top_tokens",
-    "udtf_doc_chunks",
-    "udtf_doc_sentences",
-    "pyds_synthetic_stats",
-    # rows-only (no oracle by design — iterative / non-SQL-expressible)
-    "kmeans_lloyd",
-    "bpe_merges",
-    "bpe_token_compression",
-    "video_frame_samples",
-    "one_vs_one_training",
-    "ensemble_vote_accuracy",
-    "one_vs_one_shim",
-    # ---- already driver-certified in rounds 2-3 (CORRECTNESS_r02/_r03) ----
     "wordcount",
     "revenue_by_nation",
     "customers_with_orders",
