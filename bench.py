@@ -2,9 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line with per-query wall times.
 
-Methodology (BASELINE.md): per query, one warm-up run then the median
-of 3 timed runs; timing includes full execution to a count/collect of
-the result (never caching between runs). AQE on.
+Methodology (BASELINE.md, revised round 5 per VERDICT r4): one warm-up
+pass over the whole suite, then >=5 INTERLEAVED timed passes — pass 1
+times every query once, then pass 2, ... — with the per-query median
+and IQR across passes reported. Interleaving is the point: ambient
+host-load spikes last seconds-to-minutes, so consecutive per-query
+runs let one spike own all of a query's samples, while interleaved
+passes spread it across different queries where the median discards
+it. Timing includes full execution to a count of the result (never
+caching between runs). AQE on.
 """
 
 from __future__ import annotations
@@ -60,28 +66,50 @@ HEADLINE = [
 ]
 
 
-def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
-    def once() -> float:
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        assert n >= 0
-        return time.perf_counter() - t0
-
-    once()  # warm-up (plan compilation, file listing, JIT)
-    return round(statistics.median(once() for _ in range(runs)), 3)
+def _run_once(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    return time.perf_counter() - t0
 
 
-def run_suite(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+def run_suite(
+    spark, sf_dir: str, runs: int = 5
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Warm-up pass, then ``runs`` interleaved passes over the whole
+    HEADLINE list. Returns (per-query median, per-query IQR)."""
+    samples: dict[str, list[float]] = {}
+    failed: set[str] = set()
+    for name in HEADLINE:  # warm-up (plan compilation, file listing, JIT)
         fn, _ = _REGISTRY[name]
         try:
-            timings[name] = time_query(spark, fn, sf_dir, runs=runs)
+            _run_once(spark, fn, sf_dir)
+            samples[name] = []
         except Exception as e:  # noqa: BLE001
             print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-    return timings
+            failed.add(name)
+    for _ in range(runs):
+        for name in HEADLINE:
+            if name in failed:
+                continue
+            fn, _ = _REGISTRY[name]
+            try:
+                samples[name].append(_run_once(spark, fn, sf_dir))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+                failed.add(name)
+    medians: dict[str, float] = {}
+    iqrs: dict[str, float] = {}
+    for name in HEADLINE:
+        vals = samples.get(name, [])
+        if name in failed or not vals:
+            medians[name] = -1.0
+            continue
+        medians[name] = round(statistics.median(vals), 3)
+        q = statistics.quantiles(vals, n=4, method="inclusive")
+        iqrs[name] = round(q[2] - q[0], 3)
+    return medians, iqrs
 
 
 # Derived 10x replication of sf0.1 (tools/scale_data.py) for the
@@ -93,23 +121,24 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchdata",
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     spark = get_spark(app_name="bench")
-    timings = run_suite(spark, sf_dir)
+    timings, iqrs = run_suite(spark, sf_dir, runs=runs)
     total = round(sum(t for t in timings.values() if t > 0), 3)
     out = {
         "metric": "headline_query_wall_time_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_iqr": iqrs,
+        "runs": runs,
+        "methodology": "median+IQR over interleaved passes, warm-up pass excluded",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
-        # median of 3 timed runs after warm-up, same as sf0.1: ambient
-        # load on a shared host can inflate any single run ~3x (measured
-        # spiking a different query per run), and a runs=1 slope point
-        # bakes that noise into the recorded artifact
-        sf1 = run_suite(spark, SF1_DIR, runs=3)
+        sf1, sf1_iqr = run_suite(spark, SF1_DIR, runs=runs)
         out["sf1_queries"] = sf1
+        out["sf1_queries_iqr"] = sf1_iqr
         out["sf1_value"] = round(sum(t for t in sf1.values() if t > 0), 3)
     print(json.dumps(out))
 

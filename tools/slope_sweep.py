@@ -34,6 +34,29 @@ def main() -> None:
     large = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
     spark = get_spark(app_name="slope_sweep")
     out: dict[str, dict] = {}
+    # Warm the shared LSH pair memo FIRST and report it as its own
+    # timed line (VERDICT r4 item 3): the memo is built once per
+    # (app, sf_dir) and consumed by 5+ dedup-family queries, so left
+    # implicit it gets charged to whichever consumer the sweep reaches
+    # first — a 7.85x "cliff" in SWEEP_r04.json that was really cache
+    # attribution. With the memo warmed, every consumer line below
+    # times its own work only, and the artifact is self-explaining.
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    memo: dict = {}
+    for key, sf_dir in (("small", small), ("large", large)):
+        t0 = time.perf_counter()
+        try:
+            _lsh_pairs_cached(spark, sf_dir)
+            memo[key] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"sweep error lsh_pairs_memo@{key}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            memo[key] = -1.0
+    if memo.get("small", 0) > 0 and memo.get("large", 0) > 0:
+        memo["ratio"] = round(memo["large"] / memo["small"], 2)
+    out["lsh_pairs_memo_build"] = memo
+    print(f"lsh_pairs_memo_build: {memo}", file=sys.stderr)
     for name, (fn, _) in _REGISTRY.items():
         rec: dict = {}
         for key, sf_dir in (("small", small), ("large", large)):
