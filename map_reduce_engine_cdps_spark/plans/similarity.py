@@ -380,10 +380,18 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_lists(
         side: DataFrame, id_col: str, vec_col: str, n_col: str, n: int
     ) -> DataFrame:
+        # The K scored rows per vector carry ONLY (id, list_id, c_sim)
+        # into the rank window — the embedding is consumed map-side by
+        # the broadcast-centroid scoring and re-attached to the n
+        # winners afterwards by an id-equi-join. Round-4 shape shipped
+        # the embedding through the window exchange K-fold (K rows per
+        # vector × dim floats); with K inverted lists in the thousands
+        # at real scale that exchange payload is K× the corpus. Now
+        # arrays cross exchanges only one-row-per-vector (the re-attach
+        # and the downstream list_id join), gated by
+        # tests/test_plan_quality.py::test_ann_rank_exchanges_are_scalar_only.
         scored = side.crossJoin(cent).select(
             id_col,
-            vec_col,
-            n_col,
             "list_id",
             F.round(
                 _cos_pre_arrow(
@@ -399,11 +407,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1.9 s window vs 2.5-3.0 s min_by). semdedup_prune, whose
         # assignment feeds a plain equi-join, DOES use min_by.
         w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
-        return (
+        winners = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= n)
-            .drop("rn", "c_sim")
+            .select(id_col, "list_id")
         )
+        return winners.join(side, id_col)
 
     assign = nearest_lists(
         emb.select(

@@ -240,3 +240,54 @@ def test_lsh_pair_exchanges_are_scalar_only(spark):
         assert len({t[1] for t in array_cols}) <= 1, nodes_with_arrays
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+ANN_FAMILY_ARRAY_EXCHANGE_BOUNDS = {
+    # embeddings may cross a shuffle Exchange at most once per relation
+    # (re-attach / probe join); rank windows must shuffle scalars only.
+    "knn_bruteforce": 0,        # queries broadcast; corpus never shuffles
+    "lsh_ann_topk": 0,          # bucket join broadcasts the candidate side
+    "ann_recall_eval": 0,       # both sides broadcast
+    "ivf_ann_topk": 2,          # q_emb once + c_emb once (re-attach joins)
+    "embedding_near_dup": 1,    # one bucketed self-join shuffle
+    "semdedup_prune": 3,        # min_by partial-agg structs: one row
+                            # per group after map-side combine (x2
+                            # argmin exchanges) + one plain join
+}
+
+
+def test_ann_rank_exchanges_are_scalar_only(spark):
+    """VERDICT r4 item 8: no ANN-family Exchange feeding a rank/argmin
+    Window may carry an array payload — in bucketed shapes that
+    exchange moves K scored rows per vector, so an embedding there is
+    K× the corpus (the ANN analogue of the dedup string-array ban)."""
+    from tools.plan_audit import rank_window_array_exchanges
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ANN_FAMILY_ARRAY_EXCHANGE_BOUNDS:
+            df = _REGISTRY[name][0](spark, SF_DIR)
+            bad = rank_window_array_exchanges(df)
+            assert not bad, f"{name}: array payload on a rank-window shuffle {bad}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_ann_embedding_shuffle_crossings_bounded(spark):
+    """Embeddings cross shuffle Exchanges at most the recorded number
+    of times per query (broadcast exchanges excluded — small-side
+    broadcast IS the intended shape). A new crossing appearing here
+    means a join/window reshuffle started moving vectors it didn't
+    need to."""
+    from tools.plan_audit import shuffle_array_exchange_count
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, bound in ANN_FAMILY_ARRAY_EXCHANGE_BOUNDS.items():
+            df = _REGISTRY[name][0](spark, SF_DIR)
+            n = shuffle_array_exchange_count(df)
+            assert n <= bound, f"{name}: {n} array shuffle crossings > {bound}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

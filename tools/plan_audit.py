@@ -159,6 +159,64 @@ ARRAY_STRING_EXCHANGE_BAN = [
 ]
 
 
+def rank_window_array_exchanges(df) -> list[tuple[str, str, str]]:
+    """Array-typed payload columns of any Exchange inserted FOR a
+    Window's partitioning — i.e. embeddings riding a rank/argmin
+    shuffle. In bucketed-ANN shapes that exchange moves K scored rows
+    per vector, so an array payload there is K x the corpus: the ANN
+    analogue of the dedup string-array ban (VERDICT r4 item 8). Only an
+    Exchange reached from a Window through the window's own machinery
+    (Sort / WindowGroupLimit / codegen wrappers) counts — an exchange
+    behind a Project/Join/PythonEval belongs to that operator (e.g. a
+    probe join, charged to the crossing bound instead), and a map-side
+    partial WindowGroupLimit legitimately sits right above such
+    nodes."""
+    out: list[tuple[str, str, str]] = []
+    PASS_THROUGH = ("Sort", "WindowGroupLimit", "WholeStageCodegen",
+                    "InputAdapter", "ColumnarToRow")
+
+    def rank_exchange(node, acc) -> None:
+        name = node.nodeName()
+        if name == "Exchange":
+            attrs = node.output()
+            for i in range(attrs.size()):
+                a = attrs.apply(i)
+                t = a.dataType().catalogString()
+                if t.startswith("array<"):
+                    acc.append((name, a.name(), t))
+            return
+        if not any(name.startswith(pfx) for pfx in PASS_THROUGH):
+            return  # the exchange below belongs to this operator
+        ch = node.children()
+        for i in range(ch.size()):
+            rank_exchange(ch.apply(i), acc)
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window":
+            ch = node.children()
+            for i in range(ch.size()):
+                rank_exchange(ch.apply(i), out)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def shuffle_array_exchange_count(df) -> int:
+    """Number of (node, column) shuffle-Exchange array payload attrs —
+    BroadcastExchange and ReusedExchange excluded (broadcasting a small
+    side or reusing an exchange is the intended scale shape)."""
+    return len(
+        [
+            t
+            for t in exchange_payload_types(df)
+            if t[0] == "Exchange" and "array<" in t[2]
+        ]
+    )
+
+
 def string_array_exchanges(df) -> list[tuple[str, str, str]]:
     """Exchange payload columns whose type embeds an array of strings."""
     return [
