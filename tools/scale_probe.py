@@ -1,0 +1,107 @@
+"""Two-point scale-slope probe at sf1 -> sf10 for the queries the
+round-4 sweep flagged as steepest (ivf_ann_topk 3.1x, cube_counts
+3.2x, click_asof_cogroup 3.0x for 10x data) plus the rest of the ANN
+family, to settle whether those slopes bend super-linear at the next
+decade (VERDICT r4 item 5).
+
+Methodology matches bench.py's noise-proofing: per-query runs are
+interleaved round-robin (so ambient host-load spikes hit all queries,
+not whichever one was running), median + IQR reported per query per
+SF. The shared LSH pair memo (plans/dedup.py:_lsh_pairs_cached) is
+warmed first and reported as its own line so near_dup_clusters times
+only its own work (SWEEP_r04's cache-attribution lesson).
+
+Run:  python tools/scale_probe.py [runs] [out_json]
+Defaults: 3 runs, /root/repo/SCALE_PROBE_sf10.json. Expects
+.benchdata/sf1 and .benchdata/sf10 (tools/scale_data.py K=10 / K=100).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+from map_reduce_engine_cdps_spark.session import get_spark
+
+QUERIES = [
+    "ivf_ann_topk",
+    "lsh_ann_topk",
+    "brute_knn_topk",
+    "embedding_near_dup",
+    "near_dup_clusters",
+    "cube_counts",
+    "click_asof_cogroup",
+]
+
+SFS = {
+    "sf1": "/root/repo/.benchdata/sf1",
+    "sf10": "/root/repo/.benchdata/sf10",
+}
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALE_PROBE_sf10.json"
+    spark = get_spark(app_name="scale_probe")
+
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    out: dict[str, dict] = {}
+    memo: dict[str, float] = {}
+    for sf, sf_dir in SFS.items():
+        t0 = time.perf_counter()
+        _lsh_pairs_cached(spark, sf_dir)
+        memo[sf] = round(time.perf_counter() - t0, 3)
+        print(f"memo warm {sf}: {memo[sf]}s", flush=True)
+    out["lsh_pairs_memo_build"] = {
+        **memo, "ratio": round(memo["sf10"] / memo["sf1"], 2)
+    }
+
+    samples: dict[tuple[str, str], list[float]] = {
+        (q, sf): [] for q in QUERIES for sf in SFS
+    }
+    for r in range(runs):
+        for q in QUERIES:
+            fn = _REGISTRY[q][0]
+            for sf, sf_dir in SFS.items():
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                samples[(q, sf)].append(dt)
+                print(f"run {r + 1}/{runs} {q}@{sf}: {dt}s", flush=True)
+
+    for q in QUERIES:
+        rec: dict = {}
+        for sf in SFS:
+            vals = sorted(samples[(q, sf)])
+            med = statistics.median(vals)
+            iqr = (vals[-1] - vals[0]) if len(vals) < 4 else (
+                statistics.quantiles(vals, n=4)[2]
+                - statistics.quantiles(vals, n=4)[0]
+            )
+            rec[sf] = {"median": round(med, 3), "spread": round(iqr, 3),
+                       "runs": vals}
+        rec["ratio"] = round(rec["sf10"]["median"] / rec["sf1"]["median"], 2)
+        out[q] = rec
+        print(f"{q}: {rec}", flush=True)
+
+    payload = {
+        "probe": "sf1->sf10 (10x data)", "runs_per_point": runs,
+        "interleaved": True, "queries": out,
+        "superlinear": sorted(
+            (q for q in QUERIES if out[q]["ratio"] > 10.0),
+            key=lambda q: -out[q]["ratio"],
+        ),
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
