@@ -269,7 +269,14 @@ def synth_media_df(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                 {"mime": "image/fake", "width": 8, "height": 8, "n_bytes": len(payload)},
             )
         )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).repartition(partitions)
+    # Parallelism set at SOURCE (parallelize), not via .repartition():
+    # a repartition after createDataFrame is a shuffle Exchange whose
+    # payload is the binary media column — megabyte rows hashed and
+    # spilled per shuffle write. On a real cluster media scans get
+    # their width from file splits; the synthetic stand-in mimics that
+    # by being born wide. Gate: test_multimodal_exchanges_carry_no_binary.
+    rdd = spark.sparkContext.parallelize(rows, partitions)
+    return spark.createDataFrame(rdd, schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

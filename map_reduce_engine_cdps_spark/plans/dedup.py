@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from map_reduce_engine_cdps_spark.functions import text as TX
 from map_reduce_engine_cdps_spark.sources.readers import load_parallel, load_table
@@ -509,6 +510,12 @@ SELECT doc_a, doc_b AS nearest_doc, jaccard FROM ranked WHERE rn = 1
 # durable storage; the dataflow shape per round is identical.
 # ---------------------------------------------------------------------------
 
+# Truncate CC lineage every N rounds (checkpoint); persist+rotate in
+# between. Small enough that planning depth stays trivial, large enough
+# that long sessions don't pin one checkpoint per round.
+_CC_CHECKPOINT_EVERY = 5
+
+
 def connected_components(
     vertices: DataFrame, pairs: DataFrame, max_rounds: int = 25
 ) -> DataFrame:
@@ -530,25 +537,46 @@ def connected_components(
     labels = vertices.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
         eager=True
     )
-    # Min-propagation only ever lowers labels, so sum(comp) decreases
-    # strictly until the fixpoint — convergence detection is a single
-    # scalar aggregate per round, not a labels⋈labels diff join.
+    # Per-round state management (sf10 probe finding, round 5): a
+    # localCheckpoint per round pins its blocks for the session — 25
+    # rounds x repeated invocations accumulated enough storage at sf10
+    # that a later broadcast build OOM'd. Rounds now persist
+    # MEMORY_AND_DISK and explicitly unpersist the previous round once
+    # the new state is materialized; a localCheckpoint every
+    # _CC_CHECKPOINT_EVERY rounds still truncates lineage so planning
+    # cost stays bounded. (At cluster scale: reliable checkpoint to
+    # durable storage instead, per the header note.)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
-    for _ in range(max_rounds):
+    freeable: DataFrame | None = None
+    for rnd in range(max_rounds):
+        # nbr_min and labels are both O(vertices) — corpus-sized
+        # relations that must NEVER ride a broadcast, however small the
+        # toy SF makes them look to AQE: at 100 TB a broadcast here is
+        # a driver OOM by construction. shuffle_hash pins the per-round
+        # join to a shuffle on doc_id, which co-partitions identically
+        # every round (no re-shuffle of the unchanged side's layout).
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("comp").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(nbr_min.hint("shuffle_hash"), "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
         )
-        new_sum = labels.agg(F.sum("comp")).first()[0]
+        if (rnd + 1) % _CC_CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        # Min-propagation only ever lowers labels, so sum(comp)
+        # decreases strictly until the fixpoint — convergence detection
+        # is a single scalar aggregate per round (this also materializes
+        # the persist above before the old round is dropped).
+        new_sum = new_labels.agg(F.sum("comp")).first()[0]
+        if freeable is not None:
+            freeable.unpersist()
+        freeable = new_labels  # checkpointed rounds: unpersist is a no-op
+        labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

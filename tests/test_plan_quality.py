@@ -291,3 +291,40 @@ def test_ann_embedding_shuffle_crossings_bounded(spark):
             assert n <= bound, f"{name}: {n} array shuffle crossings > {bound}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+MULTIMODAL_FAMILY = [
+    # every registry query whose input is the binary media column
+    # (documents-derived payloads or .benchmedia fixtures)
+    "doc_embeddings",
+    "media_features",
+    "image_dhash_dedup",
+    "audio_window_features",
+    "ppm_image_features",
+    "ppm_gradient_features",
+    "ppm_cnn_embeddings",
+    "ppm_video_frame_samples",
+    "wav_audio_windows",
+    "video_frame_samples",
+]
+
+
+def test_multimodal_exchanges_carry_no_binary(spark):
+    """Media bytes must reach the Arrow decode boundary without riding
+    a shuffle: scan -> mapInPandas/pandas_udf -> scalar features, with
+    every groupBy/join downstream keyed on scalars (dhash longs, media
+    ids, feature columns). A binary Exchange payload here means
+    megabyte rows being hashed, sorted, and spilled per shuffle write —
+    the multimodal analogue of the dedup string-array ban that caused
+    the round-2/3 sf1 instability."""
+    from tools.plan_audit import binary_shuffle_exchanges
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in MULTIMODAL_FAMILY:
+            df = _REGISTRY[name][0](spark, SF_DIR)
+            bad = binary_shuffle_exchanges(df)
+            assert not bad, f"{name}: binary shuffle payload {bad}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

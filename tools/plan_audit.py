@@ -217,6 +217,21 @@ def shuffle_array_exchange_count(df) -> int:
     )
 
 
+def binary_shuffle_exchanges(df) -> list[tuple[str, str, str]]:
+    """Shuffle-Exchange payload columns of binary type — raw media
+    payloads riding a shuffle. The multimodal family's contract is
+    scan -> Arrow decode (mapInPandas) -> scalar features, so media
+    bytes should reach the Python boundary without ever crossing an
+    Exchange: a binary shuffle payload means megabyte rows are being
+    hashed/sorted/spilled per shuffle write, the multimodal analogue
+    of the dedup string-array ban. BroadcastExchange excluded."""
+    return [
+        t
+        for t in exchange_payload_types(df)
+        if t[0] == "Exchange" and t[2] == "binary"
+    ]
+
+
 def string_array_exchanges(df) -> list[tuple[str, str, str]]:
     """Exchange payload columns whose type embeds an array of strings."""
     return [

@@ -31,7 +31,7 @@ from map_reduce_engine_cdps_spark.session import get_spark
 QUERIES = [
     "ivf_ann_topk",
     "lsh_ann_topk",
-    "brute_knn_topk",
+    "knn_bruteforce",
     "embedding_near_dup",
     "near_dup_clusters",
     "cube_counts",
@@ -65,28 +65,49 @@ def main() -> None:
     samples: dict[tuple[str, str], list[float]] = {
         (q, sf): [] for q in QUERIES for sf in SFS
     }
+    rows: dict[tuple[str, str], int] = {}
     for r in range(runs):
         for q in QUERIES:
             fn = _REGISTRY[q][0]
             for sf, sf_dir in SFS.items():
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                try:
+                    n_rows = fn(spark, sf_dir).count()
+                except Exception as e:  # noqa: BLE001
+                    print(f"run {r + 1}/{runs} {q}@{sf}: ERROR "
+                          f"{type(e).__name__}: {e}", flush=True)
+                    continue
                 dt = round(time.perf_counter() - t0, 3)
                 samples[(q, sf)].append(dt)
-                print(f"run {r + 1}/{runs} {q}@{sf}: {dt}s", flush=True)
+                rows.setdefault((q, sf), n_rows)
+                print(f"run {r + 1}/{runs} {q}@{sf}: {dt}s "
+                      f"({n_rows} rows)", flush=True)
 
     for q in QUERIES:
         rec: dict = {}
         for sf in SFS:
             vals = sorted(samples[(q, sf)])
+            if not vals:
+                rec[sf] = {"median": -1.0, "spread": 0.0, "runs": []}
+                continue
             med = statistics.median(vals)
             iqr = (vals[-1] - vals[0]) if len(vals) < 4 else (
                 statistics.quantiles(vals, n=4)[2]
                 - statistics.quantiles(vals, n=4)[0]
             )
             rec[sf] = {"median": round(med, 3), "spread": round(iqr, 3),
-                       "runs": vals}
-        rec["ratio"] = round(rec["sf10"]["median"] / rec["sf1"]["median"], 2)
+                       "runs": vals, "out_rows": rows.get((q, sf))}
+        if rec["sf1"]["median"] > 0 and rec["sf10"]["median"] > 0:
+            rec["ratio"] = round(rec["sf10"]["median"] / rec["sf1"]["median"], 2)
+            # time per output row: a near-dup query's output is
+            # Theta(sum of dup-group sizes^2), and the derived sf10
+            # multiplies group sizes 10x — so wall-ratio alone overstates
+            # the slope when the OUTPUT grew faster than the input.
+            ra, rb = rows.get((q, "sf1")), rows.get((q, "sf10"))
+            if ra and rb:
+                rec["out_rows_ratio"] = round(rb / ra, 2)
+        else:
+            rec["ratio"] = -1.0
         out[q] = rec
         print(f"{q}: {rec}", flush=True)
 
@@ -94,7 +115,9 @@ def main() -> None:
         "probe": "sf1->sf10 (10x data)", "runs_per_point": runs,
         "interleaved": True, "queries": out,
         "superlinear": sorted(
-            (q for q in QUERIES if out[q]["ratio"] > 10.0),
+            (q for q in QUERIES
+             if out[q]["ratio"] > 10.0
+             and out[q]["ratio"] > out[q].get("out_rows_ratio", 1.0)),
             key=lambda q: -out[q]["ratio"],
         ),
     }
