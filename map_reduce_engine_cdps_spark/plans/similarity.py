@@ -273,6 +273,18 @@ NEAR_DUP_COS = 0.3
 NEAR_DUP_TIERS = ((4096, 8), (16384, 10), (65536, 12))
 NEAR_DUP_MAX_PLANES = 14
 
+# Degenerate-bucket guard (the minhash BUCKET_CAP pattern, dedup.py:188):
+# a near-dup-DENSE corpus defeats banding — every member of an
+# identical-vector cluster lands in the same bucket no matter how many
+# planes, so candidate pairs grow as the square of cluster size (the
+# sf10 probe measured 30x wall for 10x data purely from this). Buckets
+# are deterministically truncated to their EMB_BUCKET_CAP smallest
+# vec_ids before pairing, bounding any bucket at CAP^2/2 pairs. 1024
+# exceeds the hottest observed bucket at every certified SF (sf1: 822),
+# so results are exact there; past it the cap is an explicit
+# recall-for-boundedness trade, mirrored bit-for-bit in the oracle.
+EMB_BUCKET_CAP = 1024
+
 
 def _near_dup_planes(n: int) -> int:
     for cap, p in NEAR_DUP_TIERS:
@@ -292,6 +304,22 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _near_dup_planes(emb.count())
     d = emb.withColumn("bucket", V.lsh_bucket_arrow(planes)(F.col("embedding")))
     d = d.withColumn("nrm", V.norm_arrow()(F.col("embedding")))
+    # Bucket cap computed ON the pairing partitioning: the rank window
+    # partitions by bucket — exactly the layout the self-join below
+    # needs — so Window + Filter preserve it and the join adds NO new
+    # exchange. Embeddings cross a shuffle exactly once (plan-gated at
+    # bound 1). This rank exchange carries the corpus x1, not the
+    # K-multiplied payload the scalar-rank ANN gate exists for, which
+    # is why that gate records this query as its one exemption (a
+    # semi-join cap shape was measured at 3 array crossings vs 1 here).
+    d = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("bucket").orderBy("vec_id")),
+        )
+        .filter(F.col("rn") <= EMB_BUCKET_CAP)
+        .drop("rn")
+    )
     a = d.alias("a")
     b = d.alias("b")
     # Verification runs on EVERY candidate pair — on a near-dup-dense
@@ -327,10 +355,16 @@ b AS (
               WHEN nn.n <= {NEAR_DUP_TIERS[2][0]} THEN {_duck_bucket('e', NEAR_DUP_TIERS[2][1])}
               ELSE {_duck_bucket('e', NEAR_DUP_MAX_PLANES)} END AS bucket
   FROM embeddings e CROSS JOIN nn
+),
+bc AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT b.*, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+    FROM b
+  ) WHERE rn <= {EMB_BUCKET_CAP}
 )
 SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
        {_DUCK_COS} AS cos_sim
-FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+FROM bc q JOIN bc c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
 WHERE {_DUCK_COS} >= {NEAR_DUP_COS}
 """
 
