@@ -124,3 +124,44 @@ def test_window_hashes_edges(spark):
     assert got[0] == []
     assert got[1] == [md5("a b c d")]
     assert got[2] == [md5("a b c d"), md5("b c d e")]
+
+
+def test_connected_components_deep_chain_crosses_checkpoint_boundary(spark):
+    """A path graph of diameter 14 needs ~14 propagation rounds — the
+    loop crosses the every-5th-round localCheckpoint boundary (and the
+    persist/unpersist rotation in between) twice. Regression test for
+    the round-5 state-management rework: every vertex must still
+    converge to the chain's minimum label."""
+    from map_reduce_engine_cdps_spark.plans.dedup import connected_components
+
+    n = 15
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["comp"]
+        for r in connected_components(vertices, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_embedding_near_dup_bucket_cap_binds(spark, tmp_path, monkeypatch):
+    """Exercise the EMB_BUCKET_CAP path with the cap ACTIVE (at every
+    certified SF it is inert): 40 identical vectors all land in one LSH
+    bucket; with the cap monkeypatched to 16, only the 16 smallest
+    vec_ids may pair — C(16,2)=120 pairs, all among vec_id < 16 — vs
+    C(40,2)=780 uncapped."""
+    import map_reduce_engine_cdps_spark.plans.similarity as S
+
+    rows = [(i, [1.0, 0.0, 0.5, 0.25], i % 4) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    monkeypatch.setattr(S, "EMB_BUCKET_CAP", 16)
+    out = S.embedding_near_dup(spark, str(tmp_path)).collect()
+    assert len(out) == 120
+    ids = {r["vec_a"] for r in out} | {r["vec_b"] for r in out}
+    assert ids == set(range(16))
+    assert all(r["cos_sim"] == 1.0 for r in out)

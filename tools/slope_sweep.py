@@ -77,8 +77,39 @@ def main() -> None:
          if r.get("large", 0) >= 1.0 and r.get("ratio", 0) > 4.0),
         key=lambda n: -out[n]["ratio"],
     )
-    print(json.dumps({"queries": out, "flagged": flagged,
-                      "small": small, "large": large}))
+    print(json.dumps({
+        "queries": out,
+        "flagged": flagged,
+        "annotations": {n: ANNOTATIONS[n] for n in flagged if n in ANNOTATIONS},
+        "small": small,
+        "large": large,
+    }))
+
+
+# In-artifact explanations for known >4x-but-sublinear ratios, so the
+# sweep JSON never carries a red number that needs a commit message to
+# decode (VERDICT r4 item 3). A 10x-data ratio between 4x and 10x is
+# at-most-linear work; it trips the flag only because the sf0.1 point
+# is fixed-overhead-dominated for these queries.
+ANNOTATIONS = {
+    "ppm_image_features": (
+        "decode work scales with document count; 4-5x for 10x data is "
+        "sublinear — the sf0.1 point is JVM/Arrow fixed-overhead-dominated"
+    ),
+    "ppm_gradient_features": (
+        "same decode-bound profile as ppm_image_features; <10x for 10x "
+        "data = at-most-linear"
+    ),
+    "embedding_near_dup": (
+        "EMB_BUCKET_CAP bucket-rank adds ~1.7 s fixed overhead at sf1 "
+        "(SCALE.md round 5) in exchange for bounded pair output at any "
+        "scale; 4x for 10x data is sublinear"
+    ),
+    "click_asof_cogroup": (
+        "output rows grow 10x with the data (SCALE_PROBE_sf10.json); "
+        "wall tracks output sublinearly"
+    ),
+}
 
 
 if __name__ == "__main__":
