@@ -36,6 +36,11 @@ QUERIES = [
     "near_dup_clusters",
     "cube_counts",
     "click_asof_cogroup",
+    # dedup family two-point coverage (pair-memo consumers time their
+    # own work — the memo build is its own line above)
+    "minhash_lsh_pairs",
+    "simhash_buckets",
+    "semdedup_prune",
 ]
 
 SFS = {
