@@ -528,15 +528,28 @@ def connected_components(
     """
     # Undirected: propagate both ways. Materialize once — every round
     # reuses the edge list, and recomputing the upstream pipeline per
-    # round would dominate the loop.
+    # round would dominate the loop. Partition by src BEFORE the
+    # checkpoint (localCheckpoint preserves outputPartitioning): the
+    # per-round join probes edges on src, so a pre-partitioned edge
+    # list is never re-shuffled — each round moves only the O(vertices)
+    # labels, not the O(edges) graph (at sf10: 0.5 M labels vs 53 M
+    # edge rows per round).
+    # persist (not localCheckpoint) for the loop-invariant inputs:
+    # their lineage is shallow — pairs is the checkpointed LSH memo,
+    # vertices a scan — and persist can be RELEASED deterministically
+    # at function exit, where a checkpoint's blocks wait on GC +
+    # ContextCleaner (at sf10 the edge list is ~1 GB per invocation;
+    # back-to-back invocations measurably degraded while stale
+    # checkpoints drained).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = vertices.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint(
-        eager=True
-    )
+    labels = vertices.select(
+        "doc_id", F.col("doc_id").alias("comp")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Per-round state management (sf10 probe finding, round 5): a
     # localCheckpoint per round pins its blocks for the session — 25
     # rounds x repeated invocations accumulated enough storage at sf10
@@ -547,7 +560,7 @@ def connected_components(
     # cost stays bounded. (At cluster scale: reliable checkpoint to
     # durable storage instead, per the header note.)
     prev_sum = labels.agg(F.sum("comp")).first()[0]
-    freeable: DataFrame | None = None
+    freeable: DataFrame | None = labels
     for rnd in range(max_rounds):
         # nbr_min and labels are both O(vertices) — corpus-sized
         # relations that must NEVER ride a broadcast, however small the
@@ -555,8 +568,11 @@ def connected_components(
         # a driver OOM by construction. shuffle_hash pins the per-round
         # join to a shuffle on doc_id, which co-partitions identically
         # every round (no re-shuffle of the unchanged side's layout).
+        # labels is the build side (shuffle_hash): edges then stream
+        # through the join unsorted and unshuffled (pre-partitioned by
+        # src above) — an SMJ would re-sort the edge list every round.
         nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("comp").alias("nbr_min"))
         )
@@ -580,7 +596,18 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels
+    # Exit: re-pin the result as a checkpoint and release the last loop
+    # persist. persist() entries live in the session CacheManager until
+    # explicitly unpersisted — repeated invocations in one app (the
+    # bench, the sweep, a notebook) would otherwise accumulate a cached
+    # labels table per call (measured: sf10 runs degrading 11.5 s →
+    # 28.6 s across three invocations). Checkpoint RDDs are
+    # ContextCleaner-managed: freed on GC once the result is dropped.
+    out = labels.localCheckpoint(eager=True)
+    if freeable is not None:
+        freeable.unpersist()
+    edges.unpersist()
+    return out
 
 
 def near_dup_clusters(
