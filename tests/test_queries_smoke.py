@@ -165,3 +165,53 @@ def test_embedding_near_dup_bucket_cap_binds(spark, tmp_path, monkeypatch):
     ids = {r["vec_a"] for r in out} | {r["vec_b"] for r in out}
     assert ids == set(range(16))
     assert all(r["cos_sim"] == 1.0 for r in out)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property test for the round-5 CC rework: on random graphs the
+    Spark min-label propagation must agree with a reference union-find
+    (comp = min doc_id per component). A Spark roundtrip per hypothesis
+    example is too slow for @given, so eight seeded random graphs
+    (self-loops, parallel edges, isolated vertices all reachable) run
+    through one session instead."""
+    import random
+
+    from map_reduce_engine_cdps_spark.plans.dedup import connected_components
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n = rng.randint(1, 25)
+        m = rng.randint(0, 2 * n)
+        pairs_py = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        # reference union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs_py:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        comp_min: dict[int, int] = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        for v in range(n):
+            expected[v] = comp_min[find(v)]
+
+        vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            pairs_py or [(0, 0)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in connected_components(vertices, pairs).collect()
+        }
+        assert got == expected, f"seed {seed}: {got} != {expected}"
