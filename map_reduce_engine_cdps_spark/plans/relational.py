@@ -1536,13 +1536,15 @@ def click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["event_id", "user_id", "click_us", "purchase_us", "gap_s"]
             )
-        left = left.sort_values("ts")
+        left = left.sort_values("ts", kind="mergesort")
         # an empty co-group side arrives as a zero-column frame; and the
         # right key must be renamed or merge_asof folds it into `ts`
         if right.empty or "ts" not in right.columns:
             m = left.assign(p_ts=pd.NaT)
         else:
-            r = right.rename(columns={"ts": "p_ts"}).sort_values("p_ts")
+            r = right.rename(columns={"ts": "p_ts"}).sort_values(
+                "p_ts", kind="mergesort"
+            )
             m = pd.merge_asof(
                 left, r, left_on="ts", right_on="p_ts", by="user_id",
                 direction="backward",
@@ -1568,20 +1570,34 @@ def click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = (
         "event_id long, user_id long, click_us long, purchase_us long, gap_s double"
     )
-    # Explicit hash repartition on the cogroup key: AQE coalesces the
-    # co-partitioning shuffle by BYTES, and a byte-small but group-MANY
-    # cogroup (1 500 users here) then collapses onto one partition —
-    # but grouped-map cost is per-GROUP (~2.5 ms of Arrow flush + Python
-    # sync each), so the collapse serialized ~4 s of machinery onto one
-    # core (measured 12 s query wall at sf0.1, 1.3 s after). A
-    # user-specified repartition N is exempt from AQE coalescing, and
-    # the cogroup reuses its hash partitioning (no extra exchange).
+    # Cogroup on a BOUNDED bucket key, not per-user: grouped-map cost
+    # is per-GROUP (~2.5-10 ms of Arrow flush + Python sync each), so a
+    # per-user cogroup pays that machinery once per user — 150 k Python
+    # round-trips at the sf10 probe point, 48.6 s wall. Bucketing users
+    # into 4x-parallelism hash buckets keeps every row of a user in one
+    # group (bucket = f(user_id)) while merge_asof's by="user_id" does
+    # the per-user as-of matching VECTORIZED inside each bucket: same
+    # output, 128 Python round-trips instead of |users| — sf10 measured
+    # 48.6 s -> 1.4 s (35x). At 100 TB the bucket count scales with the
+    # cluster, not the user count, and per-bucket frames stay
+    # memory-bounded (users/buckets x rows/user). The explicit
+    # repartition N also stays exempt from AQE byte-based coalescing,
+    # which would otherwise collapse a byte-small cogroup onto one core.
     par = spark.sparkContext.defaultParallelism
+    n_buckets = 4 * par
+    bucket = F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("bucket")
+    clicks_b = clicks.select("*", bucket)
+    purchases_b = purchases.select("*", bucket)
     return (
-        clicks.repartition(par, "user_id")
-        .groupBy("user_id")
-        .cogroup(purchases.repartition(par, "user_id").groupBy("user_id"))
-        .applyInPandas(lambda left, right: merge(left, right), schema=out_schema)
+        clicks_b.repartition(par, "bucket")
+        .groupBy("bucket")
+        .cogroup(purchases_b.repartition(par, "bucket").groupBy("bucket"))
+        .applyInPandas(
+            lambda left, right: merge(
+                left.drop(columns=["bucket"]), right.drop(columns=["bucket"], errors="ignore")
+            ),
+            schema=out_schema,
+        )
     )
 
 
