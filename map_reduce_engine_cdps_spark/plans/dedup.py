@@ -610,6 +610,118 @@ def connected_components(
     return out
 
 
+def connected_components_star(
+    vertices: DataFrame, pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the documented
+    100 TB swap path for :func:`connected_components`. Converges in
+    O(log n) rounds regardless of component DIAMETER, where min-label
+    propagation needs diameter-many rounds: the right algorithm when
+    dup chains are long (crawl snapshots with version ladders) rather
+    than the shallow clusters LSH usually produces.
+
+    Per round, two phases over the edge list only (labels never
+    materialize until the end):
+    - large-star: every node points its LARGER neighbors at its
+      minimum neighborhood label, halving tall trees;
+    - small-star: every node and its smaller neighbors collapse onto
+      their common minimum, flattening stars.
+    Both are one groupBy(min) + one equi-join — the same primitives,
+    partitioning, and skew behavior as the propagation loop. Edges
+    only ever re-point toward smaller labels, so (count, sum(src),
+    sum(dst)) decreases monotonically and is a sound fixpoint check.
+    Returns (doc_id, comp) with comp = min doc_id of the component.
+    """
+    # canonical direction: src > dst (self-loops dropped)
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        r = df.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("src"), F.lit(0)),
+            F.coalesce(F.sum("dst"), F.lit(0)),
+        ).first()
+        return tuple(r)
+
+    prev_sig = _sig(e)
+    freeable: DataFrame = e
+    for rnd in range(max_rounds):
+        # large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+        # emit (v, m(u)) for neighbors v > u
+        sym = e.select("src", "dst").union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m_u = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.join(m_u.hint("shuffle_hash"), "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on canonical edges: u's smaller neighbors and u
+        # itself all re-point at m = min(Γ<(u)); u keeps an edge to m
+        m_s = large.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            large.join(m_s.hint("shuffle_hash"), "src")
+            .select(
+                F.col("dst").alias("v"), F.col("m"), F.col("src").alias("u")
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("ed")
+            )
+            .select(
+                F.greatest("ed.a", "ed.b").alias("src"),
+                F.least("ed.a", "ed.b").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # Unlike the propagation loop (one join per round, checkpoint
+        # every _CC_CHECKPOINT_EVERY is enough), a star round stacks a
+        # union + two joins + an explode on the previous round's plan —
+        # ~6x lineage growth per round — so persist-only rotation blows
+        # past Spark's plan-size limits within a handful of rounds.
+        # _sig() materializes each round anyway, so an eager
+        # localCheckpoint per round adds no extra job and keeps
+        # planning O(1) in round count.
+        new_e = small.localCheckpoint(eager=True)
+        sig = _sig(new_e)
+        freeable.unpersist()
+        freeable = new_e
+        e = new_e
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # star forest: every node's comp is its (unique) smaller neighbor;
+    # vertices without edges are their own component
+    roots = e.groupBy("src").agg(F.min("dst").alias("comp")).select(
+        F.col("src").alias("doc_id"), "comp"
+    )
+    out = (
+        vertices.join(roots.hint("shuffle_hash"), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    freeable.unpersist()
+    return out
+
+
 def near_dup_clusters(
     spark: SparkSession, sf_dir: str, max_rounds: int = 25
 ) -> DataFrame:

@@ -215,3 +215,54 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(vertices, pairs).collect()
         }
         assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """The large-star/small-star variant (the documented 100 TB swap
+    path) must agree with the same reference union-find on the same
+    seeded random graphs, plus a 31-node path — the deep-chain case
+    where O(log n) rounds beat diameter-many propagation rounds."""
+    import random
+
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        connected_components_star,
+    )
+
+    cases = []
+    for seed in range(8):
+        rng = random.Random(seed)
+        n = rng.randint(1, 25)
+        m = rng.randint(0, 2 * n)
+        cases.append(
+            (n, [(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+        )
+    cases.append((31, [(i, i + 1) for i in range(30)]))  # deep chain
+
+    for n, pairs_py in cases:
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs_py:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_min: dict[int, int] = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[find(v)] for v in range(n)}
+
+        vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(
+            pairs_py or [(0, 0)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in connected_components_star(vertices, pairs).collect()
+        }
+        assert got == expected, f"{n} nodes: {got} != {expected}"
