@@ -753,6 +753,27 @@ FROM reach GROUP BY v
 )
 
 
+def near_dup_clusters_star(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 20
+) -> DataFrame:
+    """`near_dup_clusters` computed via the large-star/small-star loop
+    instead of min-label propagation — same clusters by definition
+    (cluster_id = min doc_id of the connected component), so it shares
+    the recursive-CTE oracle verbatim. Registered so the 100 TB swap
+    path is driver-certified end-to-end, not just property-tested."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_star(docs, pairs, max_rounds=max_rounds)
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("cluster_id"),
+        (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+NEAR_DUP_CLUSTERS_STAR_SQL = NEAR_DUP_CLUSTERS_SQL
+
+
 # ---------------------------------------------------------------------------
 # edit_distance_pairs — Levenshtein verification over the LSH candidate
 # pairs (fuzzy-match confirmation, the character-level complement to

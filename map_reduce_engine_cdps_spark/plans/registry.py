@@ -379,6 +379,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
     "ngram_jaccard_topk": (dedup.ngram_jaccard_topk, dedup.NGRAM_JACCARD_TOPK_SQL),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
+    "near_dup_clusters_star": (
+        dedup.near_dup_clusters_star,
+        dedup.NEAR_DUP_CLUSTERS_STAR_SQL,
+    ),
     # --- per-dimension embedding distribution profile ---
     "embedding_dim_stats": (
         similarity.embedding_dim_stats,
@@ -1021,6 +1025,7 @@ _PRIORITY_ORDER = [
     "simhash_buckets",
     "ngram_jaccard_topk",
     "near_dup_clusters",
+    "near_dup_clusters_star",
     "duplicate_spans",
     "edit_distance_pairs",
     "cross_source_leakage",
