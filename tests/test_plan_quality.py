@@ -193,6 +193,7 @@ DEDUP_FAMILY = [
     "minhash_containment",
     "ngram_jaccard_topk",
     "near_dup_clusters",
+    "near_dup_clusters_star",
     "duplicate_spans",
     "edit_distance_pairs",
     "cross_source_leakage",
