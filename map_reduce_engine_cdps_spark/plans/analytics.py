@@ -2489,3 +2489,71 @@ SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
        round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
 FROM dau JOIN wau USING (day)
 """
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose_revenue — classical additive decomposition of the
+# monthly revenue series: trend via a centered 13-month moving average
+# (full-window months only), seasonal via mean-centered month-of-year
+# averages of the detrended series, residual as the remainder
+# (the batch STL-lite; dow_seasonality is the day-grain sibling).
+# Scale shape: orders aggregate map-side to an O(months) series before
+# any window runs, so the single-partition ORDER BY month window is
+# over ~80 rows regardless of corpus size — same driver-bounded-state
+# argument as revenue_ewma/_holt; everything downstream is joins
+# between O(months)-row frames.
+# ---------------------------------------------------------------------------
+
+def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("r"))
+    w13 = W.orderBy("month").rowsBetween(-6, 6)
+    t = (
+        m.withColumn("n_win", F.count(F.lit(1)).over(w13))
+        .withColumn("trend", F.avg("r").over(w13))
+        .filter(F.col("n_win") == 13)
+        .withColumn("detrended", F.col("r") - F.col("trend"))
+        .withColumn("moy", F.substring("month", 6, 2))
+    )
+    seas_raw = t.groupBy("moy").agg(F.avg("detrended").alias("s_raw"))
+    s_mean = seas_raw.agg(F.avg("s_raw").alias("s_mean"))
+    seas = seas_raw.crossJoin(F.broadcast(s_mean)).select(
+        "moy", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return t.join(F.broadcast(seas), "moy").select(
+        "month",
+        F.round("r", 2).alias("revenue"),
+        F.round("trend", 2).alias("trend"),
+        F.round("seasonal", 2).alias("seasonal"),
+        F.round(F.col("detrended") - F.col("seasonal"), 2).alias("residual"),
+    )
+
+
+SEASONAL_DECOMPOSE_REVENUE_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, sum(o_totalprice) AS r
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT month, r,
+         count(*) OVER w AS n_win,
+         avg(r) OVER w AS trend
+  FROM m
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+), d AS (
+  SELECT month, r, trend, r - trend AS detrended,
+         substr(month, 6, 2) AS moy
+  FROM t WHERE n_win = 13
+), seas_raw AS (
+  SELECT moy, avg(detrended) AS s_raw FROM d GROUP BY moy
+), seas AS (
+  SELECT moy, s_raw - (SELECT avg(s_raw) FROM seas_raw) AS seasonal
+  FROM seas_raw
+)
+SELECT d.month, round(d.r, 2) AS revenue, round(d.trend, 2) AS trend,
+       round(seas.seasonal, 2) AS seasonal,
+       round(d.detrended - seas.seasonal, 2) AS residual
+FROM d JOIN seas USING (moy)
+"""

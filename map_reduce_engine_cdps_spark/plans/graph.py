@@ -196,3 +196,120 @@ FROM outm
 FULL JOIN inm USING (n_name)
 LEFT JOIN selfm USING (n_name)
 """
+
+
+# ---------------------------------------------------------------------------
+# kcore_membership — distributed k-core peeling over the near-dup pair
+# graph: repeatedly drop vertices whose CURRENT degree is < K until the
+# survivor set is stable; survivors form the K-core (every member has
+# ≥ K neighbors inside the core — the dense cliques of the dup graph,
+# i.e. the template/boilerplate families worth manual review, as
+# opposed to incidental pairwise collisions). Engine extension beyond
+# the reference (nothing graph-shaped there; see module header).
+#
+# Scale shape per round: one degree aggregate (map-side combined) +
+# one semi-join filter of the edge list against survivors — the same
+# join primitives, persist/unpersist rotation, and O(|V|) iteration
+# state as connected_components (plans/dedup.py:519). Rounds are
+# capped at _KCORE_ROUNDS with a fixpoint early-exit; because every
+# round past the fixpoint is a no-op, the capped loop computes EXACTLY
+# the _KCORE_ROUNDS-times-peeled graph whether or not it exits early —
+# so the mechanically unrolled DuckDB oracle (the _pagerank_sql
+# technique) matches unconditionally, and the `converged` flag reports
+# whether the cap was also the true k-core (on LSH dup graphs —
+# cliques + shallow chains — peeling stabilizes in 2-3 rounds; the
+# pytest asserts genuine convergence on the fixture SFs).
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def kcore_subgraph(pairs: DataFrame, k: int, max_rounds: int = _KCORE_ROUNDS):
+    """Peel (doc_a, doc_b) pairs to the k-core. Returns
+    ``(survivors, converged)``: survivors has columns
+    (doc_id, core_degree); converged is False if the round cap hit
+    before the fixpoint. Factored out for unit tests on hand-built
+    graphs (mirrors connected_components' factoring)."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_edges = edges.count()
+    converged = False
+    for _ in range(max_rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        # an edge survives only if BOTH endpoints keep degree ≥ k
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        new_edges = (
+            edges.join(keep.hint("shuffle_hash"), "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")).hint("shuffle_hash"),
+                "dst",
+                "left_semi",
+            )
+            .repartition(F.col("src"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_count = new_edges.count()  # materializes before the drop below
+        edges.unpersist()
+        edges, converged, n_edges = new_edges, new_count == n_edges, new_count
+        if converged:
+            break
+    survivors = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return survivors, converged
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    survivors, _converged = kcore_subgraph(pairs, KCORE_K)
+    return survivors
+
+
+def _kcore_sql() -> str:
+    """Mechanically unrolled peeling oracle: _KCORE_ROUNDS rounds of
+    degree + filter over the LSH pair CTE (extra rounds past the
+    fixpoint are no-ops, mirroring the Spark early-exit)."""
+    from map_reduce_engine_cdps_spark.plans.dedup import MINHASH_LSH_PAIRS_SQL
+
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one three times — an
+    # exponential 3^rounds expansion that exhausts file handles
+    # re-opening the parquet. Materialization makes it linear.
+    sql = ["WITH pairs AS MATERIALIZED (" + MINHASH_LSH_PAIRS_SQL + "),"]
+    sql.append(
+        "e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)"
+    )
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        sql.append(
+            f""", k{r} AS MATERIALIZED (
+  SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {KCORE_K}
+), e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  WHERE e.src IN (SELECT src FROM k{r})
+    AND e.dst IN (SELECT src FROM k{r})
+)"""
+        )
+        prev = f"e{r}"
+    sql.append(
+        f"""
+SELECT src AS doc_id, count(*) AS core_degree
+FROM {prev} GROUP BY src"""
+    )
+    return "\n".join(sql)
+
+
+KCORE_MEMBERSHIP_SQL = _kcore_sql

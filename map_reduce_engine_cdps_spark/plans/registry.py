@@ -810,6 +810,36 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.customer_record_linkage,
         dedup.CUSTOMER_RECORD_LINKAGE_SQL,
     ),
+    # --- inverted-index cosine similarity join (AllPairs family) ---
+    "doc_shingle_cosine_pairs": (
+        textops.doc_shingle_cosine_pairs,
+        textops.DOC_SHINGLE_COSINE_PAIRS_SQL,
+    ),
+    # --- add-k smoothed bigram LM fluency scores ---
+    "bigram_logprob_scores": (
+        textops.bigram_logprob_scores,
+        textops.BIGRAM_LOGPROB_SCORES_SQL,
+    ),
+    # --- classical additive trend/seasonal/residual decomposition ---
+    "seasonal_decompose_revenue": (
+        analytics.seasonal_decompose_revenue,
+        analytics.SEASONAL_DECOMPOSE_REVENUE_SQL,
+    ),
+    # --- deterministic hash-based k-fold CV assignment stats ---
+    "kfold_assignments": (
+        relational.kfold_assignments,
+        relational.KFOLD_ASSIGNMENTS_SQL,
+    ),
+    # --- exact-K per-stratum reservoir (deterministic A-Res) ---
+    "reservoir_sample_per_source": (
+        relational.reservoir_sample_per_source,
+        relational.RESERVOIR_SAMPLE_PER_SOURCE_SQL,
+    ),
+    # --- distributed k-core peeling of the near-dup pair graph ---
+    "kcore_membership": (
+        graph.kcore_membership,
+        graph.KCORE_MEMBERSHIP_SQL,
+    ),
 }
 
 
@@ -1036,6 +1066,12 @@ _PRIORITY_ORDER = [
     "embedding_near_dup",
     "embedding_covariance",
     "embedding_dim_stats",
+    "doc_shingle_cosine_pairs",
+    "bigram_logprob_scores",
+    "seasonal_decompose_revenue",
+    "kfold_assignments",
+    "reservoir_sample_per_source",
+    "kcore_membership",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -2509,3 +2509,93 @@ SELECT c_mktsegment,
 FROM hist h JOIN customer c ON h.c_custkey = c.c_custkey
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# kfold_assignments — deterministic hash-based k-fold cross-validation
+# assignment (the reproducible sibling of train_test_split's
+# per-class ranked split): fold(key) = (key · 2654435761) mod 2³² mod K
+# — Knuth's multiplicative hash, identical arithmetic in any engine,
+# no RNG state to ship. Emits per-fold composition stats (the check a
+# pipeline runs before trusting a split: near-equal sizes, disjoint
+# customers spread, comparable value mass). Scale shape: a pure
+# narrow projection (the hash is row-local) followed by one map-side-
+# combined aggregate on K≤folds keys — no window, no sort; at 100 TB
+# the fold column costs nothing and the aggregate output is K rows.
+# The multiplier keeps key·2654435761 < 2⁶³ for keys < 3.5e9; TPC-H
+# orderkeys at sf100k stay far below that.
+# ---------------------------------------------------------------------------
+
+KFOLDS = 5
+_KNUTH_MULT = 2654435761
+
+
+def kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (F.col("o_orderkey") * F.lit(_KNUTH_MULT)) % F.lit(2**32) % F.lit(KFOLDS)
+    return (
+        orders.withColumn("fold", fold.cast("bigint"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+KFOLD_ASSIGNMENTS_SQL = f"""
+SELECT (o_orderkey * {_KNUTH_MULT}) % 4294967296 % {KFOLDS} AS fold,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# reservoir_sample_per_source — EXACT-size per-stratum sampling at
+# scale: keep the K documents with the smallest multiplicative-hash
+# priority within each source (deterministic A-Res: fixed hash
+# priorities replace the RNG, so the "reservoir" result is
+# reproducible and engine-independent — the fixed-K complement of
+# sampled_docs_per_source's fixed-RATE Bernoulli filter). Scale
+# shape: one shuffle on source; row_number streams through each
+# sorted partition, so per-stratum state is O(1) and output is
+# K × n_sources rows no matter the corpus size. Skewed strata cost a
+# sort, not memory; with millions of strata this is the textbook
+# "top-K per key" window, AQE-splittable.
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 25
+
+
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pri = (F.col("doc_id") * F.lit(_KNUTH_MULT)) % F.lit(2**32)
+    w = W.partitionBy("source").orderBy(F.col("priority"), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", pri.alias("priority"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select("source", "doc_id", "rank", "n_chars")
+    )
+
+
+RESERVOIR_SAMPLE_PER_SOURCE_SQL = f"""
+SELECT source, doc_id, rank, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * {_KNUTH_MULT}) % 4294967296, doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= {RESERVOIR_K}
+"""

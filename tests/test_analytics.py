@@ -461,3 +461,75 @@ def test_negative_sampling_invariants(spark, sf_dir):
     # deterministic rerun: identical pick hashes
     again = {r["anchor_id"]: r["first_pick_hash"] for r in negative_sampling_pairs(spark, sf_dir).collect()}
     assert all(again[r["anchor_id"]] == r["first_pick_hash"] for r in rows)
+
+
+def test_cosine_pairs_invariants(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.textops import doc_shingle_cosine_pairs
+
+    rows = doc_shingle_cosine_pairs(spark, sf_dir).collect()
+    assert rows, "sf0.001 fixture has near-dup groups; threshold must catch them"
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_shared"] >= 1
+        # cosine over the pruned idf vectors is bounded by construction
+        assert 0.0 < r["cos_sim"] <= 1.0 + 1e-9
+        key = (r["doc_a"], r["doc_b"])
+        assert key not in seen, "pair emitted twice"
+        seen.add(key)
+
+
+def test_bigram_logprob_matches_direct_recount(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.textops import bigram_logprob_scores
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = {r["doc_id"]: r for r in bigram_logprob_scores(spark, sf_dir).collect()}
+    assert rows
+    # smoothed conditionals are genuine probabilities: log P < 0
+    assert all(r["avg_logprob"] < 0 for r in rows.values())
+    # n_bigrams per doc == token count - 1 (positional grams, dups kept)
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs[:20]:
+        toks = [
+            re.sub(r"[^a-z0-9]", "", t)
+            for t in d["text"].strip().lower().split()
+        ]
+        toks = [t for t in toks if t]
+        expect = max(len(toks) - 1, 0)
+        if expect == 0:
+            assert d["doc_id"] not in rows
+        else:
+            assert rows[d["doc_id"]]["n_bigrams"] == expect
+
+
+def test_seasonal_decomposition_identity(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        seasonal_decompose_revenue,
+    )
+
+    rows = seasonal_decompose_revenue(spark, sf_dir).collect()
+    assert rows
+    # additive identity survives the per-component rounding (±3 cents)
+    for r in rows:
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 0.03
+    # seasonal indices are mean-centered: the 12 per-month values sum ~0
+    seas = {r["month"][5:7]: r["seasonal"] for r in rows}
+    assert len(seas) == 12
+    assert abs(sum(seas.values())) < 0.1
+    # trend exists only for full 13-month windows: edge months dropped
+    assert all(r["trend"] is not None for r in rows)
+
+
+def test_kfold_partitions_orders_exactly(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.relational import KFOLDS, kfold_assignments
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = kfold_assignments(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sorted(r["fold"] for r in rows) == list(range(KFOLDS))
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    mean = n_orders / KFOLDS
+    for r in rows:
+        assert 0.5 * mean < r["n_orders"] < 1.5 * mean, "multiplicative hash skew"

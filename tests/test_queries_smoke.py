@@ -266,3 +266,95 @@ def test_connected_components_star_matches_union_find(spark):
             for r in connected_components_star(vertices, pairs).collect()
         }
         assert got == expected, f"{n} nodes: {got} != {expected}"
+
+
+def _py_kcore(pairs: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeling: iterate degree-filter to fixpoint; returns
+    {vertex: core_degree} for the k-core members."""
+    edges = {tuple(sorted(p)) for p in pairs}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        new_edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        if new_edges == edges:
+            break
+        edges = new_edges
+    out: dict[int, int] = {}
+    for a, b in edges:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def test_kcore_matches_reference_peeling(spark):
+    """Triangle + pendant tail: the tail (and its cascade) peels away,
+    the triangle survives as the 2-core; a square survives; a chain
+    vanishes entirely. Checked against reference Python peeling."""
+    from map_reduce_engine_cdps_spark.plans.graph import kcore_subgraph
+
+    # triangle (0,1,2) with tail 2-3-4; square 10-11-12-13; chain 20..23
+    edge_list = [
+        (0, 1), (1, 2), (0, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (12, 13), (10, 13),
+        (20, 21), (21, 22), (22, 23),
+    ]
+    pairs = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    survivors, converged = kcore_subgraph(pairs, 2)
+    assert converged
+    got = {r["doc_id"]: r["core_degree"] for r in survivors.collect()}
+    assert got == _py_kcore(edge_list, 2)
+    assert set(got) == {0, 1, 2, 10, 11, 12, 13}
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    """A long pendant path off a clique peels one vertex per round —
+    exercises the loop's persist rotation across ≥4 rounds."""
+    from map_reduce_engine_cdps_spark.plans.graph import kcore_subgraph
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 100), (100, 101), (101, 102), (102, 103)]
+    edge_list = clique + path
+    pairs = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+    survivors, converged = kcore_subgraph(pairs, 2)
+    assert converged
+    got = {r["doc_id"]: r["core_degree"] for r in survivors.collect()}
+    assert got == _py_kcore(edge_list, 2) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_registry_converges_on_fixture(spark, sf_dir):
+    """The registry query's round cap must be the true fixpoint on the
+    fixture corpus (the oracle-equality argument needs no convergence,
+    but the k-core CLAIM does)."""
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+    from map_reduce_engine_cdps_spark.plans.graph import KCORE_K, kcore_subgraph
+
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    survivors, converged = kcore_subgraph(pairs, KCORE_K)
+    assert converged
+    assert all(r["core_degree"] >= KCORE_K for r in survivors.collect())
+
+
+def test_reservoir_sample_exact_k_and_deterministic(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.relational import (
+        RESERVOIR_K,
+        reservoir_sample_per_source,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = reservoir_sample_per_source(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from collections import Counter
+
+    got = Counter(r["source"] for r in rows)
+    for src, n in per_source.items():
+        assert got[src] == min(RESERVOIR_K, n), src
+    # deterministic: a rerun picks the identical sample
+    again = {(r["source"], r["doc_id"]) for r in reservoir_sample_per_source(spark, sf_dir).collect()}
+    assert again == {(r["source"], r["doc_id"]) for r in rows}
