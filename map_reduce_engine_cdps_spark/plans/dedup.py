@@ -1191,3 +1191,133 @@ SELECT nationkey, mktsegment,
                 THEN edit_d END) AS best_edit_d
 FROM scored GROUP BY nationkey, mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# lsh_pair_recall_eval — the index-trust metric for the TEXT dedup path
+# (the sibling of ann_recall_eval on the embedding side): on a
+# deterministic hash sample of the corpus, compute GROUND-TRUTH
+# near-dup pairs by exact shingle Jaccard, then measure what fraction
+# the LSH candidate front actually caught, bucketed by true similarity
+# (banding recall rises with similarity — the s-curve — so per-bucket
+# recall is the honest report; a single number hides the 0.5-0.6
+# gray zone where banding is expected to miss).
+#
+# Scale shape: truth is quadratic ONLY within the sample and only
+# among docs sharing a shingle — the sample rate is the cost knob, the
+# corpus never self-joins. Truth pairs are generated bucket-locally
+# (the minhash_lsh_pairs pattern: sorted member structs, pair explode
+# inside the bucket row, scalar-only exchanges). Every metric is a
+# ratio of integers (inter, set sizes, pair counts), so Spark and the
+# DuckDB oracle compute bit-identical doubles — no float knife-edges.
+# Uses the SAME raw-token shingle definition as the LSH signatures
+# (TX.tokens, not clean_tokens) so truth and candidates measure the
+# same similarity space.
+# ---------------------------------------------------------------------------
+
+RECALL_SAMPLE_PCT = 40  # deterministic hash sample: (doc_id*48271) % 100 < PCT
+RECALL_TRUTH_J = 0.5
+
+
+def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id") * 48271, F.lit(100)) < RECALL_SAMPLE_PCT
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(TX.shingles(TX.tokens(F.col("text")), 3)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    buckets = (
+        sh.join(sizes, "doc_id")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members)), n ->
+            struct(m.doc_id AS da, n.doc_id AS db,
+                   m.n_sh AS na, n.n_sh AS nb))))
+        """
+    )
+    truth = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.da").alias("doc_a"), F.col("p.db").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("p.na").alias("n_a"),
+            F.max("p.nb").alias("n_b"),
+        )
+        .withColumn(
+            "j",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("j") >= RECALL_TRUTH_J)
+    )
+    cand = _lsh_pairs_cached(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("caught")
+    )
+    joined = truth.join(cand, ["doc_a", "doc_b"], "left")
+    jbucket = (
+        F.when(F.col("j") < 0.6, "0.5-0.6")
+        .when(F.col("j") < 0.8, "0.6-0.8")
+        .otherwise("0.8-1.0")
+    )
+    return (
+        joined.groupBy(jbucket.alias("j_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("caught").alias("n_caught"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_caught").cast("double") / F.col("n_truth").cast("double"), 4
+            ),
+        )
+    )
+
+
+LSH_PAIR_RECALL_EVAL_SQL = (
+    "WITH cand AS MATERIALIZED ("
+    + MINHASH_LSH_PAIRS_SQL
+    + f"""),
+samp AS MATERIALIZED (
+  SELECT doc_id, shingles FROM ({_DUCK_SHINGLES})
+  WHERE (doc_id * 48271) % 100 < {RECALL_SAMPLE_PCT} AND len(shingles) > 0
+),
+post AS (
+  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM samp
+),
+tp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS inter, max(a.n_sh) AS n_a, max(b.n_sh) AS n_b
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b,
+         round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) AS j
+  FROM tp
+  WHERE round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) >= {RECALL_TRUTH_J}
+),
+hit AS (
+  SELECT t.j, (c.doc_a IS NOT NULL)::INT AS caught
+  FROM truth t LEFT JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT CASE WHEN j < 0.6 THEN '0.5-0.6'
+            WHEN j < 0.8 THEN '0.6-0.8'
+            ELSE '0.8-1.0' END AS j_bucket,
+       count(*) AS n_truth,
+       CAST(sum(caught) AS BIGINT) AS n_caught,
+       round(sum(caught)::DOUBLE / count(*)::DOUBLE, 4) AS recall
+FROM hit GROUP BY 1
+"""
+)

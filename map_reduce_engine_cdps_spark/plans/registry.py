@@ -840,6 +840,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         graph.kcore_membership,
         graph.KCORE_MEMBERSHIP_SQL,
     ),
+    # --- LSH candidate recall vs exact-Jaccard ground truth (sampled) ---
+    "lsh_pair_recall_eval": (
+        dedup.lsh_pair_recall_eval,
+        dedup.LSH_PAIR_RECALL_EVAL_SQL,
+    ),
 }
 
 
@@ -1072,6 +1077,7 @@ _PRIORITY_ORDER = [
     "kfold_assignments",
     "reservoir_sample_per_source",
     "kcore_membership",
+    "lsh_pair_recall_eval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -358,3 +358,16 @@ def test_reservoir_sample_exact_k_and_deterministic(spark, sf_dir):
     # deterministic: a rerun picks the identical sample
     again = {(r["source"], r["doc_id"]) for r in reservoir_sample_per_source(spark, sf_dir).collect()}
     assert again == {(r["source"], r["doc_id"]) for r in rows}
+
+
+def test_lsh_recall_eval_sound(spark, sf_dir):
+    """Recall is a true ratio of the reported integer counts, bounded
+    by 1; every truth bucket is inside the claimed similarity range."""
+    from map_reduce_engine_cdps_spark.plans.dedup import lsh_pair_recall_eval
+
+    rows = lsh_pair_recall_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_truth"]
+        assert abs(r["recall"] - round(r["n_caught"] / r["n_truth"], 4)) < 1e-12
+        assert r["j_bucket"] in {"0.5-0.6", "0.6-0.8", "0.8-1.0"}
