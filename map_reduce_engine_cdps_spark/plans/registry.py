@@ -845,6 +845,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.lsh_pair_recall_eval,
         dedup.LSH_PAIR_RECALL_EVAL_SQL,
     ),
+    # --- RAKE keyword extraction (stopword-segmented phrase scoring) ---
+    "rake_keyword_scores": (
+        textops.rake_keyword_scores,
+        textops.RAKE_KEYWORD_SCORES_SQL,
+    ),
+    # --- full-dim PCA spectrum (treeReduce moments + driver eigh);
+    #     rows-only: eigendecomposition is not one-query SQL ---
+    "pca_explained_variance": (
+        similarity.pca_explained_variance,
+        None,
+    ),
 }
 
 
@@ -1078,6 +1089,8 @@ _PRIORITY_ORDER = [
     "reservoir_sample_per_source",
     "kcore_membership",
     "lsh_pair_recall_eval",
+    "rake_keyword_scores",
+    "pca_explained_variance",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

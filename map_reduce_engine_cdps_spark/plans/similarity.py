@@ -1353,3 +1353,81 @@ WITH subs AS (
 SELECT sub_id, code, count(*) AS n_vecs, round(avg(d2), 4) AS avg_sq_err
 FROM best GROUP BY sub_id, code
 """
+
+
+# ---------------------------------------------------------------------------
+# pca_explained_variance — full-dimension PCA spectrum over the
+# embedding table: the 64×64 covariance is built distributed (the
+# tree_covariance pattern scaled to all dims — per-partition numpy
+# moment partials, treeReduce depth-2 fan-in, so the driver receives
+# O(executors) 64×64 partials, never rows), then the symmetric
+# eigendecomposition runs driver-side on the 64×64 matrix — 33 KB of
+# state, the same bounded-driver-state argument as k-means centroids
+# and BPE vocab. Output: per-component eigenvalue, explained-variance
+# ratio, cumulative ratio — the "how many dims does this embedding
+# space really use" diagnostic run before choosing PQ subspaces or an
+# IVF codebook.
+#
+# Rows-only: eigendecomposition is not one-query SQL (DuckDB has no
+# eig), so the driver records the rows-only check; the pytest pins the
+# spectrum against identities the SQL side CAN state — eigenvalue sum
+# = covariance trace, non-negativity/PSD, descending order, and
+# reconstruction ‖C − VΛVᵀ‖∞ ≈ 0. np.linalg.eigh is deterministic for
+# a fixed input matrix, and the matrix itself is an exact integer-free
+# float sum whose treeReduce merge order is fixed by partitioning.
+# ---------------------------------------------------------------------------
+
+_PCA_DIMS = 64
+
+
+def _pca_moments(spark: SparkSession, sf_dir: str):
+    import numpy as np
+
+    k = _PCA_DIMS
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        F.array(
+            *[F.element_at("embedding", i + 1).cast("double") for i in range(k)]
+        ).alias("x")
+    )
+
+    def partial(rows):
+        n, s, sp = 0, np.zeros(k), np.zeros((k, k))
+        for r in rows:
+            v = np.asarray(r["x"], dtype=np.float64)
+            n += 1
+            s += v
+            sp += np.outer(v, v)
+        yield (n, s, sp)
+
+    def merge(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    n, s, sp = proj.rdd.mapPartitions(partial).treeReduce(merge, depth=2)
+    mean = s / n
+    cov = sp / n - np.outer(mean, mean)
+    return cov
+
+
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    cov = _pca_moments(spark, sf_dir)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    evals = np.maximum(evals, 0.0)  # clip numerical negatives
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for i, ev in enumerate(evals):
+        cum += float(ev)
+        rows.append(
+            (
+                i + 1,
+                round(float(ev), 6),
+                round(float(ev) / total, 6),
+                round(cum / total, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained double, cumulative double"
+    )

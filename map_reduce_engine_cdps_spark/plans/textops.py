@@ -1458,3 +1458,125 @@ SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
 FROM g JOIN lm USING (bigram)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# rake_keyword_scores — RAKE keyword extraction (Rose et al. 2010):
+# candidate phrases are maximal stopword-free token runs (segmented by
+# the gaps-and-islands trick — phrase_id = running count of stopwords
+# before each token, the same pattern user_sessions applies to time
+# gaps); each word scores deg(w)/freq(w) where deg sums the lengths of
+# phrases containing w; a phrase scores the sum of its words' scores.
+# The corpus-level keyword table is the top-25 phrases by score.
+#
+# Scale shape: one doc_id-partitioned window pass segments the token
+# stream, two hash aggregates build the O(vocab) word-stat table
+# (broadcast back), and the phrase rollup is a groupBy on phrase
+# strings — map-side combined, no self-joins. Float stability: the
+# per-word ratio is quantized to integer MICROS once (identical IEEE
+# division + round in both engines), then summed — integer sums are
+# order-free, so partial-agg ordering cannot flip a rounded digit
+# (the quantize-then-sum rule from SCALE.md's oracle notes).
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a")
+RAKE_TOP_K = 25
+
+
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(TX.clean_tokens(F.col("text"))).alias("pos", "word"),
+    )
+    is_stop = F.col("word").isin(*RAKE_STOPWORDS)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    seg = toks.withColumn(
+        "phrase_id", F.sum(is_stop.cast("long")).over(w)
+    ).filter(~is_stop)
+    # collect_list order is not guaranteed under partial aggregation —
+    # build each phrase from a sorted (pos, word) struct array instead.
+    phrases = seg.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    words = seg.join(
+        phrases.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"]
+    )
+    stats = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).withColumn(
+        "micros",
+        F.round(F.col("deg") * F.lit(1000000.0) / F.col("freq")).cast("long"),
+    )
+    scored = (
+        seg.join(F.broadcast(stats.select("word", "micros")), "word")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("micros").alias("phrase_micros"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.max("phrase_micros").alias("m"),
+        )
+        .select(
+            "phrase",
+            "n_occ",
+            (F.col("m") / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+    )
+
+
+RAKE_KEYWORD_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w.pos, w.word FROM (
+    SELECT doc_id,
+           list_filter(list_transform(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0),
+             x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0) AS words
+    FROM documents
+  ), (SELECT unnest(words) AS word,
+             generate_subscripts(words, 1) - 1 AS pos) AS w
+), seg AS (
+  SELECT doc_id, pos, word,
+         sum(CASE WHEN word IN {RAKE_STOPWORDS} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+  FROM toks
+), body AS (
+  SELECT * FROM seg WHERE word NOT IN {RAKE_STOPWORDS}
+), phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM body GROUP BY doc_id, phrase_id
+), stats AS (
+  SELECT word,
+         CAST(round(sum(plen) * 1000000.0 / count(*)) AS BIGINT) AS micros
+  FROM body b JOIN phrases p USING (doc_id, phrase_id)
+  GROUP BY word
+), scored AS (
+  SELECT b.doc_id, b.phrase_id,
+         CAST(sum(s.micros) AS BIGINT) AS phrase_micros
+  FROM body b JOIN stats s USING (word)
+  GROUP BY b.doc_id, b.phrase_id
+)
+SELECT phrase, count(*) AS n_occ,
+       max(phrase_micros) / 1000000.0 AS score
+FROM scored JOIN phrases USING (doc_id, phrase_id)
+GROUP BY phrase
+ORDER BY score DESC, phrase ASC
+LIMIT {RAKE_TOP_K}
+"""

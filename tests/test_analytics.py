@@ -533,3 +533,30 @@ def test_kfold_partitions_orders_exactly(spark, sf_dir):
     mean = n_orders / KFOLDS
     for r in rows:
         assert 0.5 * mean < r["n_orders"] < 1.5 * mean, "multiplicative hash skew"
+
+
+def test_pca_spectrum_identities(spark, sf_dir):
+    """Eigenvalue sum = trace of the covariance; spectrum descending and
+    non-negative; cumulative ratio hits 1; full reconstruction check on
+    the driver-side matrix."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        _pca_moments,
+        pca_explained_variance,
+    )
+
+    rows = pca_explained_variance(spark, sf_dir).collect()
+    assert len(rows) == 64
+    evs = [r["eigenvalue"] for r in rows]
+    assert all(evs[i] >= evs[i + 1] for i in range(len(evs) - 1))
+    assert all(e >= 0 for e in evs)
+    assert abs(rows[-1]["cumulative"] - 1.0) < 1e-6
+    cov = _pca_moments(spark, sf_dir)
+    assert abs(sum(evs) - float(np.trace(cov))) < 1e-3
+    # eigh reconstruction on the same matrix the query consumed
+    w, v = np.linalg.eigh(cov)
+    assert np.abs(cov - (v * w) @ v.T).max() < 1e-8
+    # determinism across reruns
+    again = [r["eigenvalue"] for r in pca_explained_variance(spark, sf_dir).collect()]
+    assert again == evs
