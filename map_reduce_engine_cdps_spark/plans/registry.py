@@ -856,6 +856,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.pca_explained_variance,
         None,
     ),
+    # --- entity-resolution survivorship: linkage pairs → CC → golden rows ---
+    "customer_golden_records": (
+        dedup.customer_golden_records,
+        dedup.CUSTOMER_GOLDEN_RECORDS_SQL,
+    ),
 }
 
 
@@ -1091,6 +1096,7 @@ _PRIORITY_ORDER = [
     "lsh_pair_recall_eval",
     "rake_keyword_scores",
     "pca_explained_variance",
+    "customer_golden_records",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

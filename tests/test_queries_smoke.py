@@ -371,3 +371,28 @@ def test_lsh_recall_eval_sound(spark, sf_dir):
         assert 0 <= r["n_caught"] <= r["n_truth"]
         assert abs(r["recall"] - round(r["n_caught"] / r["n_truth"], 4)) < 1e-12
         assert r["j_bucket"] in {"0.5-0.6", "0.6-0.8", "0.8-1.0"}
+
+
+def test_golden_records_survivorship_sound(spark, sf_dir):
+    """Every entity cluster has ≥2 members, its golden key is a real
+    member and the cluster minimum, and clusters partition the matched
+    vertex set (sum of sizes = distinct matched customers)."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _linkage_matched_pairs,
+        customer_golden_records,
+    )
+
+    rows = customer_golden_records(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["golden_key"] <= r["max_member_key"]
+        assert r["n_segments"] >= 1
+    pairs = _linkage_matched_pairs(spark, sf_dir)
+    matched_verts = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_members"] for r in rows) == matched_verts
