@@ -403,8 +403,8 @@ FROM scored WHERE containment >= {CONTAINMENT_MIN}
 # oracle-reproducible).
 # ---------------------------------------------------------------------------
 
-def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash the dictionary, not the corpus.
+def _simhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — hash the dictionary, not the corpus.
 
     Token votes depend only on the token, so md5 runs once per
     *distinct* term (the vocabulary — orders of magnitude smaller than
@@ -432,7 +432,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = j.groupBy("doc_id").agg(
         *[F.sum(f"v{i}").alias(f"s{i}") for i in range(16)]
     )
-    sim = agg.select(
+    return agg.select(
         "doc_id",
         F.concat(
             *[
@@ -441,12 +441,16 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("simhash"),
     )
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_per_doc(spark, sf_dir)
     return sim.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id")
     )
 
 
-SIMHASH_BUCKETS_SQL = """
+_DUCK_SIMHASH_CTE = """
 WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -462,9 +466,123 @@ WITH t AS (
 ) + """ AS simhash
   FROM t
 )
+"""
+
+SIMHASH_BUCKETS_SQL = _DUCK_SIMHASH_CTE + """
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
 FROM sh GROUP BY simhash
 """
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs — SimHash near-dup PAIR search via the multi-index
+# (banded) scheme of Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+# Crawling" (WWW'07): a pair of f-bit fingerprints within Hamming distance
+# k must agree EXACTLY on at least one of k+1 disjoint bit banks
+# (pigeonhole), so candidate generation is an equi-join on (bank_id,
+# bank_bits) — never an O(n²) scan. Reference near-dup intent:
+# tasks/dedup_docs.py (hash-bucket grouping); this is the pair-level
+# extension the reference's bucket grouping cannot express.
+#
+# Scale design: the join runs in the DISTINCT-FINGERPRINT space, not the
+# doc space. A 16-bit simhash has ≤ 65 536 distinct values no matter the
+# corpus size, so the candidate stage is CONSTANT-bounded (≤ 4 ·
+# C(4096, 2) ≈ 33 M hash pairs worst-case) and the only corpus-sized
+# stages are the simhash groupBy and the final count multiply. With a
+# production 64-bit fingerprint the same plan applies with 4 × 16-bit
+# banks; the distinct space then grows with the corpus and the standard
+# mitigations (bucket caps, as in minhash_lsh_pairs) kick in.
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAMMING_MAX = 3     # k: pairs within this Hamming distance
+_SIMHASH_BANKS = 4          # k+1 banks of 16/4 = 4 bits each
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_per_doc(spark, sf_dir)
+    hashes = sim.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = 16 // _SIMHASH_BANKS
+    banked = hashes.select(
+        "simhash",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bank"),
+                        F.substring("simhash", b * w + 1, w).alias("bits"),
+                    )
+                    for b in range(_SIMHASH_BANKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("simhash", "n_docs", "bk.bank", "bk.bits")
+    a, b = banked.alias("a"), banked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bank") == F.col("b.bank"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+            F.col("a.n_docs").alias("na"),
+            F.col("b.n_docs").alias("nb"),
+        )
+        # a pair agreeing on >1 bank appears once per agreeing bank
+        .distinct()
+    )
+    hamming = None
+    for i in range(16):
+        term = F.when(
+            F.substring("simhash_a", i + 1, 1) != F.substring("simhash_b", i + 1, 1),
+            1,
+        ).otherwise(0)
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select(
+            "simhash_a",
+            "simhash_b",
+            "hamming",
+            (F.col("na") * F.col("nb")).alias("n_doc_pairs"),
+        )
+    )
+
+
+SIMHASH_HAMMING_PAIRS_SQL = (
+    _DUCK_SIMHASH_CTE
+    + f"""
+, hc AS (
+  SELECT simhash, count(*) AS n_docs FROM sh GROUP BY simhash
+), banked AS (
+  SELECT simhash, n_docs, g.bank,
+         substr(simhash, g.bank * 4 + 1, 4) AS bits
+  FROM hc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bank) g
+), cand AS (
+  SELECT DISTINCT a.simhash AS simhash_a, b.simhash AS simhash_b,
+         a.n_docs AS na, b.n_docs AS nb
+  FROM banked a JOIN banked b
+    ON a.bank = b.bank AND a.bits = b.bits AND a.simhash < b.simhash
+), scored AS (
+  SELECT simhash_a, simhash_b,
+         CAST("""
+    + " + ".join(
+        f"(CASE WHEN substr(simhash_a, {i}, 1) <> substr(simhash_b, {i}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(1, 17)
+    )
+    + f""" AS BIGINT) AS hamming,
+         CAST(na * nb AS BIGINT) AS n_doc_pairs
+  FROM cand
+)
+SELECT simhash_a, simhash_b, hamming, n_doc_pairs
+FROM scored WHERE hamming <= {SIMHASH_HAMMING_MAX}
+"""
+)
 
 
 # ---------------------------------------------------------------------------

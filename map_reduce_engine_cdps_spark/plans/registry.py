@@ -377,6 +377,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (dedup.minhash_signatures, dedup.MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs, dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_buckets": (dedup.simhash_buckets, dedup.SIMHASH_BUCKETS_SQL),
+    "simhash_hamming_pairs": (
+        dedup.simhash_hamming_pairs,
+        dedup.SIMHASH_HAMMING_PAIRS_SQL,
+    ),
     "ngram_jaccard_topk": (dedup.ngram_jaccard_topk, dedup.NGRAM_JACCARD_TOPK_SQL),
     "near_dup_clusters": (dedup.near_dup_clusters, dedup.NEAR_DUP_CLUSTERS_SQL),
     "near_dup_clusters_star": (
@@ -1097,6 +1101,7 @@ _PRIORITY_ORDER = [
     "rake_keyword_scores",
     "pca_explained_variance",
     "customer_golden_records",
+    "simhash_hamming_pairs",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

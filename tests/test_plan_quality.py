@@ -196,6 +196,7 @@ DEDUP_FAMILY = [
     "near_dup_clusters_star",
     "duplicate_spans",
     "edit_distance_pairs",
+    "simhash_hamming_pairs",
     "cross_source_leakage",
     "dup_graph_triangles",
     "customer_record_linkage",

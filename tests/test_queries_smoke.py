@@ -396,3 +396,34 @@ def test_golden_records_survivorship_sound(spark, sf_dir):
         .count()
     )
     assert sum(r["n_members"] for r in rows) == matched_verts
+
+
+def test_simhash_hamming_pairs_exact_recall(spark, sf_dir):
+    """The banked candidate join must find EVERY distinct-hash pair
+    within Hamming <= k (pigeonhole over k+1 banks) — compare against
+    the brute-force cross join over distinct simhash values."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        SIMHASH_HAMMING_MAX,
+        _simhash_per_doc,
+        simhash_hamming_pairs,
+    )
+
+    got = simhash_hamming_pairs(spark, sf_dir)
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["hamming"] <= SIMHASH_HAMMING_MAX
+        assert r["simhash_a"] < r["simhash_b"]
+        assert r["n_doc_pairs"] >= 1
+    hashes = [
+        r["simhash"]
+        for r in _simhash_per_doc(spark, sf_dir).select("simhash").distinct().collect()
+    ]
+    brute = {
+        (a, b)
+        for i, a in enumerate(hashes)
+        for b in hashes[i + 1 :]
+        if 1 <= sum(x != y for x, y in zip(a, b)) <= SIMHASH_HAMMING_MAX
+    }
+    normed = {(min(a, b), max(a, b)) for a, b in brute}
+    assert {(r["simhash_a"], r["simhash_b"]) for r in rows} == normed
