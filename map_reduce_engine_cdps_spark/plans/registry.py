@@ -367,6 +367,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.doc_repetition_stats,
         textops.DOC_REPETITION_STATS_SQL,
     ),
+    "ngram_novelty_scores": (
+        textops.ngram_novelty_scores,
+        textops.NGRAM_NOVELTY_SCORES_SQL,
+    ),
     # --- deduplication ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
@@ -1102,6 +1106,7 @@ _PRIORITY_ORDER = [
     "pca_explained_variance",
     "customer_golden_records",
     "simhash_hamming_pairs",
+    "ngram_novelty_scores",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

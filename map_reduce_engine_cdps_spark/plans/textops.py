@@ -1580,3 +1580,89 @@ GROUP BY phrase
 ORDER BY score DESC, phrase ASC
 LIMIT {RAKE_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_scores — corpus-level trigram novelty per source: what
+# fraction of each source's distinct-per-doc trigram occurrences are
+# FIRST occurrences in the corpus (global first = min doc_id owning the
+# trigram). The corpus twin of doc_repetition_stats' within-doc view —
+# low novelty means a source is re-serving n-grams the corpus already
+# has (the memorization/duplication signal used when weighing sources
+# for training mixes). Reference dedup intent: tasks/dedup_docs.py.
+#
+# Scale shape: trigrams are deduped WITHIN each row first
+# (array_distinct — no shuffle), so the explode emits each (doc,
+# trigram) once; the only trigram-keyed exchange is the min(doc_id)
+# hash aggregate (map-side combined). First-occurrence credit joins
+# back on doc_id — never a second trigram-keyed shuffle. Ratios are
+# derived from integer sums only (micro-average), so the one division
+# happens once per source row, identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", TX.shingles(TX.tokens(F.col("text"))).alias("sh")
+    )
+    slots = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("sh")).alias("n_trigram_slots"),
+    )
+    ex = d.select("doc_id", F.explode("sh").alias("g"))
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        first.join(d.select("doc_id", "source"), first.first_doc == F.col("doc_id"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        slots.join(novel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_trigram_slots",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0))
+                / F.col("n_trigram_slots").cast("double"),
+                4,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SCORES_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         ELSE [] END AS sh
+  FROM (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS toks
+    FROM documents
+  )
+), slots AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(sh)) AS BIGINT) AS n_trigram_slots
+  FROM d GROUP BY source
+), ex AS (
+  SELECT doc_id, unnest(sh) AS g FROM d
+), first AS (
+  SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g
+), novel AS (
+  SELECT d.source, count(*) AS n_novel
+  FROM first JOIN d ON first.first_doc = d.doc_id
+  GROUP BY d.source
+)
+SELECT slots.source, n_docs, n_trigram_slots,
+       coalesce(n_novel, 0) AS n_novel,
+       round(coalesce(n_novel, 0) / CAST(n_trigram_slots AS DOUBLE), 4)
+         AS novelty_rate
+FROM slots LEFT JOIN novel ON slots.source = novel.source
+"""

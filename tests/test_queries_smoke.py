@@ -427,3 +427,25 @@ def test_simhash_hamming_pairs_exact_recall(spark, sf_dir):
     }
     normed = {(min(a, b), max(a, b)) for a, b in brute}
     assert {(r["simhash_a"], r["simhash_b"]) for r in rows} == normed
+
+
+def test_ngram_novelty_conservation(spark, sf_dir):
+    """Novel-trigram credit is conserved: each distinct corpus trigram
+    is credited exactly once (to its min-doc_id owner), so per-source
+    n_novel sums to the corpus distinct-trigram count."""
+    from map_reduce_engine_cdps_spark.functions import text as TX
+    from map_reduce_engine_cdps_spark.plans.textops import ngram_novelty_scores
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = ngram_novelty_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_trigram_slots"]
+        assert 0 <= r["novelty_rate"] <= 1
+    docs = load_table(spark, sf_dir, "documents")
+    total_distinct = (
+        docs.select(F.explode(TX.shingles(TX.tokens(F.col("text")))).alias("g"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == total_distinct
