@@ -313,3 +313,91 @@ FROM {prev} GROUP BY src"""
 
 
 KCORE_MEMBERSHIP_SQL = _kcore_sql
+
+
+# ---------------------------------------------------------------------------
+# adamic_adar_links — link prediction over the near-dup candidate graph:
+# for every doc pair sharing >= 1 common neighbor, the Adamic–Adar
+# score sum(1/ln(deg(v))) over common neighbors v, with is_new marking
+# pairs NOT already LSH candidates. High-scoring is_new pairs are
+# transitive near-dups the banded LSH missed (A~B, B~C candidates but
+# A,C never collide in a band) — the classic follow-up pass before
+# connected-components clustering. (At gate scale the LSH bands are
+# transitively closed, so all-wedge scoring keeps the certification
+# non-vacuous; the prediction consumer filters is_new.) Engine
+# extension (the reference has no graph surface; see module docstring).
+#
+# Scale shape: identical to dup_graph_triangles — the wedge join is
+# O(sum deg(v)^2) over a graph whose degrees are already bucket-capped
+# upstream (BUCKET_CAP in plans/dedup.py), and the scored output is
+# wedge-bounded, never O(n^2). Scores are rounded once at the end; the
+# anti-join keeps predictions only.
+# ---------------------------------------------------------------------------
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ea = e.select(F.col("src").alias("v"), F.col("dst").alias("a"))
+    eb = e.select(F.col("src").alias("v2"), F.col("dst").alias("b"))
+    wed = ea.join(eb, (ea.v == eb.v2) & (F.col("a") < F.col("b"))).select(
+        "v", "a", "b"
+    )
+    scored = (
+        wed.join(deg.withColumnRenamed("src", "v"), "v")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log("deg")), 4).alias("aa_score"),
+        )
+    )
+    return (
+        scored.join(
+            pairs.withColumn("is_edge", F.lit(True)),
+            (scored.a == pairs.doc_a) & (scored.b == pairs.doc_b),
+            "left",
+        ).select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_common",
+            "aa_score",
+            F.col("is_edge").isNull().alias("is_new"),
+        )
+    )
+
+
+def _adamic_adar_sql() -> str:
+    from map_reduce_engine_cdps_spark.plans.dedup import MINHASH_LSH_PAIRS_SQL
+
+    return (
+        "WITH pairs AS MATERIALIZED ("
+        + MINHASH_LSH_PAIRS_SQL
+        + """),
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), wed AS (
+  SELECT e1.src AS v, e1.dst AS a, e2.dst AS b
+  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+), scored AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         round(sum(CAST(1.0 AS DOUBLE) / ln(deg.deg)), 4) AS aa_score
+  FROM wed JOIN deg ON wed.v = deg.src GROUP BY a, b
+)
+SELECT a AS doc_a, b AS doc_b, n_common, aa_score,
+       NOT EXISTS (
+         SELECT 1 FROM pairs p WHERE p.doc_a = s.a AND p.doc_b = s.b
+       ) AS is_new
+FROM scored s
+"""
+    )
+
+
+ADAMIC_ADAR_LINKS_SQL = _adamic_adar_sql

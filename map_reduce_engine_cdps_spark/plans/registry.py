@@ -848,6 +848,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         graph.kcore_membership,
         graph.KCORE_MEMBERSHIP_SQL,
     ),
+    # --- Adamic-Adar link prediction over the near-dup pair graph ---
+    "adamic_adar_links": (
+        graph.adamic_adar_links,
+        graph.ADAMIC_ADAR_LINKS_SQL,
+    ),
     # --- LSH candidate recall vs exact-Jaccard ground truth (sampled) ---
     "lsh_pair_recall_eval": (
         dedup.lsh_pair_recall_eval,
@@ -1107,6 +1112,7 @@ _PRIORITY_ORDER = [
     "customer_golden_records",
     "simhash_hamming_pairs",
     "ngram_novelty_scores",
+    "adamic_adar_links",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

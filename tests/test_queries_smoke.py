@@ -449,3 +449,40 @@ def test_ngram_novelty_conservation(spark, sf_dir):
         .count()
     )
     assert sum(r["n_novel"] for r in rows) == total_distinct
+
+
+def test_adamic_adar_matches_local_recompute(spark, sf_dir):
+    """AA scores recomputed locally from the LSH pair list (python
+    floats, same sum order irrelevance at round-4) must match the
+    distributed wedge join pair-for-pair."""
+    import math
+    from collections import defaultdict
+
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+    from map_reduce_engine_cdps_spark.plans.graph import adamic_adar_links
+
+    rows = adamic_adar_links(spark, sf_dir).collect()
+    assert rows
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expect = {}
+    for v, ns in nbrs.items():
+        for a in ns:
+            for b in ns:
+                if a < b:
+                    key = (a, b)
+                    expect.setdefault(key, [0, 0.0])
+                    expect[key][0] += 1
+                    expect[key][1] += 1.0 / math.log(len(nbrs[v]))
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, s = expect[(r["doc_a"], r["doc_b"])]
+        assert r["n_common"] == n
+        assert abs(r["aa_score"] - round(s, 4)) < 1e-9
+        assert r["is_new"] == ((r["doc_a"], r["doc_b"]) not in pairs)
