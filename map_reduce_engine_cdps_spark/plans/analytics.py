@@ -2557,3 +2557,71 @@ SELECT d.month, round(d.r, 2) AS revenue, round(d.trend, 2) AS trend,
        round(d.detrended - seas.seasonal, 2) AS residual
 FROM d JOIN seas USING (moy)
 """
+
+
+# rolling_zscore_anomalies — trailing-window anomaly detection on the
+# daily revenue series: z-score of each day against the mean/std of the
+# preceding ROLL_ZS_WINDOW days (the day itself excluded, so anomalies
+# don't mask themselves), flagging |z| > ROLL_ZS_THRESH. Variance comes
+# from windowed integer-count + sum + sum-of-squares with the SAME
+# explicit formula in both engines (stddev_samp implementations differ
+# by accumulation scheme; the explicit form doesn't). One ordered pass
+# over the O(days) series — the corpus-sized work is the daily groupBy.
+
+ROLL_ZS_WINDOW = 28
+ROLL_ZS_MIN_N = 14
+ROLL_ZS_THRESH = 2.5
+
+
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _daily_revenue(spark, sf_dir)
+    w = W.orderBy("day").rowsBetween(-ROLL_ZS_WINDOW, -1)
+    s = d.select(
+        "day",
+        "r",
+        F.count("r").over(w).alias("n"),
+        F.sum("r").over(w).alias("s1"),
+        F.sum(F.col("r") * F.col("r")).over(w).alias("s2"),
+    ).filter(F.col("n") >= ROLL_ZS_MIN_N)
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.when(var > 0, (F.col("r") - mu) / F.sqrt(var))
+    return (
+        s.withColumn("z", z)
+        .filter(F.abs("z") > ROLL_ZS_THRESH)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("r", 2).alias("revenue"),
+            F.round(mu, 2).alias("trail_mean"),
+            F.round("z", 4).alias("zscore"),
+        )
+    )
+
+
+ROLLING_ZSCORE_ANOMALIES_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+s AS (
+  SELECT day, r,
+         count(r) OVER w AS n,
+         sum(r) OVER w AS s1,
+         sum(r * r) OVER w AS s2
+  FROM d
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {ROLL_ZS_WINDOW} PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT day, r, n, s1 / n AS mu,
+         CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+              THEN (r - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+         END AS z
+  FROM s WHERE n >= {ROLL_ZS_MIN_N}
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(r, 2) AS revenue,
+       round(mu, 2) AS trail_mean,
+       round(z, 4) AS zscore
+FROM z WHERE abs(z) > {ROLL_ZS_THRESH}
+"""

@@ -731,6 +731,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "revenue_ewma": (analytics.revenue_ewma, analytics.REVENUE_EWMA_SQL),
     "revenue_holt": (analytics.revenue_holt, analytics.REVENUE_HOLT_SQL),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
+    "rolling_zscore_anomalies": (
+        analytics.rolling_zscore_anomalies,
+        analytics.ROLLING_ZSCORE_ANOMALIES_SQL,
+    ),
     # --- basket mining / clickstream paths ---
     "frequent_type_pairs": (
         analytics.frequent_type_pairs,
@@ -1113,6 +1117,7 @@ _PRIORITY_ORDER = [
     "simhash_hamming_pairs",
     "ngram_novelty_scores",
     "adamic_adar_links",
+    "rolling_zscore_anomalies",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

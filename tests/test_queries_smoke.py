@@ -486,3 +486,21 @@ def test_adamic_adar_matches_local_recompute(spark, sf_dir):
         assert r["n_common"] == n
         assert abs(r["aa_score"] - round(s, 4)) < 1e-9
         assert r["is_new"] == ((r["doc_a"], r["doc_b"]) not in pairs)
+
+
+def test_rolling_zscore_anomalies_sound(spark, sf_dir):
+    """Every flagged day exceeds the threshold, and the flag set is a
+    strict subset of the eligible (full-enough-window) days."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        ROLL_ZS_THRESH,
+        rolling_zscore_anomalies,
+        _daily_revenue,
+    )
+
+    rows = rolling_zscore_anomalies(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["zscore"]) > ROLL_ZS_THRESH - 1e-4
+        assert r["revenue"] != r["trail_mean"]
+    n_days = _daily_revenue(spark, sf_dir).count()
+    assert len(rows) < n_days
