@@ -1594,3 +1594,106 @@ SELECT golden_key,
 FROM comp JOIN customer cu USING (c_custkey)
 GROUP BY golden_key
 """
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs — the OTHER classic record-linkage blocking
+# paradigm (Hernandez & Stolfo's sorted-neighborhood method): sort the
+# records on a proximity key and compare each record only to its next
+# SN_WINDOW neighbors in sort order, instead of equi-joining on a block
+# key. Implemented as the blocked-SN variant: the sort runs WITHIN
+# (nation, segment) partitions, so the window pass is a standard
+# partitioned Spark window — never a global single-partition sort —
+# and each record emits exactly SN_WINDOW lead structs (candidate
+# generation is O(n·w), independent of value skew; contrast the grid
+# blocking in customer_record_linkage, where a hot balance bucket can
+# quadratically inflate a block). Same match predicates as the funnel
+# query, with levenshtein explicitly gated under the cheap balance
+# predicate (see _linkage_matched_pairs).
+# ---------------------------------------------------------------------------
+
+SN_WINDOW = 5
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    w = W.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "bal_cents", "c_custkey"
+    )
+    led = cust.select(
+        "c_custkey",
+        "c_name",
+        "bal_cents",
+        *[
+            c
+            for i in range(1, SN_WINDOW + 1)
+            for c in (
+                F.lead("c_custkey", i).over(w).alias(f"k{i}"),
+                F.lead("c_name", i).over(w).alias(f"nm{i}"),
+                F.lead("bal_cents", i).over(w).alias(f"bc{i}"),
+            )
+        ],
+    )
+    leads = led.select(
+        "c_custkey",
+        "c_name",
+        "bal_cents",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"k{i}").alias("k"),
+                        F.col(f"nm{i}").alias("nm"),
+                        F.col(f"bc{i}").alias("bc"),
+                    )
+                    for i in range(1, SN_WINDOW + 1)
+                ]
+            )
+        ).alias("nb"),
+    ).filter(F.col("nb.k").isNotNull())
+    bal_diff = F.abs(F.col("bal_cents") - F.col("nb.bc"))
+    matched = leads.filter(
+        F.when(
+            bal_diff <= LINK_MAX_BAL_DIFF_CENTS,
+            F.levenshtein(F.col("c_name"), F.col("nb.nm")),
+        )
+        <= LINK_MAX_EDIT
+    )
+    return matched.select(
+        F.least("c_custkey", "nb.k").alias("key_a"),
+        F.greatest("c_custkey", "nb.k").alias("key_b"),
+        F.levenshtein(F.col("c_name"), F.col("nb.nm"))
+        .cast("long")
+        .alias("edit_dist"),
+        bal_diff.alias("bal_diff_cents"),
+    )
+
+
+SORTED_NEIGHBORHOOD_PAIRS_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), o AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_nationkey, c_mktsegment
+    ORDER BY bal_cents, c_custkey) AS rn
+  FROM c
+)
+SELECT least(a.c_custkey, b.c_custkey) AS key_a,
+       greatest(a.c_custkey, b.c_custkey) AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+       CAST(abs(a.bal_cents - b.bal_cents) AS BIGINT) AS bal_diff_cents
+FROM o a JOIN o b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND b.rn - a.rn BETWEEN 1 AND {SN_WINDOW}
+WHERE abs(a.bal_cents - b.bal_cents) <= {LINK_MAX_BAL_DIFF_CENTS}
+  AND levenshtein(a.c_name, b.c_name) <= {LINK_MAX_EDIT}
+"""

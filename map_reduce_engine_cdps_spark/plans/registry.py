@@ -878,6 +878,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.customer_golden_records,
         dedup.CUSTOMER_GOLDEN_RECORDS_SQL,
     ),
+    # --- sorted-neighborhood blocking (Hernandez-Stolfo) ---
+    "sorted_neighborhood_pairs": (
+        dedup.sorted_neighborhood_pairs,
+        dedup.SORTED_NEIGHBORHOOD_PAIRS_SQL,
+    ),
 }
 
 
@@ -1118,6 +1123,7 @@ _PRIORITY_ORDER = [
     "ngram_novelty_scores",
     "adamic_adar_links",
     "rolling_zscore_anomalies",
+    "sorted_neighborhood_pairs",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -504,3 +504,28 @@ def test_rolling_zscore_anomalies_sound(spark, sf_dir):
         assert r["revenue"] != r["trail_mean"]
     n_days = _daily_revenue(spark, sf_dir).count()
     assert len(rows) < n_days
+
+
+def test_sorted_neighborhood_pairs_sound(spark, sf_dir):
+    """SN matches satisfy both predicates, pairs are key-ordered and
+    unique, and candidate generation is O(n*w): the pair count can
+    never exceed n_customers * SN_WINDOW."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        LINK_MAX_BAL_DIFF_CENTS,
+        LINK_MAX_EDIT,
+        SN_WINDOW,
+        sorted_neighborhood_pairs,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = sorted_neighborhood_pairs(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["key_a"] < r["key_b"]
+        assert r["edit_dist"] <= LINK_MAX_EDIT
+        assert r["bal_diff_cents"] <= LINK_MAX_BAL_DIFF_CENTS
+        seen.add((r["key_a"], r["key_b"]))
+    assert len(seen) == len(rows)
+    n = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) <= n * SN_WINDOW
