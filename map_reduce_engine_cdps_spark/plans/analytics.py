@@ -2625,3 +2625,100 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
        round(z, 4) AS zscore
 FROM z WHERE abs(z) > {ROLL_ZS_THRESH}
 """
+
+
+# ---------------------------------------------------------------------------
+# listagg_status_profile — Spark 4.0's ANSI listagg aggregate (string
+# concatenation with WITHIN GROUP ordering and DISTINCT): the ordered,
+# deduplicated status roster per order priority. Deterministic because
+# the WITHIN GROUP order fully orders the distinct values. The oracle
+# is DuckDB string_agg over a pre-deduplicated subquery — proving the
+# new builtin against the portable formulation. Like any collect-to-
+# string aggregate it is only safe where the per-group distinct domain
+# is bounded (3 statuses here); unbounded-domain roll-ups belong in
+# collect_list-free designs.
+# ---------------------------------------------------------------------------
+
+
+def listagg_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+LISTAGG_STATUS_PROFILE_SQL = """
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+), s AS (
+  SELECT o_orderpriority,
+         string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+  FROM d GROUP BY o_orderpriority
+), n AS (
+  SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT s.o_orderpriority, statuses, n_orders
+FROM s JOIN n ON s.o_orderpriority = n.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# try_arith_audit — Spark 4 `try_` error-safe expression family
+# (try_divide, try_element_at): errors become NULLs instead of task
+# failures, the right posture for dirty data at scale (one malformed
+# row cannot kill a 1000-executor stage). The audit counts NULLified
+# rows per returnflag and reports order-free extremes of the surviving
+# values. Oracle: explicit CASE guards — proving try_ semantics equal
+# the guarded classic formulation.
+# ---------------------------------------------------------------------------
+
+
+def try_arith_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+    # data-dependent index: l_linenumber in 1..7 against a 3-part date
+    # split — try_element_at NULLs the out-of-range rows
+    part = F.try_element_at(
+        F.split(F.col("l_shipdate").cast("string"), "-"),
+        F.col("l_linenumber").cast("int"),
+    )
+    return (
+        li.select("l_returnflag", ratio.alias("ratio"), part.alias("w3"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_div_null"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+            F.sum(F.when(F.col("w3").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad_idx"),
+        )
+    )
+
+
+TRY_ARITH_AUDIT_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_null,
+       round(min(CASE WHEN l_quantity <> 25
+                      THEN l_extendedprice / (l_quantity - 25) END), 4)
+         AS min_ratio,
+       round(max(CASE WHEN l_quantity <> 25
+                      THEN l_extendedprice / (l_quantity - 25) END), 4)
+         AS max_ratio,
+       CAST(sum(CASE WHEN l_linenumber > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_idx
+FROM lineitem
+GROUP BY l_returnflag
+"""

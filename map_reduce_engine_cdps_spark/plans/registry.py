@@ -612,6 +612,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.SQL_VARIABLE_PRICEY_PARTS_SQL,
     ),
     # Spark 4 SQL pipe syntax (|> operators) vs classic formulation
+    "listagg_status_profile": (
+        analytics.listagg_status_profile,
+        analytics.LISTAGG_STATUS_PROFILE_SQL,
+    ),
+    "try_arith_audit": (
+        analytics.try_arith_audit,
+        analytics.TRY_ARITH_AUDIT_SQL,
+    ),
     "pipe_syntax_flag_counts": (analytics.pipe_syntax_flag_counts, analytics.PIPE_SYNTAX_FLAG_COUNTS_SQL),
     "locf_event_values": (
         analytics.locf_event_values,
@@ -1124,6 +1132,8 @@ _PRIORITY_ORDER = [
     "adamic_adar_links",
     "rolling_zscore_anomalies",
     "sorted_neighborhood_pairs",
+    "listagg_status_profile",
+    "try_arith_audit",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (
