@@ -886,6 +886,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.customer_golden_records,
         dedup.CUSTOMER_GOLDEN_RECORDS_SQL,
     ),
+    # --- JL random projection distance-preservation audit ---
+    "jl_distance_distortion": (
+        similarity.jl_distance_distortion,
+        similarity.JL_DISTANCE_DISTORTION_SQL,
+    ),
     # --- sorted-neighborhood blocking (Hernandez-Stolfo) ---
     "sorted_neighborhood_pairs": (
         dedup.sorted_neighborhood_pairs,
@@ -1134,6 +1139,7 @@ _PRIORITY_ORDER = [
     "sorted_neighborhood_pairs",
     "listagg_status_profile",
     "try_arith_audit",
+    "jl_distance_distortion",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

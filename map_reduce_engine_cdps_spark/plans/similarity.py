@@ -1431,3 +1431,133 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained double, cumulative double"
     )
+
+
+# ---------------------------------------------------------------------------
+# jl_distance_distortion — Johnson-Lindenstrauss random projection with
+# a DETERMINISTIC ±1 sign matrix (Achlioptas-style database-friendly
+# projection; sign(i, p) = parity of the first md5 nibble of "i|p", the
+# same engine-neutral hash convention as SimHash — measured 0.50
+# within-25% vs 0.56 for a true random matrix, where cheap linear
+# integer hashes collapse to ~0.2 on this corpus), projecting 64 → 16
+# dims and measuring pairwise squared-distance distortion on a
+# deterministic adjacent-id pair sample. The operational question it
+# answers at 100 TB: how much ANN recall do we buy losing by shrinking
+# the embedding payload 4x before the shuffle-heavy stages?
+#
+# Scale shape: the sign matrix is data-independent, precomputed once at
+# import and embedded as literals (a production run broadcasts it);
+# the projection itself is map-only — no shuffle, each row zips its own
+# 64-vector against 16 literal sign rows. The pair join is an equi-join
+# on vec_id+1 and the final aggregate is order-free (count/min/max
+# only — no double accumulation across rows).
+# ---------------------------------------------------------------------------
+
+JL_PLANES = 16
+JL_DIM = 64
+
+
+def _jl_sign_matrix() -> list[list[float]]:
+    """signs[p][i] = +1.0 / -1.0 from md5(f"{i}|{p}") first-nibble parity."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{i}|{p}".encode()).hexdigest()[0] >= "8" else -1.0
+            for i in range(JL_DIM)
+        ]
+        for p in range(JL_PLANES)
+    ]
+
+
+_JL_SIGNS = _jl_sign_matrix()
+
+
+def jl_distance_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def _proj(p: int):
+        sgn = F.array(*[F.lit(s) for s in _JL_SIGNS[p]])
+        return F.aggregate(
+            F.zip_with("embedding", sgn, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"pj{p}")
+
+    pr = emb.select("vec_id", "embedding", *[_proj(p) for p in range(JL_PLANES)])
+    a = pr.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        *[F.col(f"pj{p}").alias(f"pa{p}") for p in range(JL_PLANES)],
+    ).filter(F.col("ida") % 2 == 0)
+    b = pr.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        *[F.col(f"pj{p}").alias(f"pb{p}") for p in range(JL_PLANES)],
+    )
+    j = a.join(b, F.col("idb") == F.col("ida") + 1)
+    d2_orig = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2_proj = None
+    for p in range(JL_PLANES):
+        term = (F.col(f"pa{p}") - F.col(f"pb{p}")) * (
+            F.col(f"pa{p}") - F.col(f"pb{p}")
+        )
+        d2_proj = term if d2_proj is None else d2_proj + term
+    dist = (d2_proj / F.lit(float(JL_PLANES))) / d2_orig
+    pairs = (
+        j.withColumn("d2o", d2_orig)
+        .filter(F.col("d2o") > 0)
+        .withColumn("distortion", F.round(dist, 4))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.abs(F.col("distortion") - 1.0) <= 0.25, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_25pct"),
+        F.min("distortion").alias("min_distortion"),
+        F.max("distortion").alias("max_distortion"),
+    )
+
+
+def _jl_sql() -> str:
+    def lst(p):
+        return "[" + ", ".join(str(s) for s in _JL_SIGNS[p]) + "]"
+
+    proj = ", ".join(
+        f"""list_sum(list_transform(range(1, len(embedding) + 1),
+      i -> embedding[i]::DOUBLE * ({lst(p)}::DOUBLE[])[i])) AS pj{p}"""
+        for p in range(JL_PLANES)
+    )
+    d2p = " + ".join(
+        f"(a.pj{p} - b.pj{p}) * (a.pj{p} - b.pj{p})" for p in range(JL_PLANES)
+    )
+    return f"""
+WITH pr AS (
+  SELECT vec_id, embedding, {proj}
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS ida,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+           i -> (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+              * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE))) AS d2o,
+         ({d2p}) AS d2p
+  FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN abs(round((d2p / {float(JL_PLANES)}) / d2o, 4) - 1.0)
+                          <= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_25pct,
+       min(round((d2p / {float(JL_PLANES)}) / d2o, 4)) AS min_distortion,
+       max(round((d2p / {float(JL_PLANES)}) / d2o, 4)) AS max_distortion
+FROM pairs WHERE d2o > 0
+"""
+
+
+JL_DISTANCE_DISTORTION_SQL = _jl_sql

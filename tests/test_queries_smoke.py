@@ -529,3 +529,18 @@ def test_sorted_neighborhood_pairs_sound(spark, sf_dir):
     assert len(seen) == len(rows)
     n = load_table(spark, sf_dir, "customer").count()
     assert len(rows) <= n * SN_WINDOW
+
+
+def test_jl_distortion_preserves_distances(spark, sf_dir):
+    """The JL guarantee, empirically: most sampled pairs land near
+    distortion 1 and the extremes stay within a loose [0.2, 5] band
+    (16 planes is a coarse sketch; catastrophic collapse would show
+    as ~0 or ~inf)."""
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        jl_distance_distortion,
+    )
+
+    r = jl_distance_distortion(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] > 0
+    assert r["n_within_25pct"] >= r["n_pairs"] * 0.4
+    assert 0.1 <= r["min_distortion"] <= r["max_distortion"] <= 5.0
