@@ -401,3 +401,87 @@ FROM scored s
 
 
 ADAMIC_ADAR_LINKS_SQL = _adamic_adar_sql
+
+
+# ---------------------------------------------------------------------------
+# clustering_coefficients — per-node local clustering coefficient over
+# the near-dup candidate graph: c(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+# T(v) from the same oriented-wedge triangle join as
+# dup_graph_triangles (each a<b<c triangle credits all three corners).
+# In a dedup pipeline, coefficient ~1 marks tight duplicate cliques
+# (template spam — safe to collapse aggressively) vs chain-shaped
+# clusters (drift — needs the verification pass). Engine extension.
+#
+# Scale: one wedge join (degree-bounded by the upstream bucket cap) +
+# one explode(3)/vertex aggregate; output O(V). Coefficients are exact
+# integer ratios, divided once and rounded identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    edges = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    tcnt = (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    und = edges.select(F.col("doc_a").alias("doc_id")).union(
+        edges.select(F.col("doc_b"))
+    )
+    deg = und.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.round(
+                F.coalesce("n_tri", F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ).alias("coeff"),
+        )
+    )
+
+
+def _clustering_coefficients_sql() -> str:
+    from map_reduce_engine_cdps_spark.plans.dedup import MINHASH_LSH_PAIRS_SQL
+
+    return (
+        "WITH pairs AS MATERIALIZED ("
+        + MINHASH_LSH_PAIRS_SQL
+        + """),
+tris AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), tcnt AS (
+  SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT unnest([a, b, c]) AS v FROM tris) GROUP BY v
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY doc_id
+)
+SELECT deg.doc_id, degree,
+       coalesce(n_tri, 0) AS n_tri,
+       round(coalesce(n_tri, 0) * 2.0 / (degree * (degree - 1)), 4) AS coeff
+FROM deg LEFT JOIN tcnt ON deg.doc_id = tcnt.doc_id
+WHERE degree >= 2
+"""
+    )
+
+
+CLUSTERING_COEFFICIENTS_SQL = _clustering_coefficients_sql

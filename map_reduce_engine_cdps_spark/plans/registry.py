@@ -865,6 +865,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         graph.adamic_adar_links,
         graph.ADAMIC_ADAR_LINKS_SQL,
     ),
+    # --- per-node clustering coefficients (clique vs chain diagnosis) ---
+    "clustering_coefficients": (
+        graph.clustering_coefficients,
+        graph.CLUSTERING_COEFFICIENTS_SQL,
+    ),
     # --- LSH candidate recall vs exact-Jaccard ground truth (sampled) ---
     "lsh_pair_recall_eval": (
         dedup.lsh_pair_recall_eval,
@@ -1140,6 +1145,7 @@ _PRIORITY_ORDER = [
     "listagg_status_profile",
     "try_arith_audit",
     "jl_distance_distortion",
+    "clustering_coefficients",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

