@@ -485,3 +485,84 @@ WHERE degree >= 2
 
 
 CLUSTERING_COEFFICIENTS_SQL = _clustering_coefficients_sql
+
+
+# ---------------------------------------------------------------------------
+# label_propagation_communities — community detection by SYNCHRONOUS
+# label propagation (Raghavan et al. 2007) over the near-dup candidate
+# graph, made fully deterministic: every round, each vertex adopts the
+# most frequent label among its neighbors' previous-round labels, ties
+# broken by minimum label; fixed _LPA_ROUNDS rounds. Unlike connected
+# components (which merges everything reachable), LPA splits chain-
+# connected blobs at their thin cuts — the finer-grained community
+# view a steward wants when a dedup cluster mixes two template
+# families bridged by one ambiguous pair.
+#
+# Scale: each round is one edge⋈label join + a (vertex, label) count +
+# a per-vertex argmax — all map-side-combinable hash aggregates on
+# O(E)/O(V) tables; label state is localCheckpointed per round so plan
+# depth stays constant (the CC lesson: multi-join rounds need
+# per-round truncation). Oracle: mechanically unrolled rounds with an
+# explicit row_number argmax (DuckDB arg_max leaves ties unspecified).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    )
+    for _ in range(_LPA_ROUNDS):
+        nbr = e.join(labels, e.dst == labels.v).select("src", "lbl")
+        cnt = nbr.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = cnt.groupBy("src").agg(
+            F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
+        ).select(F.col("src").alias("v"), "lbl").localCheckpoint(eager=True)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("v").alias("min_member"),
+    )
+
+
+def _lpa_sql() -> str:
+    from map_reduce_engine_cdps_spark.plans.dedup import MINHASH_LSH_PAIRS_SQL
+
+    sql = [
+        "WITH pairs AS MATERIALIZED (" + MINHASH_LSH_PAIRS_SQL + "),",
+        "e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs),",
+        "l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e)",
+    ]
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        sql.append(
+            f""", c{r} AS MATERIALIZED (
+  SELECT e.src, {prev}.lbl, count(*) AS cnt
+  FROM e JOIN {prev} ON e.dst = {prev}.v
+  GROUP BY e.src, {prev}.lbl
+), l{r} AS MATERIALIZED (
+  SELECT src AS v, lbl FROM (
+    SELECT src, lbl,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"l{r}"
+    sql.append(
+        f"""
+SELECT lbl AS community, count(*) AS n_members, min(v) AS min_member
+FROM {prev} GROUP BY lbl"""
+    )
+    return "\n".join(sql)
+
+
+LABEL_PROPAGATION_COMMUNITIES_SQL = _lpa_sql

@@ -870,6 +870,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         graph.clustering_coefficients,
         graph.CLUSTERING_COEFFICIENTS_SQL,
     ),
+    # --- deterministic synchronous label propagation communities ---
+    "label_propagation_communities": (
+        graph.label_propagation_communities,
+        graph.LABEL_PROPAGATION_COMMUNITIES_SQL,
+    ),
     # --- LSH candidate recall vs exact-Jaccard ground truth (sampled) ---
     "lsh_pair_recall_eval": (
         dedup.lsh_pair_recall_eval,
@@ -1146,6 +1151,7 @@ _PRIORITY_ORDER = [
     "try_arith_audit",
     "jl_distance_distortion",
     "clustering_coefficients",
+    "label_propagation_communities",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -557,3 +557,24 @@ def test_clustering_coefficients_bounds(spark, sf_dir):
         assert r["degree"] >= 2
         assert 0 <= r["n_tri"] <= r["degree"] * (r["degree"] - 1) // 2
         assert 0.0 <= r["coeff"] <= 1.0
+
+
+def test_lpa_deterministic_on_fixture(spark, sf_dir):
+    """Synchronous LPA with min tie-break is fully deterministic: two
+    independent runs over the same graph produce identical communities,
+    and every community is non-empty."""
+    from map_reduce_engine_cdps_spark.plans.graph import (
+        label_propagation_communities,
+    )
+
+    rows1 = sorted(
+        (r["community"], r["n_members"], r["min_member"])
+        for r in label_propagation_communities(spark, sf_dir).collect()
+    )
+    rows2 = sorted(
+        (r["community"], r["n_members"], r["min_member"])
+        for r in label_propagation_communities(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2
+    assert rows1
+    assert sum(n for _, n, _ in rows1) >= len(rows1)
