@@ -2722,3 +2722,95 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# holt_winters_revenue — additive Holt-Winters (level + trend + weekly
+# seasonality, m=7) over the daily revenue series, completing the ETS
+# family next to revenue_ewma (SES) and revenue_holt (trend).
+# Initialization: level = mean of the first week, trend = 0, seasonal
+# s_j = y_j − level; the fold consumes days 8..n. Like revenue_holt the
+# recursion is a single-row Spark `aggregate` HOF over the collected
+# O(days) array (driver never loops; one job), with the day counter
+# threaded through the accumulator so the seasonal slot (i mod 7)
+# advances inside the fold. Oracle: recursive CTE carrying the seasonal
+# state as a LIST column (a list_reduce fold is unsafe — DuckDB 1.0
+# evaluates result-struct fields against a mutated accumulator, see
+# revenue_holt). Smoothing constants are exactly-representable decimal
+# literals so both engines parse identical doubles.
+# ---------------------------------------------------------------------------
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+
+
+def holt_winters_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_revenue(spark, sf_dir)
+    series = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "r"))), lambda x: x.r
+        ).alias("arr")
+    )
+    a, b, g = _HW_A, _HW_B, _HW_G
+    l0 = "((" + " + ".join(f"element_at(arr, {j})" for j in range(1, 8)) + ") / 7.0)"
+    lvl = (
+        f"({a} * (x - element_at(acc.s, cast(acc.i % 7 as int) + 1))"
+        f" + {1 - a} * (acc.l + acc.b))"
+    )
+    fold = F.expr(
+        "aggregate("
+        "  slice(arr, 8, size(arr) - 7),"
+        f" named_struct('i', 7, 'l', {l0}, 'b', cast(0.0 as double),"
+        f"   's', transform(slice(arr, 1, 7), v -> v - {l0})),"
+        f" (acc, x) -> named_struct("
+        f"   'i', acc.i + 1,"
+        f"   'l', {lvl},"
+        f"   'b', {b} * ({lvl} - acc.l) + {1 - b} * acc.b,"
+        f"   's', transform(acc.s, (v, j) -> CASE"
+        f"          WHEN j = cast(acc.i % 7 as int)"
+        f"          THEN {g} * (x - {lvl}) + {1 - g} * v ELSE v END)))"
+    )
+    out = series.select(F.size("arr").alias("n_days"), fold.alias("st"))
+    nxt = F.element_at("st.s", (F.col("n_days") % 7 + 1).cast("int"))
+    return out.select(
+        "n_days",
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b") + nxt, 4).alias("forecast_next"),
+        *[
+            F.round(F.element_at("st.s", j + 1), 4).alias(f"s{j}")
+            for j in range(7)
+        ],
+    )
+
+
+def _holt_winters_sql() -> str:
+    a, b, g = _HW_A, _HW_B, _HW_G
+    l0 = "((" + " + ".join(f"arr[{j}]" for j in range(1, 8)) + ") / 7.0)"
+    lvl = f"({a} * (arr[i + 1] - s[(i % 7) + 1]) + {1 - a} * (l + b))"
+    s_cols = ", ".join(f"round(s[{j + 1}], 4) AS s{j}" for j in range(7))
+    return f"""
+WITH RECURSIVE d AS ({_DAILY_SQL}),
+arrs AS (SELECT list(r ORDER BY day) AS arr FROM d),
+hw(i, l, b, s) AS (
+  SELECT 7, {l0}, 0.0::DOUBLE,
+         list_transform(range(1, 8), j -> arr[j] - {l0})
+  FROM arrs
+  UNION ALL
+  SELECT i + 1,
+         {lvl},
+         {b} * ({lvl} - l) + {1 - b} * b,
+         list_transform(range(1, 8), j -> CASE
+           WHEN j = (i % 7) + 1
+           THEN {g} * (arr[i + 1] - {lvl}) + {1 - g} * s[j] ELSE s[j] END)
+  FROM hw, arrs WHERE i < len(arr)
+)
+SELECT (SELECT len(arr) FROM arrs) AS n_days,
+       round(l, 4) AS level, round(b, 4) AS trend,
+       round(l + b + s[((SELECT len(arr) FROM arrs) % 7) + 1], 4)
+         AS forecast_next,
+       {s_cols}
+FROM hw WHERE i = (SELECT len(arr) FROM arrs)
+"""
+
+
+HOLT_WINTERS_REVENUE_SQL = _holt_winters_sql()

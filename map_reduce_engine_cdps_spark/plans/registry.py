@@ -738,6 +738,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "revenue_acf": (analytics.revenue_acf, analytics.REVENUE_ACF_SQL),
     "revenue_ewma": (analytics.revenue_ewma, analytics.REVENUE_EWMA_SQL),
     "revenue_holt": (analytics.revenue_holt, analytics.REVENUE_HOLT_SQL),
+    "holt_winters_revenue": (
+        analytics.holt_winters_revenue,
+        analytics.HOLT_WINTERS_REVENUE_SQL,
+    ),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     "rolling_zscore_anomalies": (
         analytics.rolling_zscore_anomalies,
@@ -1152,6 +1156,7 @@ _PRIORITY_ORDER = [
     "jl_distance_distortion",
     "clustering_coefficients",
     "label_propagation_communities",
+    "holt_winters_revenue",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -578,3 +578,37 @@ def test_lpa_deterministic_on_fixture(spark, sf_dir):
     assert rows1 == rows2
     assert rows1
     assert sum(n for _, n, _ in rows1) >= len(rows1)
+
+
+def test_holt_winters_matches_local_recompute(spark, sf_dir):
+    """Bit-parity of the single-row HOF fold against a plain Python
+    recurrence over the same collected daily series."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        _HW_A,
+        _HW_B,
+        _HW_G,
+        _daily_revenue,
+        holt_winters_revenue,
+    )
+
+    got = holt_winters_revenue(spark, sf_dir).collect()[0]
+    series = [
+        r["r"]
+        for r in _daily_revenue(spark, sf_dir).orderBy("day").collect()
+    ]
+    assert got["n_days"] == len(series)
+    l = sum(series[:7][j] for j in range(7)) / 7.0
+    b = 0.0
+    s = [series[j] - l for j in range(7)]
+    for i in range(7, len(series)):
+        x = series[i]
+        idx = i % 7
+        lvl = _HW_A * (x - s[idx]) + (1 - _HW_A) * (l + b)
+        b = _HW_B * (lvl - l) + (1 - _HW_B) * b
+        s[idx] = _HW_G * (x - lvl) + (1 - _HW_G) * s[idx]
+        l = lvl
+    assert abs(got["level"] - round(l, 4)) < 1e-6
+    assert abs(got["trend"] - round(b, 4)) < 1e-6
+    assert abs(got["forecast_next"] - round(l + b + s[len(series) % 7], 4)) < 1e-6
+    for j in range(7):
+        assert abs(got[f"s{j}"] - round(s[j], 4)) < 1e-6
