@@ -2814,3 +2814,74 @@ FROM hw WHERE i = (SELECT len(arr) FROM arrs)
 
 
 HOLT_WINTERS_REVENUE_SQL = _holt_winters_sql()
+
+
+# ---------------------------------------------------------------------------
+# segment_nation_mi — mutual information (and normalized MI) between
+# two categorical columns, the information-theoretic companion to
+# brand_nation_chi2: how much does knowing a customer's market segment
+# tell you about their nation? Per-cell terms are computed from exact
+# integer counts (c·N / (cx·cy) inside the log), so only the final
+# O(|X|·|Y|)-cell summation is floating point — the same exposure the
+# certified chi2 query carries. Three hash aggregates (cells + two
+# margins), margins broadcast back onto the bounded cell table.
+# ---------------------------------------------------------------------------
+
+
+def segment_nation_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    n = cust.count()
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mx = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cx"))
+    my = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cy"))
+    j = cells.join(F.broadcast(mx), "c_mktsegment").join(
+        F.broadcast(my), "c_nationkey"
+    )
+    nn = float(n)
+    mi_term = (F.col("c") / nn) * F.log(
+        F.col("c") * nn / (F.col("cx") * F.col("cy"))
+    )
+    hx = mx.agg(
+        (-F.sum((F.col("cx") / nn) * F.log(F.col("cx") / nn))).alias("h")
+    ).collect()[0]["h"]
+    hy = my.agg(
+        (-F.sum((F.col("cy") / nn) * F.log(F.col("cy") / nn))).alias("h")
+    ).collect()[0]["h"]
+    return j.agg(
+        F.lit(n).alias("n_rows"),
+        F.round(F.sum(mi_term), 4).alias("mi_nats"),
+        F.round(F.lit(hx), 4).alias("h_segment"),
+        F.round(F.lit(hy), 4).alias("h_nation"),
+        F.round(F.sum(mi_term) / F.lit((hx * hy) ** 0.5), 4).alias("nmi"),
+    )
+
+
+SEGMENT_NATION_MI_SQL = """
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+                  count(*) AS n_rows FROM customer),
+cells AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS c
+  FROM customer GROUP BY 1, 2
+),
+mx AS (SELECT c_mktsegment, count(*) AS cx FROM customer GROUP BY 1),
+my AS (SELECT c_nationkey, count(*) AS cy FROM customer GROUP BY 1),
+hx AS (SELECT -sum((cx / nn) * ln(cx / nn)) AS h FROM mx, n),
+hy AS (SELECT -sum((cy / nn) * ln(cy / nn)) AS h FROM my, n),
+mi AS (
+  SELECT sum((c / nn) * ln(c * nn / (cx * CAST(cy AS DOUBLE)))) AS mi_nats
+  FROM cells
+  JOIN mx USING (c_mktsegment)
+  JOIN my USING (c_nationkey)
+  CROSS JOIN n
+)
+SELECT n.n_rows AS n_rows,
+       round(mi_nats, 4) AS mi_nats,
+       round(hx.h, 4) AS h_segment,
+       round(hy.h, 4) AS h_nation,
+       round(mi_nats / sqrt(hx.h * hy.h), 4) AS nmi
+FROM mi, hx, hy, n
+"""

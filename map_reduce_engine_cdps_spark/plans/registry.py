@@ -742,6 +742,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.holt_winters_revenue,
         analytics.HOLT_WINTERS_REVENUE_SQL,
     ),
+    "segment_nation_mi": (
+        analytics.segment_nation_mi,
+        analytics.SEGMENT_NATION_MI_SQL,
+    ),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     "rolling_zscore_anomalies": (
         analytics.rolling_zscore_anomalies,
@@ -1157,6 +1161,7 @@ _PRIORITY_ORDER = [
     "clustering_coefficients",
     "label_propagation_communities",
     "holt_winters_revenue",
+    "segment_nation_mi",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -612,3 +612,15 @@ def test_holt_winters_matches_local_recompute(spark, sf_dir):
     assert abs(got["forecast_next"] - round(l + b + s[len(series) % 7], 4)) < 1e-6
     for j in range(7):
         assert abs(got[f"s{j}"] - round(s[j], 4)) < 1e-6
+
+
+def test_mutual_information_bounds(spark, sf_dir):
+    """0 <= MI <= min(H(X), H(Y)); NMI in [0, 1]; entropies positive
+    for the multi-valued columns."""
+    from map_reduce_engine_cdps_spark.plans.analytics import segment_nation_mi
+
+    r = segment_nation_mi(spark, sf_dir).collect()[0]
+    assert r["n_rows"] > 0
+    assert r["h_segment"] > 0 and r["h_nation"] > 0
+    assert -1e-4 <= r["mi_nats"] <= min(r["h_segment"], r["h_nation"]) + 1e-4
+    assert -1e-4 <= r["nmi"] <= 1 + 1e-4
