@@ -909,6 +909,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.jl_distance_distortion,
         similarity.JL_DISTANCE_DISTORTION_SQL,
     ),
+    # --- density-based clustering over the near-dup neighbor relation ---
+    "dbscan_clusters": (
+        similarity.dbscan_clusters,
+        similarity.DBSCAN_CLUSTERS_SQL,
+    ),
     # --- sorted-neighborhood blocking (Hernandez-Stolfo) ---
     "sorted_neighborhood_pairs": (
         dedup.sorted_neighborhood_pairs,
@@ -1162,6 +1167,7 @@ _PRIORITY_ORDER = [
     "label_propagation_communities",
     "holt_winters_revenue",
     "segment_nation_mi",
+    "dbscan_clusters",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -1561,3 +1561,107 @@ FROM pairs WHERE d2o > 0
 
 
 JL_DISTANCE_DISTORTION_SQL = _jl_sql
+
+
+# ---------------------------------------------------------------------------
+# dbscan_clusters — density-based clustering (DBSCAN, Ester et al. 1996)
+# over the embedding corpus, with the eps-neighborhood relation REUSING
+# the bucketed near-dup pair front (cos_sim >= NEAR_DUP_COS): core
+# points have >= DBSCAN_MIN_PTS neighbors, clusters are connected
+# components of the core-core subgraph, border points attach to the
+# MINIMUM cluster id among their core neighbors (classic DBSCAN leaves
+# border assignment scan-order-dependent; the min rule makes it
+# deterministic and oracle-checkable), everything else is noise.
+#
+# Scale shape: neighbor generation is the plan-gated LSH bucket join
+# (embeddings cross one exchange); everything after moves (vec_id,
+# vec_id) scalars — degree count, core filter, the O(log n)-round CC
+# loop, and one attach join. Output is the per-vector assignment table,
+# the same grain as near_dup_clusters.
+# ---------------------------------------------------------------------------
+
+DBSCAN_MIN_PTS = 3
+
+
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import connected_components
+
+    pairs = (
+        embedding_near_dup(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
+    e = pairs.select(F.col("vec_a").alias("v"), F.col("vec_b").alias("nbr")).union(
+        pairs.select(F.col("vec_b"), F.col("vec_a"))
+    )
+    deg = e.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    core = deg.filter(F.col("c") >= DBSCAN_MIN_PTS).select("v")
+    ce = (
+        pairs.join(core.withColumnRenamed("v", "vec_a"), "vec_a", "left_semi")
+        .join(core.withColumnRenamed("v", "vec_b"), "vec_b", "left_semi")
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    comp = connected_components(
+        core.select(F.col("v").alias("doc_id")), ce
+    ).select(F.col("doc_id").alias("cv"), F.col("comp").alias("ccomp"))
+    border = (
+        e.join(core.withColumnRenamed("v", "nbr_is_core").alias("k"),
+               F.col("nbr") == F.col("k.nbr_is_core"), "left_semi")
+        .join(core, "v", "left_anti")
+        .join(comp, F.col("nbr") == F.col("cv"))
+        .groupBy("v")
+        .agg(F.min("ccomp").alias("bcomp"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        emb.join(comp, emb.vec_id == comp.cv, "left")
+        .join(border, emb.vec_id == border.v, "left")
+        .select(
+            "vec_id",
+            F.when(F.col("ccomp").isNotNull(), "core")
+            .when(F.col("bcomp").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("ccomp", "bcomp", F.lit(-1).cast("long")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
+DBSCAN_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + EMBEDDING_NEAR_DUP_SQL
+    + f"""),
+e AS (
+  SELECT vec_a AS v, vec_b AS nbr FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+), deg AS (
+  SELECT v, count(*) AS c FROM e GROUP BY v
+), core AS (
+  SELECT v FROM deg WHERE c >= {DBSCAN_MIN_PTS}
+), ce AS (
+  SELECT e.v AS src, e.nbr AS dst FROM e
+  WHERE e.v IN (SELECT v FROM core) AND e.nbr IN (SELECT v FROM core)
+), reach(v, r) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT ce.dst, reach.r FROM reach JOIN ce ON ce.src = reach.v
+), comp AS (
+  SELECT v, min(r) AS ccomp FROM reach GROUP BY v
+), border AS (
+  SELECT e.v, min(comp.ccomp) AS bcomp
+  FROM e JOIN comp ON e.nbr = comp.v
+  WHERE e.v NOT IN (SELECT v FROM core)
+  GROUP BY e.v
+)
+SELECT emb.vec_id,
+       CASE WHEN comp.ccomp IS NOT NULL THEN 'core'
+            WHEN border.bcomp IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(comp.ccomp, border.bcomp, -1) AS BIGINT) AS cluster_id
+FROM embeddings emb
+LEFT JOIN comp ON emb.vec_id = comp.v
+LEFT JOIN border ON emb.vec_id = border.v
+"""
+)

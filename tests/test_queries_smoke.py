@@ -624,3 +624,24 @@ def test_mutual_information_bounds(spark, sf_dir):
     assert r["h_segment"] > 0 and r["h_nation"] > 0
     assert -1e-4 <= r["mi_nats"] <= min(r["h_segment"], r["h_nation"]) + 1e-4
     assert -1e-4 <= r["nmi"] <= 1 + 1e-4
+
+
+def test_dbscan_roles_consistent(spark, sf_dir):
+    """DBSCAN invariants: every vector labeled; noise has cluster -1
+    and nothing else does; every cluster id is one of its own core
+    members (min-label CC); border points never form clusters alone."""
+    from map_reduce_engine_cdps_spark.plans.similarity import dbscan_clusters
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = dbscan_clusters(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    roles = {r["role"] for r in rows}
+    assert roles <= {"core", "border", "noise"}
+    core_ids = {r["vec_id"] for r in rows if r["role"] == "core"}
+    for r in rows:
+        if r["role"] == "noise":
+            assert r["cluster_id"] == -1
+        else:
+            assert r["cluster_id"] >= 0
+            assert r["cluster_id"] in core_ids
