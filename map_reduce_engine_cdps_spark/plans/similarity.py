@@ -1595,11 +1595,22 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("vec_b"), F.col("vec_a"))
     )
     deg = e.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    core = deg.filter(F.col("c") >= DBSCAN_MIN_PTS).select("v")
+    # Eager-checkpoint the CC inputs: their lineage is FAT (Arrow-UDF
+    # pair front + two semi-joins), and the propagation loop re-plans
+    # its whole input tree every round — measured 2.1→13.2 s/round
+    # plan-growth blowup by round 4 at sf0.1 without this, 0.3 s/round
+    # with it (the checkpoint-cadence lesson from the CC rework, applied
+    # caller-side: truncate BEFORE the loop when the base plan is deep).
+    core = (
+        deg.filter(F.col("c") >= DBSCAN_MIN_PTS)
+        .select("v")
+        .localCheckpoint(eager=True)
+    )
     ce = (
         pairs.join(core.withColumnRenamed("v", "vec_a"), "vec_a", "left_semi")
         .join(core.withColumnRenamed("v", "vec_b"), "vec_b", "left_semi")
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(
         core.select(F.col("v").alias("doc_id")), ce
