@@ -2885,3 +2885,61 @@ SELECT n.n_rows AS n_rows,
        round(mi_nats / sqrt(hx.h * hy.h), 4) AS nmi
 FROM mi, hx, hy, n
 """
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend — robust trend estimation on daily revenue: the
+# Theil-Sen estimator (median of all pairwise slopes) shrugs off the
+# outlier days that bend least-squares (regr_price_qty's method). The
+# O(days²) pair space is generated DISTRIBUTED (self-join on day index,
+# i < j — ~2.9 M slope rows for 7 years of days, trivially partitioned)
+# and the median is the exact lower-middle element by row_number, not
+# an interpolated percentile (interpolation arithmetic differs across
+# engines; picking a concrete element is engine-proof). Days are dense
+# integers from prefix row_number so slopes divide by exact integer
+# gaps. Corpus-sized work stays in the daily groupBy; the pair join is
+# bounded by days², independent of row count.
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _daily_revenue(spark, sf_dir).select(
+        F.row_number().over(W.orderBy("day")).alias("i"), "r"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        (
+            (F.col("b.r") - F.col("a.r"))
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("s")
+    )
+    w = W.orderBy("s")
+    ranked = slopes.select(
+        "s", F.row_number().over(w).alias("rn")
+    )
+    n = slopes.count()
+    mid = (n + 1) // 2
+    return ranked.filter(F.col("rn") == mid).select(
+        F.lit(n).alias("n_pairs"),
+        F.round("s", 6).alias("slope_per_day"),
+    )
+
+
+THEIL_SEN_TREND_SQL = """
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, r
+  FROM (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS r
+        FROM orders GROUP BY 1)
+), slopes AS (
+  SELECT (b.r - a.r) / CAST(b.i - a.i AS DOUBLE) AS s
+  FROM d a JOIN d b ON b.i > a.i
+), ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s) AS rn,
+         count(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(n AS BIGINT) AS n_pairs, round(s, 6) AS slope_per_day
+FROM ranked WHERE rn = (n + 1) // 2
+"""

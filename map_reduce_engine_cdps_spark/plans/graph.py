@@ -566,3 +566,117 @@ FROM {prev} GROUP BY lbl"""
 
 
 LABEL_PROPAGATION_COMMUNITIES_SQL = _lpa_sql
+
+
+# ---------------------------------------------------------------------------
+# ktruss_edges — k-truss decomposition membership (Cohen 2008), the
+# EDGE-level sibling of k-core: iteratively delete every edge whose
+# triangle support (# common neighbors) is below k−2 until fixpoint.
+# A 3-truss keeps only edges participating in at least one surviving
+# triangle — a stricter cohesion filter than k-core for dedup-cluster
+# quality (a chain of degree-2 vertices survives a 2-core but no
+# 3-truss). Fixed _KTRUSS_ROUNDS rounds with early exit; like
+# kcore_membership, the capped loop computes exactly the
+# rounds-times-peeled graph, so the mechanically unrolled oracle
+# matches whether or not the fixpoint arrives early.
+#
+# Scale: support counting is one wedge join per round over the
+# SHRINKING edge set (bucket-cap-bounded degrees), edge state is
+# localCheckpointed per round (multi-join rounds — the plan-growth
+# rule from SCALE.md).
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 3
+_KTRUSS_ROUNDS = 4
+
+
+def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    edges = (
+        _lsh_pairs_cached(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    need = KTRUSS_K - 2
+    for _ in range(_KTRUSS_ROUNDS):
+        und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b"), F.col("a"))
+        )
+        # support(a,b) = |N(a) ∩ N(b)|: wedge through w — (a,w),(w,b)
+        # both present, then check (a,b) is the edge being scored
+        w1 = und.select(F.col("u").alias("a"), F.col("v").alias("w"))
+        w2 = und.select(F.col("u").alias("w"), F.col("v").alias("b"))
+        wed = w1.join(w2, "w").filter(F.col("a") < F.col("b"))
+        sup = wed.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        kept = (
+            edges.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= need)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_new = kept.count()
+        n_old = edges.count()
+        edges = kept
+        if n_new == n_old:
+            break
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b"), F.col("a"))
+    )
+    w1 = und.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    w2 = und.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    sup = (
+        w1.join(w2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return edges.join(sup, ["a", "b"]).select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.col("common").alias("support"),
+    )
+
+
+def _ktruss_sql() -> str:
+    from map_reduce_engine_cdps_spark.plans.dedup import MINHASH_LSH_PAIRS_SQL
+
+    need = KTRUSS_K - 2
+    sql = [
+        "WITH pairs AS MATERIALIZED (" + MINHASH_LSH_PAIRS_SQL + "),",
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)",
+    ]
+    prev = "e0"
+    for r in range(1, _KTRUSS_ROUNDS + 1):
+        sql.append(
+            f""", u{r} AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM {prev} UNION ALL SELECT b, a FROM {prev}
+), s{r} AS MATERIALIZED (
+  SELECT w1.a, w2.b, count(*) AS sup
+  FROM (SELECT u AS a, v AS w FROM u{r}) w1
+  JOIN (SELECT u AS w, v AS b FROM u{r}) w2 USING (w)
+  WHERE w1.a < w2.b
+  GROUP BY w1.a, w2.b
+), e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN s{r} s ON s.a = e.a AND s.b = e.b AND s.sup >= {need}
+)"""
+        )
+        prev = f"e{r}"
+    sql.append(
+        f""", uf AS (
+  SELECT a AS u, b AS v FROM {prev} UNION ALL SELECT b, a FROM {prev}
+), sf AS (
+  SELECT w1.a, w2.b, count(*) AS sup
+  FROM (SELECT u AS a, v AS w FROM uf) w1
+  JOIN (SELECT u AS w, v AS b FROM uf) w2 USING (w)
+  WHERE w1.a < w2.b
+  GROUP BY w1.a, w2.b
+)
+SELECT e.a AS doc_a, e.b AS doc_b, CAST(sf.sup AS BIGINT) AS support
+FROM {prev} e JOIN sf ON sf.a = e.a AND sf.b = e.b"""
+    )
+    return "\n".join(sql)
+
+
+KTRUSS_EDGES_SQL = _ktruss_sql

@@ -746,6 +746,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.segment_nation_mi,
         analytics.SEGMENT_NATION_MI_SQL,
     ),
+    "theil_sen_trend": (
+        analytics.theil_sen_trend,
+        analytics.THEIL_SEN_TREND_SQL,
+    ),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     "rolling_zscore_anomalies": (
         analytics.rolling_zscore_anomalies,
@@ -882,6 +886,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "label_propagation_communities": (
         graph.label_propagation_communities,
         graph.LABEL_PROPAGATION_COMMUNITIES_SQL,
+    ),
+    # --- k-truss edge membership (triangle-support peeling) ---
+    "ktruss_edges": (
+        graph.ktruss_edges,
+        graph.KTRUSS_EDGES_SQL,
     ),
     # --- LSH candidate recall vs exact-Jaccard ground truth (sampled) ---
     "lsh_pair_recall_eval": (
@@ -1168,6 +1177,8 @@ _PRIORITY_ORDER = [
     "holt_winters_revenue",
     "segment_nation_mi",
     "dbscan_clusters",
+    "theil_sen_trend",
+    "ktruss_edges",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

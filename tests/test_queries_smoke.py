@@ -645,3 +645,26 @@ def test_dbscan_roles_consistent(spark, sf_dir):
         else:
             assert r["cluster_id"] >= 0
             assert r["cluster_id"] in core_ids
+
+
+def test_ktruss_edges_invariants(spark, sf_dir):
+    """Every 3-truss edge is an original candidate pair and closes at
+    least one triangle within the surviving edge set."""
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+    from map_reduce_engine_cdps_spark.plans.graph import ktruss_edges
+
+    rows = ktruss_edges(spark, sf_dir).collect()
+    assert rows
+    orig = {
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    kept = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert kept <= orig
+    nbrs = {}
+    for a, b in kept:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in rows:
+        common = nbrs[r["doc_a"]] & nbrs[r["doc_b"]]
+        assert len(common) == r["support"] >= 1
