@@ -1697,3 +1697,97 @@ FROM o a JOIN o b
 WHERE abs(a.bal_cents - b.bal_cents) <= {LINK_MAX_BAL_DIFF_CENTS}
   AND levenshtein(a.c_name, b.c_name) <= {LINK_MAX_EDIT}
 """
+
+
+# ---------------------------------------------------------------------------
+# blocking_overlap_eval — head-to-head of the two linkage blocking
+# paradigms over the SAME match predicates: the double-offset grid
+# blocking (customer_record_linkage / _linkage_matched_pairs) vs
+# sorted-neighborhood (sorted_neighborhood_pairs). Neither blocking is
+# complete; their overlap/Jaccard quantifies how much recall each
+# sacrifices, the number a pipeline owner needs before picking one at
+# 100 TB (grid: skew-sensitive, window-free; SN: O(n·w) skew-immune,
+# needs the sort). Full-outer join on the ordered pair key; all
+# metrics are integer counts plus one final ratio.
+# ---------------------------------------------------------------------------
+
+
+def blocking_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _linkage_matched_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b")
+    )
+    sn = sorted_neighborhood_pairs(spark, sf_dir).select("key_a", "key_b")
+    j = grid.withColumn("g", F.lit(1)).join(
+        sn.withColumn("s", F.lit(1)), ["key_a", "key_b"], "full"
+    )
+    return j.agg(
+        F.sum(F.coalesce("g", F.lit(0))).cast("long").alias("n_grid"),
+        F.sum(F.coalesce("s", F.lit(0))).cast("long").alias("n_sn"),
+        F.sum(
+            F.when(F.col("g").isNotNull() & F.col("s").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("g").isNotNull() & F.col("s").isNotNull(), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+BLOCKING_OVERLAP_EVAL_SQL = f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), blocked AS (
+  SELECT c.*, g.grid,
+         CAST(floor((bal_cents + CASE g.grid WHEN 0 THEN 0
+                     ELSE {_LINK_GRID_W // 2} END)
+                    / CAST({_LINK_GRID_W} AS DOUBLE)) AS BIGINT) AS bb
+  FROM c CROSS JOIN (SELECT 0 AS grid UNION ALL SELECT 1) g
+), grid AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+  FROM blocked a JOIN blocked b
+    ON a.grid = b.grid AND a.bb = b.bb
+   AND a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+   AND (a.grid = 0 OR floor(a.bal_cents / CAST({_LINK_GRID_W} AS DOUBLE))
+                   <> floor(b.bal_cents / CAST({_LINK_GRID_W} AS DOUBLE)))
+  WHERE abs(a.bal_cents - b.bal_cents) <= {LINK_MAX_BAL_DIFF_CENTS}
+    AND levenshtein(a.c_name, b.c_name) <= {LINK_MAX_EDIT}
+), o AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_nationkey, c_mktsegment
+    ORDER BY bal_cents, c_custkey) AS rn
+  FROM c
+), sn AS (
+  SELECT least(a.c_custkey, b.c_custkey) AS key_a,
+         greatest(a.c_custkey, b.c_custkey) AS key_b
+  FROM o a JOIN o b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND b.rn - a.rn BETWEEN 1 AND {SN_WINDOW}
+  WHERE abs(a.bal_cents - b.bal_cents) <= {LINK_MAX_BAL_DIFF_CENTS}
+    AND levenshtein(a.c_name, b.c_name) <= {LINK_MAX_EDIT}
+), u AS (
+  SELECT coalesce(g.key_a, s.key_a) AS key_a,
+         coalesce(g.key_b, s.key_b) AS key_b,
+         g.key_a IS NOT NULL AS in_g, s.key_a IS NOT NULL AS in_s
+  FROM grid g FULL JOIN sn s
+    ON g.key_a = s.key_a AND g.key_b = s.key_b
+)
+SELECT CAST(sum(CASE WHEN in_g THEN 1 ELSE 0 END) AS BIGINT) AS n_grid,
+       CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sn,
+       CAST(sum(CASE WHEN in_g AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       round(sum(CASE WHEN in_g AND in_s THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS jaccard
+FROM u
+"""

@@ -928,6 +928,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.sorted_neighborhood_pairs,
         dedup.SORTED_NEIGHBORHOOD_PAIRS_SQL,
     ),
+    # --- grid-vs-SN blocking recall overlap ---
+    "blocking_overlap_eval": (
+        dedup.blocking_overlap_eval,
+        dedup.BLOCKING_OVERLAP_EVAL_SQL,
+    ),
 }
 
 
@@ -1179,6 +1184,7 @@ _PRIORITY_ORDER = [
     "dbscan_clusters",
     "theil_sen_trend",
     "ktruss_edges",
+    "blocking_overlap_eval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

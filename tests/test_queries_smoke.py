@@ -668,3 +668,30 @@ def test_ktruss_edges_invariants(spark, sf_dir):
     for r in rows:
         common = nbrs[r["doc_a"]] & nbrs[r["doc_b"]]
         assert len(common) == r["support"] >= 1
+
+
+def test_blocking_overlap_consistent(spark, sf_dir):
+    """Overlap counts must agree with the two pair queries they join,
+    and jaccard = both / (grid + sn - both)."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _linkage_matched_pairs,
+        blocking_overlap_eval,
+        sorted_neighborhood_pairs,
+    )
+
+    r = blocking_overlap_eval(spark, sf_dir).collect()[0]
+    grid = {
+        (x["doc_a"], x["doc_b"])
+        for x in _linkage_matched_pairs(spark, sf_dir).collect()
+    }
+    sn = {
+        (x["key_a"], x["key_b"])
+        for x in sorted_neighborhood_pairs(spark, sf_dir)
+        .select("key_a", "key_b")
+        .distinct()
+        .collect()
+    }
+    assert r["n_grid"] == len(grid)
+    assert r["n_sn"] == len(sn)
+    assert r["n_both"] == len(grid & sn)
+    assert abs(r["jaccard"] - round(len(grid & sn) / len(grid | sn), 4)) < 1e-9
