@@ -1791,3 +1791,105 @@ SELECT CAST(sum(CASE WHEN in_g THEN 1 ELSE 0 END) AS BIGINT) AS n_grid,
              / CAST(count(*) AS DOUBLE), 4) AS jaccard
 FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# bbit_minhash_eval — b-bit minhash resemblance estimation (Li & König,
+# "b-Bit Minwise Hashing", WWW'10) evaluated against exact Jaccard on
+# the LSH candidate front: keep only the LOWEST BIT of each of the 8
+# minhash components (64x smaller sketch than the 8x32-bit signature),
+# estimate j from the bit-collision fraction c via the b=1 unbiasing
+# j ≈ 2c − 1, and report the estimator's absolute error per true-
+# similarity bucket. At 100 TB the storage/bandwidth of the signature
+# table is a first-order cost; this query is the measurement that
+# justifies (or kills) the 1-bit compression. Errors are quantized to
+# integer 1e-4 units before summing so the MAE aggregate is order-free.
+# ---------------------------------------------------------------------------
+
+
+def bbit_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    d = _with_minhash_bands(docs)
+    odd = F.array(*[F.lit(c) for c in "13579bdf"])
+    bits = d.select(
+        "doc_id",
+        *[
+            F.array_contains(odd, F.substring(f"mh{s}", 8, 1))
+            .cast("int")
+            .alias(f"bit{s}")
+            for s in range(N_MINHASH)
+        ],
+    )
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    a = bits.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"bit{s}").alias(f"a{s}") for s in range(N_MINHASH)],
+    )
+    b = bits.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"bit{s}").alias(f"b{s}") for s in range(N_MINHASH)],
+    )
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    coll = None
+    for s in range(N_MINHASH):
+        term = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        coll = term if coll is None else coll + term
+    jhat = F.greatest(
+        F.lit(0.0), 2.0 * coll.cast("double") / N_MINHASH - 1.0
+    )
+    scored = j.select(
+        "jaccard",
+        F.round(jhat, 4).alias("jhat"),
+    ).withColumn(
+        "err_um",
+        F.round(F.abs(F.col("jhat") - F.col("jaccard")) * 10000).cast("long"),
+    )
+    bucket = (
+        F.when(F.col("jaccard") < 0.6, "0.2-0.6")
+        .when(F.col("jaccard") < 0.8, "0.6-0.8")
+        .otherwise("0.8-1.0")
+    )
+    return scored.groupBy(bucket.alias("j_bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("err_um") / (F.count(F.lit(1)) * 10000.0), 4).alias("mae"),
+    )
+
+
+BBIT_MINHASH_EVAL_SQL = (
+    _duck_bands_cte()
+    + _DUCK_SCORED_CAND
+    + f"""
+, pairs AS (
+  SELECT doc_a, doc_b,
+         round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) AS jaccard
+  FROM cand
+  WHERE round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) >= 0.2
+), bits AS (
+  SELECT doc_id,
+         {", ".join(
+            f"(CASE WHEN substr(mh{s}, 8, 1) IN "
+            "('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END) AS bit" + str(s)
+            for s in range(N_MINHASH))}
+  FROM bands
+), scored AS (
+  SELECT p.jaccard,
+         round(greatest(CAST(0.0 AS DOUBLE),
+           2.0 * ({" + ".join(
+              f"(CASE WHEN a.bit{s} = b.bit{s} THEN 1 ELSE 0 END)"
+              for s in range(N_MINHASH))}) / {N_MINHASH} - 1.0), 4) AS jhat
+  FROM pairs p
+  JOIN bits a ON p.doc_a = a.doc_id
+  JOIN bits b ON p.doc_b = b.doc_id
+), e AS (
+  SELECT jaccard, jhat,
+         CAST(round(abs(jhat - jaccard) * 10000) AS BIGINT) AS err_um,
+         CASE WHEN jaccard < 0.6 THEN '0.2-0.6'
+              WHEN jaccard < 0.8 THEN '0.6-0.8'
+              ELSE '0.8-1.0' END AS j_bucket
+  FROM scored
+)
+SELECT j_bucket, count(*) AS n_pairs,
+       round(CAST(sum(err_um) AS BIGINT) / (count(*) * 10000.0), 4) AS mae
+FROM e GROUP BY j_bucket
+"""
+)

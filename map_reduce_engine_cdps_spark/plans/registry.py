@@ -933,6 +933,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.blocking_overlap_eval,
         dedup.BLOCKING_OVERLAP_EVAL_SQL,
     ),
+    # --- b-bit minhash sketch-compression error audit ---
+    "bbit_minhash_eval": (
+        dedup.bbit_minhash_eval,
+        dedup.BBIT_MINHASH_EVAL_SQL,
+    ),
 }
 
 
@@ -1185,6 +1190,7 @@ _PRIORITY_ORDER = [
     "theil_sen_trend",
     "ktruss_edges",
     "blocking_overlap_eval",
+    "bbit_minhash_eval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -695,3 +695,17 @@ def test_blocking_overlap_consistent(spark, sf_dir):
     assert r["n_sn"] == len(sn)
     assert r["n_both"] == len(grid & sn)
     assert abs(r["jaccard"] - round(len(grid & sn) / len(grid | sn), 4)) < 1e-9
+
+
+def test_bbit_minhash_eval_sound(spark, sf_dir):
+    """MAE of the 1-bit estimator is a valid [0,1] error and every
+    bucket has pairs; with 8 components the estimate is quantized to
+    eighths, so MAE can never exceed 1."""
+    from map_reduce_engine_cdps_spark.plans.dedup import bbit_minhash_eval
+
+    rows = bbit_minhash_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] > 0
+        assert 0.0 <= r["mae"] <= 1.0
+        assert r["j_bucket"] in {"0.2-0.6", "0.6-0.8", "0.8-1.0"}
