@@ -2943,3 +2943,86 @@ WITH d AS (
 SELECT CAST(n AS BIGINT) AS n_pairs, round(s, 6) AS slope_per_day
 FROM ranked WHERE rn = (n + 1) // 2
 """
+
+
+# ---------------------------------------------------------------------------
+# ab_proportion_ztest — the experimentation primitive: deterministic
+# hash split of users into arms (user_id parity — in production a
+# salted hash), per-arm conversion = fraction of users with >= 1
+# purchase event, and the pooled two-proportion z statistic. Every
+# input to the formula is an exact integer count aggregated
+# map-side-combined; the z arithmetic runs once on the driver-sized
+# 2-row arm table, identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # conversion = >=1 HIGH-VALUE purchase (>100): plain "any purchase"
+    # saturates at 100% on this data, zeroing the pooled variance
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 100), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    a = arms.filter(F.col("arm") == 0).alias("a")
+    b = arms.filter(F.col("arm") == 1).alias("b")
+    j = a.crossJoin(b)
+    p1 = F.col("a.n_conv") / F.col("a.n_users")
+    p2 = F.col("b.n_conv") / F.col("b.n_users")
+    pp = (F.col("a.n_conv") + F.col("b.n_conv")) / (
+        F.col("a.n_users") + F.col("b.n_users")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("a.n_users") + 1.0 / F.col("b.n_users"))
+    )
+    return j.select(
+        F.col("a.n_users").alias("n_a"),
+        F.col("b.n_users").alias("n_b"),
+        F.round(p1, 4).alias("conv_a"),
+        F.round(p2, 4).alias("conv_b"),
+        F.round(z, 4).alias("zstat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+AB_PROPORTION_ZTEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 100
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), arms AS (
+  SELECT user_id % 2 AS arm, count(*) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_conv
+  FROM users GROUP BY 1
+)
+SELECT a.n_users AS n_a, b.n_users AS n_b,
+       round(a.n_conv / CAST(a.n_users AS DOUBLE), 4) AS conv_a,
+       round(b.n_conv / CAST(b.n_users AS DOUBLE), 4) AS conv_b,
+       round((a.n_conv / CAST(a.n_users AS DOUBLE)
+              - b.n_conv / CAST(b.n_users AS DOUBLE))
+             / sqrt(((a.n_conv + b.n_conv)
+                     / CAST(a.n_users + b.n_users AS DOUBLE))
+                    * (1 - (a.n_conv + b.n_conv)
+                           / CAST(a.n_users + b.n_users AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE) / a.n_users
+                       + CAST(1.0 AS DOUBLE) / b.n_users)), 4) AS zstat,
+       abs((a.n_conv / CAST(a.n_users AS DOUBLE)
+            - b.n_conv / CAST(b.n_users AS DOUBLE))
+           / sqrt(((a.n_conv + b.n_conv)
+                   / CAST(a.n_users + b.n_users AS DOUBLE))
+                  * (1 - (a.n_conv + b.n_conv)
+                         / CAST(a.n_users + b.n_users AS DOUBLE))
+                  * (CAST(1.0 AS DOUBLE) / a.n_users
+                     + CAST(1.0 AS DOUBLE) / b.n_users))) > 1.96
+         AS significant_95
+FROM (SELECT * FROM arms WHERE arm = 0) a
+CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+"""

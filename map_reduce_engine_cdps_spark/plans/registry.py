@@ -750,6 +750,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.theil_sen_trend,
         analytics.THEIL_SEN_TREND_SQL,
     ),
+    "ab_proportion_ztest": (
+        analytics.ab_proportion_ztest,
+        analytics.AB_PROPORTION_ZTEST_SQL,
+    ),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     "rolling_zscore_anomalies": (
         analytics.rolling_zscore_anomalies,
@@ -1191,6 +1195,7 @@ _PRIORITY_ORDER = [
     "ktruss_edges",
     "blocking_overlap_eval",
     "bbit_minhash_eval",
+    "ab_proportion_ztest",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -709,3 +709,25 @@ def test_bbit_minhash_eval_sound(spark, sf_dir):
         assert r["n_pairs"] > 0
         assert 0.0 <= r["mae"] <= 1.0
         assert r["j_bucket"] in {"0.2-0.6", "0.6-0.8", "0.8-1.0"}
+
+
+def test_ab_ztest_sound(spark, sf_dir):
+    """Arms partition the user set; conversion rates in [0,1]; the
+    z statistic recomputes from the reported integer counts."""
+    import math
+
+    from map_reduce_engine_cdps_spark.plans.analytics import ab_proportion_ztest
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    r = ab_proportion_ztest(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n_a"] + r["n_b"] == n_users
+    assert 0 <= r["conv_a"] <= 1 and 0 <= r["conv_b"] <= 1
+    ca, cb = round(r["conv_a"] * r["n_a"]), round(r["conv_b"] * r["n_b"])
+    pp = (ca + cb) / (r["n_a"] + r["n_b"])
+    z = (ca / r["n_a"] - cb / r["n_b"]) / math.sqrt(
+        pp * (1 - pp) * (1 / r["n_a"] + 1 / r["n_b"])
+    )
+    assert abs(r["zstat"] - round(z, 4)) < 1e-3
+    assert r["significant_95"] == (abs(z) > 1.96)
