@@ -1441,3 +1441,120 @@ SELECT c_mktsegment,
        CAST(sum(CASE WHEN n >= {KANON_K} THEN bal_cents ELSE 0 END) AS BIGINT) AS released_bal_cents
 FROM g GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunk_stats — content-defined chunking (the rsync/LBFS rolling-
+# hash technique; Muthitacharoen et al., SOSP'01) over the token
+# stream: a chunk boundary falls after token p whenever the hash of
+# the 3-token window ending at p starts with a low nibble (< '2' →
+# 1/8 cut probability, ~8-token expected chunks). Unlike fixed-width
+# doc_chunks, CDC boundaries RESYNCHRONIZE after insertions — two
+# near-identical docs share most chunk hashes even when one has extra
+# tokens — which is what makes chunk-level dedup storage work. Reports
+# the per-source chunk dedup ratio (corpus-global distinct within
+# source).
+#
+# Scale shape: boundary detection and chunk hashing are row-local
+# higher-order expressions (no shuffle, no explode until the final
+# chunk-hash stream); the only wide stages are the per-source count
+# and count-distinct hash aggregates. Averages derive from integer
+# sums.
+# ---------------------------------------------------------------------------
+
+_CDC_W = 3           # rolling window width (tokens)
+_CDC_CUT = "2"       # first-hex-char < this → boundary (2/16 = 1/8)
+
+
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        TX.tokens(F.col("text")).alias("tok"),
+    ).withColumn("wh", TX.window_hashes(F.col("tok"), _CDC_W))
+    d = d.withColumn("n", F.size("tok")).filter(F.col("n") > 0)
+    cuts = F.expr(
+        f"""filter(
+          transform(wh, (h, j) -> CASE WHEN substring(h, 1, 1) < '{_CDC_CUT}'
+                                  THEN j + {_CDC_W} ELSE 0 END),
+          x -> x > 0 AND x < n)"""
+    )
+    d = d.withColumn(
+        "bnd", F.concat(F.array(F.lit(0)), cuts, F.array(F.col("n")))
+    )
+    hashes = F.expr(
+        """transform(sequence(2, size(bnd)),
+             i -> md5(array_join(
+                    slice(tok, element_at(bnd, i - 1) + 1,
+                          element_at(bnd, i) - element_at(bnd, i - 1)),
+                    ' ')))"""
+    )
+    d = d.withColumn("hashes", hashes)
+    slots = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.size("bnd") - 1).alias("n_chunks"),
+    )
+    dist = (
+        d.select("source", F.explode("hashes").alias("h"))
+        .groupBy("source")
+        .agg(F.countDistinct("h").alias("n_distinct_chunks"))
+    )
+    return slots.join(dist, "source").select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        "n_distinct_chunks",
+        F.round(
+            1 - F.col("n_distinct_chunks") / F.col("n_chunks").cast("double"), 4
+        ).alias("dedup_ratio"),
+        F.round(
+            F.col("total_tokens") / F.col("n_chunks").cast("double"), 4
+        ).alias("avg_chunk_tokens"),
+    )
+
+
+CDC_CHUNK_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, source, toks, len(toks) AS n,
+         CASE WHEN len(toks) >= {_CDC_W} THEN
+           list_filter(list_transform(
+             range(1, len(toks) - {_CDC_W} + 2),
+             j -> CASE WHEN substr(md5(toks[j] || ' ' || toks[j+1]
+                                       || ' ' || toks[j+2]), 1, 1) < '{_CDC_CUT}'
+                       THEN j + {_CDC_W} - 1 ELSE 0 END),
+             x -> x > 0 AND x < len(toks))
+         ELSE [] END AS cuts
+  FROM t
+), b AS (
+  SELECT doc_id, source, toks, n,
+         list_concat(list_concat([0], cuts), [n]) AS bnd
+  FROM c WHERE n > 0
+), ch AS (
+  SELECT doc_id, source, n, len(bnd) - 1 AS n_chunks,
+         list_transform(range(2, len(bnd) + 1),
+           i -> md5(array_to_string(toks[bnd[i-1] + 1 : bnd[i]], ' ')))
+           AS hashes
+  FROM b
+), slots AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chunks) AS BIGINT) AS n_chunks
+  FROM ch GROUP BY source
+), dist AS (
+  SELECT source, count(DISTINCT h) AS n_distinct_chunks
+  FROM (SELECT source, unnest(hashes) AS h FROM ch)
+  GROUP BY source
+)
+SELECT slots.source, n_docs, n_chunks, n_distinct_chunks,
+       round(1 - n_distinct_chunks / CAST(n_chunks AS DOUBLE), 4)
+         AS dedup_ratio,
+       round(total_tokens / CAST(n_chunks AS DOUBLE), 4) AS avg_chunk_tokens
+FROM slots JOIN dist ON slots.source = dist.source
+"""

@@ -258,6 +258,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.SOURCE_MIXING_WEIGHTS_SQL,
     ),
     "doc_chunks": (curation.doc_chunks, curation.DOC_CHUNKS_SQL),
+    "cdc_chunk_stats": (curation.cdc_chunk_stats, curation.CDC_CHUNK_STATS_SQL),
     "pack_chunks_bins": (curation.pack_chunks_bins, curation.PACK_CHUNKS_BINS_SQL),
     "epoch_shuffle": (curation.epoch_shuffle, curation.EPOCH_SHUFFLE_SQL),
     "pareto_orders": (relational.pareto_orders, relational.PARETO_ORDERS_SQL),
@@ -1196,6 +1197,7 @@ _PRIORITY_ORDER = [
     "blocking_overlap_eval",
     "bbit_minhash_eval",
     "ab_proportion_ztest",
+    "cdc_chunk_stats",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -731,3 +731,25 @@ def test_ab_ztest_sound(spark, sf_dir):
     )
     assert abs(r["zstat"] - round(z, 4)) < 1e-3
     assert r["significant_95"] == (abs(z) > 1.96)
+
+
+def test_cdc_resynchronizes_after_insertion(spark, tmp_path):
+    """The CDC property fixed-width chunking lacks: inserting one token
+    at the head of a long doc leaves most chunk hashes shared, so the
+    two-doc corpus dedups well below 2x distinct chunks."""
+    from map_reduce_engine_cdps_spark.plans.curation import cdc_chunk_stats
+
+    base = " ".join(f"tok{i % 37}x{i % 11}" for i in range(400))
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, "inserted " + base, "en", "s", len(base) + 9),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = cdc_chunk_stats(spark, str(tmp_path)).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["n_chunks"] > 2
+    # resync: far fewer distinct chunks than total (most are shared)
+    assert r["n_distinct_chunks"] < 0.75 * r["n_chunks"]
+    assert r["dedup_ratio"] > 0.25
