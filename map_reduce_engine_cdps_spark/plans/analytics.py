@@ -3026,3 +3026,162 @@ SELECT a.n_users AS n_a, b.n_users AS n_b,
 FROM (SELECT * FROM arms WHERE arm = 0) a
 CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
 """
+
+
+# ---------------------------------------------------------------------------
+# psi_value_shift — population stability index, the industry-standard
+# covariate-shift alarm for feature pipelines: bin the event-value
+# distribution in the first half of the time range vs the second
+# (split at the integer midpoint day — no percentile knife-edges) and
+# report PSI = Σ (p−q)·ln(p/q) over fixed bin edges with add-one
+# smoothing (deterministic, zero-proof). All bin counts are exact
+# integers; the PSI summation runs over a FIXED 6-bin table, so the
+# float exposure is six terms regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_PSI_EDGES = [10.0, 25.0, 50.0, 100.0, 200.0]  # 6 bins
+
+
+def psi_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    rng = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    ).collect()[0]
+    mid_expr = F.date_add(
+        F.lit(rng["lo"]), (F.datediff(F.lit(rng["hi"]), F.lit(rng["lo"])) / 2).cast("int")
+    )
+    binc = F.when(F.col("value") < _PSI_EDGES[0], 0)
+    for i, e in enumerate(_PSI_EDGES[1:], start=1):
+        binc = binc.when(F.col("value") < e, i)
+    binc = binc.otherwise(len(_PSI_EDGES))
+    half = F.when(F.col("day") < mid_expr, "first").otherwise("second")
+    counts = ev.groupBy(half.alias("half"), binc.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = counts.filter(F.col("half") == "first").select(
+        "bin", F.col("c").alias("cp")
+    )
+    q = counts.filter(F.col("half") == "second").select(
+        "bin", F.col("c").alias("cq")
+    )
+    bins = spark.range(len(_PSI_EDGES) + 1).select(F.col("id").alias("bin"))
+    j = (
+        bins.join(p, "bin", "left")
+        .join(q, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    tot = j.agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    pn = (F.col("cp") + 1) / float(tot["np"] + tot["k"])
+    qn = (F.col("cq") + 1) / float(tot["nq"] + tot["k"])
+    return j.agg(
+        F.lit(int(tot["np"])).alias("n_first"),
+        F.lit(int(tot["nq"])).alias("n_second"),
+        F.round(F.sum((pn - qn) * F.log(pn / qn)), 6).alias("psi"),
+    )
+
+
+def _psi_sql() -> str:
+    k = len(_PSI_EDGES) + 1
+    case = "CASE " + " ".join(
+        f"WHEN value < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    ) + f" ELSE {len(_PSI_EDGES)} END"
+    return f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, value FROM events
+), rng AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM rng_src
+), counts AS (
+  SELECT CASE WHEN day < lo + CAST(CAST(date_diff('day', lo, hi) AS INTEGER)
+                              // 2 AS INTEGER) THEN 'first'
+              ELSE 'second' END AS half,
+         {case} AS bin, count(*) AS c
+  FROM ev, rng GROUP BY 1, 2
+), bins AS (
+  SELECT unnest(range(0, {k})) AS bin
+), j AS (
+  SELECT bins.bin,
+         coalesce(p.c, 0) AS cp, coalesce(q.c, 0) AS cq
+  FROM bins
+  LEFT JOIN (SELECT bin, c FROM counts WHERE half = 'first') p USING (bin)
+  LEFT JOIN (SELECT bin, c FROM counts WHERE half = 'second') q USING (bin)
+), tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq
+  FROM j
+)
+SELECT np AS n_first, nq AS n_second,
+       round(sum(((cp + 1) / CAST(np + {k} AS DOUBLE)
+                  - (cq + 1) / CAST(nq + {k} AS DOUBLE))
+                 * ln(((cp + 1) / CAST(np + {k} AS DOUBLE))
+                      / ((cq + 1) / CAST(nq + {k} AS DOUBLE)))), 6) AS psi
+FROM j, tot GROUP BY np, nq
+"""
+
+
+PSI_VALUE_SHIFT_SQL = _psi_sql().replace("rng_src", "ev")
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation — optimal stratified-sampling design (Neyman 1934):
+# allocate a fixed sample budget across sources proportional to
+# N_h·S_h (stratum size × stratum std of doc length), the allocation
+# minimizing the variance of the corpus-mean estimate. This is the
+# principled version of the flat per-source caps most data pipelines
+# use. Stratum stds come from exact integer sum/sum-of-squares (the
+# engines' own stddev accumulators differ); the only cross-row float
+# work is the final O(#sources) share normalization.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10_000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+    )
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_docs"))
+        / (F.col("n_docs") - 1)
+    )
+    s = s.withColumn("ns", F.col("n_docs") * sd)
+    tot = s.agg(F.sum("ns")).collect()[0][0]
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(sd, 4).alias("s_chars"),
+        F.round(F.col("ns") / F.lit(float(tot)), 6).alias("alloc_share"),
+        F.round(F.col("ns") / F.lit(float(tot)) * NEYMAN_BUDGET)
+        .cast("long")
+        .alias("alloc_n"),
+    )
+
+
+NEYMAN_ALLOCATION_SQL = f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+), e AS (
+  SELECT source, n_docs,
+         sqrt((s2 - s1 * CAST(s1 AS DOUBLE) / n_docs) / (n_docs - 1)) AS sd
+  FROM s
+), t AS (
+  SELECT sum(n_docs * sd) AS tot FROM e
+)
+SELECT source, n_docs,
+       round(sd, 4) AS s_chars,
+       round(n_docs * sd / tot, 6) AS alloc_share,
+       CAST(round(n_docs * sd / tot * {NEYMAN_BUDGET}) AS BIGINT) AS alloc_n
+FROM e, t
+"""

@@ -755,6 +755,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.ab_proportion_ztest,
         analytics.AB_PROPORTION_ZTEST_SQL,
     ),
+    "psi_value_shift": (
+        analytics.psi_value_shift,
+        analytics.PSI_VALUE_SHIFT_SQL,
+    ),
+    "neyman_allocation": (
+        analytics.neyman_allocation,
+        analytics.NEYMAN_ALLOCATION_SQL,
+    ),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     "rolling_zscore_anomalies": (
         analytics.rolling_zscore_anomalies,
@@ -1198,6 +1206,8 @@ _PRIORITY_ORDER = [
     "bbit_minhash_eval",
     "ab_proportion_ztest",
     "cdc_chunk_stats",
+    "psi_value_shift",
+    "neyman_allocation",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -753,3 +753,25 @@ def test_cdc_resynchronizes_after_insertion(spark, tmp_path):
     # resync: far fewer distinct chunks than total (most are shared)
     assert r["n_distinct_chunks"] < 0.75 * r["n_chunks"]
     assert r["dedup_ratio"] > 0.25
+
+
+def test_psi_and_neyman_sound(spark, sf_dir):
+    """PSI >= 0 always (it's a symmetrized KL); Neyman shares form a
+    probability vector and allocations approximately exhaust the
+    budget."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+        psi_value_shift,
+    )
+
+    p = psi_value_shift(spark, sf_dir).collect()[0]
+    assert p["n_first"] > 0 and p["n_second"] > 0
+    assert p["psi"] >= 0
+    rows = neyman_allocation(spark, sf_dir).collect()
+    assert rows
+    share = sum(r["alloc_share"] for r in rows)
+    assert abs(share - 1.0) < 1e-3
+    assert abs(sum(r["alloc_n"] for r in rows) - NEYMAN_BUDGET) <= len(rows)
+    for r in rows:
+        assert r["s_chars"] > 0 and r["alloc_n"] >= 0
