@@ -3185,3 +3185,64 @@ SELECT source, n_docs,
        CAST(round(n_docs * sd / tot * {NEYMAN_BUDGET}) AS BIGINT) AS alloc_n
 FROM e, t
 """
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile — join-key skew diagnostic: frequency profile of
+# l_partkey in lineitem (the key the part-join shuffles on), reporting
+# max single-key share and the share held by the top 1% of keys. THE
+# number to read before choosing salting vs AQE skew-join at 100 TB —
+# salted_type_stats demonstrates the mitigation, this measures whether
+# it's needed. One hash aggregate to key grain (map-side combined),
+# then all work is O(#keys); shares are integer-count ratios. The
+# global rank is a single-partition sort of the KEY-grain table — fine
+# up to ~100 M keys; past that swap the rank for a count threshold
+# c >= approx_quantile(c, 0.99) (no global sort, same top-1% semantics
+# up to ties).
+# ---------------------------------------------------------------------------
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy(F.desc("c"), F.asc("l_partkey"))
+    ranked = freq.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nk"),
+    )
+    return ranked.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+            "max_key_share"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.ceil(F.col("nk") / 100.0), F.col("c")
+                ).otherwise(0)
+            )
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("top1pct_share"),
+    )
+
+
+KEY_SKEW_PROFILE_SQL = """
+WITH freq AS (
+  SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, l_partkey ASC) AS rn,
+         count(*) OVER () AS nk
+  FROM freq
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS max_key_share,
+       round(sum(CASE WHEN rn <= ceil(nk / 100.0) THEN c ELSE 0 END)
+             / CAST(sum(c) AS DOUBLE), 6) AS top1pct_share
+FROM ranked
+"""

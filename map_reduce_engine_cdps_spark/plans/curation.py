@@ -1558,3 +1558,87 @@ SELECT slots.source, n_docs, n_chunks, n_distinct_chunks,
        round(total_tokens / CAST(n_chunks AS DOUBLE), 4) AS avg_chunk_tokens
 FROM slots JOIN dist ON slots.source = dist.source
 """
+
+
+# ---------------------------------------------------------------------------
+# length_emd_by_source — 1-D earth-mover's distance between each
+# source's doc-length distribution and the corpus-wide one, over fixed
+# length bins: EMD_1d = Σ_bins |CDF_source − CDF_corpus| (unit: bins).
+# The distribution-shift ranking a mix designer reads before reweighing
+# sources — chi2/KS flag ANY difference, EMD weights by HOW FAR the
+# mass moved. CDFs are exact integer prefix sums over a fixed 8-bin
+# table; one division per (source, bin).
+# ---------------------------------------------------------------------------
+
+_LEN_EDGES = [100, 150, 200, 250, 300, 350, 400]  # 8 bins
+
+
+def length_emd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    binc = F.when(F.col("n_chars") < _LEN_EDGES[0], 0)
+    for i, e in enumerate(_LEN_EDGES[1:], start=1):
+        binc = binc.when(F.col("n_chars") < e, i)
+    binc = binc.otherwise(len(_LEN_EDGES))
+    d = docs.select("source", binc.alias("bin"))
+    per = d.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = d.groupBy("bin").agg(F.count(F.lit(1)).alias("ct"))
+    bins = spark.range(len(_LEN_EDGES) + 1).select(F.col("id").alias("bin"))
+    grid = per.select("source").distinct().crossJoin(bins)
+    j = (
+        grid.join(per, ["source", "bin"], "left")
+        .join(F.broadcast(tot), "bin", "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("source").orderBy("bin")
+    ns = F.sum("c").over(W.partitionBy("source"))
+    nt = F.sum("ct").over(W.partitionBy("source"))
+    cdf_s = F.sum("c").over(w) / ns
+    cdf_t = F.sum("ct").over(w) / nt
+    e = j.select("source", F.abs(cdf_s - cdf_t).alias("gap"))
+    return e.groupBy("source").agg(
+        F.round(F.sum("gap"), 6).alias("emd_bins")
+    )
+
+
+def _length_emd_sql() -> str:
+    k = len(_LEN_EDGES) + 1
+    case = "CASE " + " ".join(
+        f"WHEN n_chars < {e} THEN {i}" for i, e in enumerate(_LEN_EDGES)
+    ) + f" ELSE {len(_LEN_EDGES)} END"
+    return f"""
+WITH d AS (
+  SELECT source, {case} AS bin FROM documents
+), per AS (
+  SELECT source, bin, count(*) AS c FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT bin, count(*) AS ct FROM d GROUP BY 1
+), grid AS (
+  SELECT s.source, b.bin
+  FROM (SELECT DISTINCT source FROM d) s
+  CROSS JOIN (SELECT unnest(range(0, {k})) AS bin) b
+), j AS (
+  SELECT grid.source, grid.bin,
+         coalesce(per.c, 0) AS c, coalesce(tot.ct, 0) AS ct
+  FROM grid
+  LEFT JOIN per ON grid.source = per.source AND grid.bin = per.bin
+  LEFT JOIN tot ON grid.bin = tot.bin
+), e AS (
+  SELECT source,
+         abs(sum(c) OVER (PARTITION BY source ORDER BY bin)
+             / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE)
+             - sum(ct) OVER (PARTITION BY source ORDER BY bin)
+               / CAST(sum(ct) OVER (PARTITION BY source) AS DOUBLE)) AS gap
+  FROM j
+)
+SELECT source, round(sum(gap), 6) AS emd_bins FROM e GROUP BY source
+"""
+
+
+LENGTH_EMD_BY_SOURCE_SQL = _length_emd_sql()

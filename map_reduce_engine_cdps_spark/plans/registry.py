@@ -763,6 +763,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.neyman_allocation,
         analytics.NEYMAN_ALLOCATION_SQL,
     ),
+    "key_skew_profile": (
+        analytics.key_skew_profile,
+        analytics.KEY_SKEW_PROFILE_SQL,
+    ),
+    "length_emd_by_source": (
+        curation.length_emd_by_source,
+        curation.LENGTH_EMD_BY_SOURCE_SQL,
+    ),
     "dow_seasonality": (analytics.dow_seasonality, analytics.DOW_SEASONALITY_SQL),
     "rolling_zscore_anomalies": (
         analytics.rolling_zscore_anomalies,
@@ -1208,6 +1216,8 @@ _PRIORITY_ORDER = [
     "cdc_chunk_stats",
     "psi_value_shift",
     "neyman_allocation",
+    "key_skew_profile",
+    "length_emd_by_source",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -775,3 +775,21 @@ def test_psi_and_neyman_sound(spark, sf_dir):
     assert abs(sum(r["alloc_n"] for r in rows) - NEYMAN_BUDGET) <= len(rows)
     for r in rows:
         assert r["s_chars"] > 0 and r["alloc_n"] >= 0
+
+
+def test_skew_and_emd_sound(spark, sf_dir):
+    """Key-skew shares are valid probabilities with top1pct >= max-key;
+    EMD over CDFs is within [0, n_bins-1]."""
+    from map_reduce_engine_cdps_spark.plans.analytics import key_skew_profile
+    from map_reduce_engine_cdps_spark.plans.curation import (
+        _LEN_EDGES,
+        length_emd_by_source,
+    )
+
+    r = key_skew_profile(spark, sf_dir).collect()[0]
+    assert 0 < r["n_keys"] <= r["n_rows"]
+    assert 0 < r["max_key_share"] <= r["top1pct_share"] <= 1
+    rows = length_emd_by_source(spark, sf_dir).collect()
+    assert rows
+    for e in rows:
+        assert 0 <= e["emd_bins"] <= len(_LEN_EDGES)
