@@ -944,6 +944,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.dbscan_clusters,
         similarity.DBSCAN_CLUSTERS_SQL,
     ),
+    # --- greedy k-center diversity seed selection ---
+    "kcenter_seeds": (
+        similarity.kcenter_seeds,
+        similarity.KCENTER_SEEDS_SQL,
+    ),
     # --- sorted-neighborhood blocking (Hernandez-Stolfo) ---
     "sorted_neighborhood_pairs": (
         dedup.sorted_neighborhood_pairs,
@@ -1218,6 +1223,7 @@ _PRIORITY_ORDER = [
     "neyman_allocation",
     "key_skew_profile",
     "length_emd_by_source",
+    "kcenter_seeds",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -1676,3 +1676,97 @@ LEFT JOIN comp ON emb.vec_id = comp.v
 LEFT JOIN border ON emb.vec_id = border.v
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# kcenter_seeds — farthest-point traversal (greedy k-center, the
+# 2-approximation of Gonzalez 1985): start from the min vec_id, then
+# k−1 times pick the vector farthest from the selected set (max of
+# min-squared-distance, ties to min vec_id). The standard diversity /
+# coreset seed selector for training-data subset curation — the
+# opposite pull of SemDeDup's redundancy pruning. Fully deterministic:
+# both engines fold identical doubles in identical order, so the
+# argmax agrees bitwise (the same cross-engine contract every ANN
+# query here relies on).
+#
+# Scale shape: k driver rounds; each is ONE map-only corpus pass (the
+# selected set is k×64 literals — broadcast-by-construction) + a
+# TakeOrdered(1). No shuffle ever carries embeddings; driver state is
+# k rows. k scans of the corpus is the textbook trade of greedy
+# k-center; for one-pass selection at extreme scale you'd switch to
+# k-center++ style sampling, a different estimator.
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _d2_to_literal(seed_vec):
+    arr = F.array(*[F.lit(float(v)) for v in seed_vec])
+    return F.aggregate(
+        F.zip_with(
+            "embedding",
+            arr,
+            lambda x, s: (x.cast("double") - s) * (x.cast("double") - s),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(0, int(first["vec_id"]), None, list(first["embedding"]))]
+    for rnd in range(1, KCENTER_K):
+        dists = [_d2_to_literal(v) for (_, _, _, v) in seeds]
+        min_d2 = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            emb.withColumn("d2", min_d2)
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append(
+            (rnd, int(pick["vec_id"]), float(pick["d2"]), list(pick["embedding"]))
+        )
+    rows = [
+        (r, v, round(d, 4) if d is not None else None)
+        for (r, v, d, _) in seeds
+    ]
+    return spark.createDataFrame(
+        rows, "sel_round int, vec_id long, min_d2 double"
+    )
+
+
+def _kcenter_sql() -> str:
+    def dist(e, s):
+        return (
+            f"list_sum(list_transform(range(1, len({e}.embedding) + 1), "
+            f"i -> ({e}.embedding[i]::DOUBLE - {s}.embedding[i]::DOUBLE) "
+            f"* ({e}.embedding[i]::DOUBLE - {s}.embedding[i]::DOUBLE)))"
+        )
+
+    sql = [
+        """WITH s0 AS (
+  SELECT vec_id, embedding, CAST(NULL AS DOUBLE) AS d2 FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)"""
+    ]
+    for t in range(1, KCENTER_K):
+        froms = ", ".join(f"s{j}" for j in range(t))
+        dists = ", ".join(dist("e", f"s{j}") for j in range(t))
+        sql.append(
+            f""", s{t} AS (
+  SELECT e.vec_id, e.embedding, least({dists}) AS d2
+  FROM embeddings e, {froms}
+  ORDER BY d2 DESC, e.vec_id ASC LIMIT 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS sel_round, vec_id, round(d2, 4) AS min_d2 FROM s{t}"
+        for t in range(KCENTER_K)
+    )
+    return "\n".join(sql) + "\n" + union
+
+
+KCENTER_SEEDS_SQL = _kcenter_sql

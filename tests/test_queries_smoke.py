@@ -793,3 +793,23 @@ def test_skew_and_emd_sound(spark, sf_dir):
     assert rows
     for e in rows:
         assert 0 <= e["emd_bins"] <= len(_LEN_EDGES)
+
+
+def test_kcenter_seeds_farthest_property(spark, sf_dir):
+    """Greedy k-center invariants: seeds distinct, coverage radius
+    non-increasing round over round (each pick is the global farthest,
+    so later picks can never be farther than earlier ones)."""
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        KCENTER_K,
+        kcenter_seeds,
+    )
+
+    rows = sorted(
+        kcenter_seeds(spark, sf_dir).collect(), key=lambda r: r["sel_round"]
+    )
+    assert len(rows) == KCENTER_K
+    assert len({r["vec_id"] for r in rows}) == KCENTER_K
+    assert rows[0]["min_d2"] is None
+    d = [r["min_d2"] for r in rows[1:]]
+    assert all(x > 0 for x in d)
+    assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))
