@@ -1374,3 +1374,97 @@ SELECT media_id, count(*) AS n_windows,
        round(max(peak), 6) AS max_peak
 FROM wstat GROUP BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ppm_shot_boundaries — REAL video shot-boundary detection over the PPM
+# sequence container: decode EVERY frame (header walk + binary pixel
+# decode, same machinery as ppm_video_frame_samples), compute the mean
+# absolute pixel delta between consecutive frames, and emit the frames
+# where it exceeds SHOT_DIFF_MIN — the cut detector a video-curation
+# pipeline runs before per-shot sampling. Reference analogue: the
+# per-image decode loop of tasks/plants_classifier.py:141-163, extended
+# to temporal structure. Payloads are built in-engine: doc_id % 4 + 4
+# frames in "shots" of 3 (pixel value jumps by ±{53,-44} mod 97 at
+# every 3rd frame, is constant inside a shot), so the oracle
+# reconstructs the cut set arithmetically while the Python side
+# genuinely decodes and differences pixels. Fan-out is bounded by the
+# frame count per payload; only (media_id, content) crosses into Arrow.
+# ---------------------------------------------------------------------------
+
+SHOT_DIFF_MIN = 10.0
+
+SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("mean_diff", T.DoubleType(), False),
+    ]
+)
+
+
+def detect_shot_boundaries(df: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_diff = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                frames = _ppm_split(bytes(payload))
+                prev = None
+                for f, raw in enumerate(frames):
+                    cur = _ppm_decode(raw, size=None).astype(np.int64)
+                    if prev is not None and prev.shape == cur.shape:
+                        d = float(np.abs(cur - prev).mean())
+                        if d >= SHOT_DIFF_MIN:
+                            out_ids.append(mid)
+                            out_idx.append(f)
+                            out_diff.append(round(d, 4))
+                    prev = cur
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "frame_idx": pd.array(out_idx, dtype="int32"),
+                    "mean_diff": pd.array(out_diff, dtype="float64"),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(batches, schema=SHOT_SCHEMA)
+
+
+def ppm_shot_boundaries(spark, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id")
+    n_frames = F.col("doc_id") % 4 + 4
+    parts = []
+    for f in range(7):
+        frame = F.concat(
+            F.lit("P6\n8 8\n255\n"),
+            F.expr(
+                f"repeat(char(cast((doc_id * 37 + {(f // 3) * 53}) % 97"
+                " as int)), 192)"
+            ),
+        )
+        parts.append(F.when(F.lit(f) < n_frames, frame).otherwise(F.lit("")))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(*parts), "ISO-8859-1").alias("content"),
+    )
+    return detect_shot_boundaries(media)
+
+
+PPM_SHOT_BOUNDARIES_SQL = f"""
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 4 + 4 AS nf FROM documents
+), f AS (
+  SELECT media_id, nf, unnest(range(1, 7)) AS frame_idx FROM p
+)
+SELECT media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       round(CAST(abs((media_id * 37 + (frame_idx // 3) * 53) % 97
+                      - (media_id * 37 + ((frame_idx - 1) // 3) * 53) % 97)
+                  AS DOUBLE), 4) AS mean_diff
+FROM f
+WHERE frame_idx < nf AND frame_idx % 3 = 0
+"""

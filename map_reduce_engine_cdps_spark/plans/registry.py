@@ -470,6 +470,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # REAL multi-frame container parse (back-to-back P6 frames), value-certified
     "ppm_video_frame_samples": (binary.ppm_video_frame_samples, binary.PPM_VIDEO_FRAME_SAMPLES_SQL),
+    "ppm_shot_boundaries": (binary.ppm_shot_boundaries, binary.PPM_SHOT_BOUNDARIES_SQL),
     # REAL RIFF/WAVE PCM-16 container decode, value-certified
     "wav_audio_windows": (binary.wav_audio_windows, binary.WAV_AUDIO_WINDOWS_SQL),
     "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
@@ -1224,6 +1225,7 @@ _PRIORITY_ORDER = [
     "key_skew_profile",
     "length_emd_by_source",
     "kcenter_seeds",
+    "ppm_shot_boundaries",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -813,3 +813,27 @@ def test_kcenter_seeds_farthest_property(spark, sf_dir):
     d = [r["min_d2"] for r in rows[1:]]
     assert all(x > 0 for x in d)
     assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))
+
+
+def test_shot_boundaries_on_gradient_frames(spark):
+    """Shot detection must work on NON-constant frames too (the oracle
+    fixture uses constant frames; this pins the general pixel-diff
+    path): two gradient frames differing by +20 per pixel → one
+    boundary with mean_diff exactly 20; identical frames → none."""
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        detect_shot_boundaries,
+    )
+
+    def ppm(vals):
+        return b"P6\n4 4\n255\n" + bytes(vals)
+
+    grad = list(range(48))
+    same = ppm(grad) + ppm(grad)
+    jump = ppm(grad) + ppm([v + 20 for v in grad])
+    df = spark.createDataFrame(
+        [(1, bytearray(same)), (2, bytearray(jump))],
+        "media_id long, content binary",
+    )
+    rows = detect_shot_boundaries(df).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in rows} == {(2, 1)}
+    assert rows[0]["mean_diff"] == 20.0
