@@ -1512,17 +1512,25 @@ def _linkage_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKAGE_PAIRS_CACHE: dict = {}
+
+
+def _linkage_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(app, sf_dir) memo of the matched-pair front, like
+    _lsh_pairs_cached: the blocked join + gated levenshtein behind it
+    (~19 s / 3.1 M candidates at derived sf1) is the dominant cost of
+    BOTH consumers (customer_golden_records, blocking_overlap_eval) and
+    of the multiple passes within each."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _LINKAGE_PAIRS_CACHE.get(key)
+    if df is None:
+        df = _linkage_matched_pairs(spark, sf_dir).localCheckpoint(eager=True)
+        _LINKAGE_PAIRS_CACHE[key] = df
+    return df
+
+
 def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the matched pairs ONCE: both the vertex set and the CC
-    # edge build consume them, and the blocked join + edit distance
-    # behind them is the query's dominant cost (~19 s at the derived
-    # sf1 point — 3.1 M candidates) — without the persist it runs
-    # twice. Safe to release at exit: both CC variants return an
-    # eagerly checkpointed label table, so nothing downstream re-reads
-    # the pair lineage.
-    pairs = _linkage_matched_pairs(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    pairs = _linkage_pairs_cached(spark, sf_dir)
     # vertices: only matched customers — singletons are already golden
     verts = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -1535,7 +1543,6 @@ def customer_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regime the Kiveris variant's O(log n) rounds are for (measured
     # 7.2 s vs 10.4 s at sf1 on these pairs, identical labels).
     comp = connected_components_star(verts, pairs)
-    pairs.unpersist()
     cust = load_table(spark, sf_dir, "customer")
     return (
         comp.join(cust, comp.doc_id == cust.c_custkey)
@@ -1713,7 +1720,7 @@ WHERE abs(a.bal_cents - b.bal_cents) <= {LINK_MAX_BAL_DIFF_CENTS}
 
 
 def blocking_overlap_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = _linkage_matched_pairs(spark, sf_dir).select(
+    grid = _linkage_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("key_a"), F.col("doc_b").alias("key_b")
     )
     sn = sorted_neighborhood_pairs(spark, sf_dir).select("key_a", "key_b")
