@@ -1900,3 +1900,109 @@ SELECT j_bucket, count(*) AS n_pairs,
 FROM e GROUP BY j_bucket
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental_near_dup — the PRODUCTION shape of near-dup dedup: a new
+# ingest batch (doc_id % 4 == 0, ~25%) is LSH-probed against the
+# existing banded index plus itself, without ever re-pairing
+# existing×existing. This is what daily ingest actually runs at 100 TB
+# — the full-corpus pair job (minhash_lsh_pairs) is the bootstrap, this
+# is the steady state; with the index bands persisted as a bucketed
+# table, only the batch side shuffles. Candidates move (doc_id, band)
+# scalars; exact-Jaccard verification re-attaches the hashed-long
+# shingle sets once per side (array<bigint>, the one payload class the
+# dedup exchange gate permits).
+# ---------------------------------------------------------------------------
+
+
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    d = _with_minhash_bands(docs).select(
+        "doc_id", "band0", "band1", "sh_h"
+    )
+    is_new = F.col("doc_id") % 4 == 0
+    cands = None
+    for b in range(N_MINHASH // BAND_ROWS):
+        new_side = d.filter(is_new).select(
+            F.col("doc_id").alias("new_id"), F.col(f"band{b}").alias("bk")
+        )
+        all_side = d.select(
+            F.col("doc_id").alias("match_id"), F.col(f"band{b}").alias("bk")
+        )
+        c = new_side.join(all_side, "bk").select("new_id", "match_id")
+        cands = c if cands is None else cands.union(c)
+    cands = cands.filter(
+        (F.col("new_id") != F.col("match_id"))
+        & (
+            (F.col("match_id") % 4 != 0) | (F.col("new_id") < F.col("match_id"))
+        )
+    ).distinct()
+    sa = d.select(F.col("doc_id").alias("new_id"), F.col("sh_h").alias("ha"))
+    sb = d.select(F.col("doc_id").alias("match_id"), F.col("sh_h").alias("hb"))
+    scored = (
+        cands.join(sa, "new_id")
+        .join(sb, "match_id")
+        .select(
+            "new_id",
+            "match_id",
+            F.size(F.array_intersect("ha", "hb")).alias("inter"),
+            F.size("ha").alias("na"),
+            F.size("hb").alias("nb"),
+        )
+    )
+    jac = F.round(
+        F.col("inter")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        4,
+    )
+    return (
+        scored.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select(
+            "new_id",
+            "match_id",
+            "jaccard",
+            (F.col("match_id") % 4 != 0).alias("match_is_existing"),
+        )
+    )
+
+
+def _incremental_near_dup_sql() -> str:
+    n_bands = N_MINHASH // BAND_ROWS
+    band_joins = "\nUNION\n".join(
+        f"""SELECT n.doc_id AS new_id, a.doc_id AS match_id
+  FROM bands n JOIN bands a ON n.band{b} = a.band{b}
+  WHERE n.doc_id % 4 = 0 AND n.doc_id <> a.doc_id
+    AND (a.doc_id % 4 <> 0 OR n.doc_id < a.doc_id)"""
+        for b in range(n_bands)
+    )
+    return (
+        _duck_bands_cte()
+        + f"""
+, hsh AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST(('0x' || substr(md5('0|' || s), 1, 15)) AS BIGINT))
+           AS sh_h
+  FROM bands
+), cand AS (
+{band_joins}
+), scored AS (
+  SELECT new_id, match_id,
+         len(list_intersect(a.sh_h, b.sh_h)) AS inter,
+         len(a.sh_h) AS na, len(b.sh_h) AS nb
+  FROM cand
+  JOIN hsh a ON cand.new_id = a.doc_id
+  JOIN hsh b ON cand.match_id = b.doc_id
+)
+SELECT new_id, match_id,
+       round(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard,
+       match_id % 4 <> 0 AS match_is_existing
+FROM scored
+WHERE round(inter / CAST(na + nb - inter AS DOUBLE), 4) >= 0.2
+"""
+    )
+
+
+INCREMENTAL_NEAR_DUP_SQL = _incremental_near_dup_sql

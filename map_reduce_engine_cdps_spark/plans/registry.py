@@ -965,6 +965,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.bbit_minhash_eval,
         dedup.BBIT_MINHASH_EVAL_SQL,
     ),
+    # --- steady-state incremental ingest probe against the banded index ---
+    "incremental_near_dup": (
+        dedup.incremental_near_dup,
+        dedup.INCREMENTAL_NEAR_DUP_SQL,
+    ),
+    # --- pairwise source vocabulary overlap ---
+    "source_vocab_jaccard": (
+        textops.source_vocab_jaccard,
+        textops.SOURCE_VOCAB_JACCARD_SQL,
+    ),
 }
 
 
@@ -1226,6 +1236,8 @@ _PRIORITY_ORDER = [
     "length_emd_by_source",
     "kcenter_seeds",
     "ppm_shot_boundaries",
+    "incremental_near_dup",
+    "source_vocab_jaccard",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

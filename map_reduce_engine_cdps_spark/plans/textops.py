@@ -1666,3 +1666,75 @@ SELECT slots.source, n_docs, n_trigram_slots,
          AS novelty_rate
 FROM slots LEFT JOIN novel ON slots.source = novel.source
 """
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_jaccard — pairwise vocabulary overlap between sources:
+# Jaccard of distinct-token sets for every source pair. The mix
+# designer's redundancy matrix — two sources with ~1.0 vocabulary
+# Jaccard probably shouldn't both be upweighted. Intersections come
+# from ONE self-join of the (source, token) distinct table on token
+# (vocabulary-sized, orders below the token stream); unions from the
+# per-source sizes by inclusion-exclusion — no pairwise set
+# materialization. Output is bounded by (#sources choose 2).
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("tk"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = st.select(F.col("source").alias("src_a"), "tk")
+    b = st.select(F.col("source").alias("src_b"), "tk")
+    inter = (
+        a.join(b, "tk")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("nv", "nv_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("nv", "nv_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("nv_a") + F.col("nv_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+SOURCE_VOCAB_JACCARD_SQL = """
+WITH st AS (
+  SELECT DISTINCT source, unnest(list_filter(
+    regexp_split_to_array(lower(trim(text)), '\\s+'),
+    x -> length(x) > 0)) AS tk
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS nv FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM st a JOIN st b ON a.tk = b.tk AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter,
+       round(inter / CAST(sa.nv + sb.nv - inter AS DOUBLE), 4)
+         AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON inter.src_a = sa.source
+JOIN sizes sb ON inter.src_b = sb.source
+"""

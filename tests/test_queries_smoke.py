@@ -837,3 +837,41 @@ def test_shot_boundaries_on_gradient_frames(spark):
     rows = detect_shot_boundaries(df).collect()
     assert {(r["media_id"], r["frame_idx"]) for r in rows} == {(2, 1)}
     assert rows[0]["mean_diff"] == 20.0
+
+
+def test_incremental_near_dup_covers_batch_slice(spark, sf_dir):
+    """Incremental probe finds exactly the full-pair-job matches that
+    touch the new batch: filter minhash_lsh_pairs to pairs with >= 1
+    new-batch (doc_id%4==0) member and compare pair sets."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _lsh_pairs_cached,
+        incremental_near_dup,
+    )
+
+    got = incremental_near_dup(spark, sf_dir).collect()
+    assert got
+    inc = set()
+    for r in got:
+        a, b = r["new_id"], r["match_id"]
+        assert a % 4 == 0
+        assert r["match_is_existing"] == (b % 4 != 0)
+        inc.add((min(a, b), max(a, b)))
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_pairs_cached(spark, sf_dir).collect()
+        if r["doc_a"] % 4 == 0 or r["doc_b"] % 4 == 0
+    }
+    # full job bucket-caps its bands (BUCKET_CAP); the incremental
+    # probe is uncapped, so it may see strictly more
+    assert full <= inc
+
+
+def test_source_vocab_jaccard_bounds(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.textops import source_vocab_jaccard
+
+    rows = source_vocab_jaccard(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["inter"] >= 0
+        assert 0 <= r["vocab_jaccard"] <= 1
