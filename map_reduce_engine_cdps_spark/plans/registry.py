@@ -975,6 +975,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.source_vocab_jaccard,
         textops.SOURCE_VOCAB_JACCARD_SQL,
     ),
+    # --- reciprocal-rank fusion of lexical + semantic retrieval ---
+    "rrf_fusion_topk": (
+        textops.rrf_fusion_topk,
+        textops.RRF_FUSION_TOPK_SQL,
+    ),
 }
 
 
@@ -1238,6 +1243,7 @@ _PRIORITY_ORDER = [
     "ppm_shot_boundaries",
     "incremental_near_dup",
     "source_vocab_jaccard",
+    "rrf_fusion_topk",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

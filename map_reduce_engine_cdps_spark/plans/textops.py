@@ -1738,3 +1738,122 @@ FROM inter
 JOIN sizes sa ON inter.src_a = sa.source
 JOIN sizes sb ON inter.src_b = sb.source
 """
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion_topk — hybrid retrieval fusion (Cormack et al.'s
+# reciprocal-rank fusion, the default fusion in modern lexical+vector
+# search stacks): the BM25 top-20 (lexical list, corpus-top-cf query
+# as in bm25_scores) is fused with a semantic more-like-this list —
+# every doc ranked by embedding cosine to the lexical rank-1 doc's
+# embedding (pseudo-relevance feedback with the md5 stand-in embedder
+# of doc_embeddings, which is exactly SQL-reconstructable) — via
+# rrf = Σ 1/(RRF_K + rank). Ranks are integers, so the fused score is
+# the same double in any engine.
+#
+# Scale shape: lexical side is the existing BM25 plan; semantic side
+# is one map-only cosine pass against a broadcast 16-float seed + a
+# TakeOrdered(20); fusion joins two 20-row lists. Nothing corpus-sized
+# shuffles beyond what BM25 already does.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import text_embedder_udf
+
+    lex = bm25_scores(spark, sf_dir)
+    wl = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+    seed_id = lex_r.filter(F.col("r_lex") == 1).collect()[0]["doc_id"]
+    docs = load_parallel(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", text_embedder_udf()(F.col("text")).alias("e")
+    )
+    seed = emb.filter(F.col("doc_id") == seed_id).collect()[0]["e"]
+    sarr = F.array(*[F.lit(float(v)) for v in seed])
+    dot = F.aggregate(
+        F.zip_with("e", sarr, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.aggregate(
+        F.transform("e", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    snrm = float(sum(float(v) * float(v) for v in seed))
+    cos = dot / (F.sqrt(nrm) * F.sqrt(F.lit(snrm)))
+    ws = W.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem_r = (
+        emb.withColumn("cos", cos)
+        .select("doc_id", "cos")
+        .withColumn("r_sem", F.row_number().over(ws))
+        .filter(F.col("r_sem") <= 20)
+        .select("doc_id", "r_sem")
+    )
+    fused = lex_r.join(sem_r, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0)).alias("r_lex"),
+        F.coalesce("r_sem", F.lit(0)).alias("r_sem"),
+        F.round(
+            F.coalesce(1.0 / (F.col("r_lex") + RRF_K), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("r_sem") + RRF_K), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+def _rrf_sql() -> str:
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _md5_component_sql,
+        _sq_norm_sql,
+    )
+
+    comp = _md5_component_sql
+    dot = " + ".join(
+        f"CAST({comp(i)} AS DOUBLE) * sd.s{i}" for i in range(16)
+    )
+    seed_comps = ", ".join(
+        f"CAST({comp(i)} AS DOUBLE) AS s{i}" for i in range(16)
+    )
+    return (
+        "WITH lex AS ("
+        + BM25_SCORES_SQL
+        + f"""),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+  FROM lex
+), h AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), sd AS (
+  SELECT {seed_comps},
+         {_sq_norm_sql()} AS snrm
+  FROM h WHERE doc_id = (SELECT doc_id FROM lexr WHERE r_lex = 1)
+), cosr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ({dot})
+           / (sqrt({_sq_norm_sql()}) * sqrt(sd.snrm)) DESC, doc_id ASC)
+           AS r_sem
+  FROM h, sd
+), semr AS (
+  SELECT doc_id, r_sem FROM cosr WHERE r_sem <= 20
+), fused AS (
+  SELECT coalesce(lexr.doc_id, semr.doc_id) AS doc_id,
+         coalesce(r_lex, 0) AS r_lex, coalesce(r_sem, 0) AS r_sem,
+         round(coalesce(CAST(1.0 AS DOUBLE) / (r_lex + {RRF_K}), 0)
+               + coalesce(CAST(1.0 AS DOUBLE) / (r_sem + {RRF_K}), 0), 6)
+           AS rrf
+  FROM lexr FULL JOIN semr ON lexr.doc_id = semr.doc_id
+)
+SELECT doc_id, r_lex, r_sem, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+    )
+
+
+RRF_FUSION_TOPK_SQL = _rrf_sql

@@ -875,3 +875,20 @@ def test_source_vocab_jaccard_bounds(spark, sf_dir):
         assert r["src_a"] < r["src_b"]
         assert r["inter"] >= 0
         assert 0 <= r["vocab_jaccard"] <= 1
+
+
+def test_rrf_fusion_sound(spark, sf_dir):
+    """RRF output: the lexical rank-1 seed doc must fuse at the top
+    (it is rank 1 in BOTH lists), and scores decompose into the two
+    reciprocal terms."""
+    from map_reduce_engine_cdps_spark.plans.textops import RRF_K, rrf_fusion_topk
+
+    rows = rrf_fusion_topk(spark, sf_dir).collect()
+    assert rows
+    top = rows[0]
+    assert top["r_lex"] == 1 and top["r_sem"] == 1
+    for r in rows:
+        expect = (1.0 / (r["r_lex"] + RRF_K) if r["r_lex"] else 0.0) + (
+            1.0 / (r["r_sem"] + RRF_K) if r["r_sem"] else 0.0
+        )
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-12
