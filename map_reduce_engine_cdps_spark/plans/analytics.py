@@ -3246,3 +3246,91 @@ SELECT CAST(sum(c) AS BIGINT) AS n_rows,
              / CAST(sum(c) AS DOUBLE), 6) AS top1pct_share
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# conformal_revenue_interval — split conformal prediction (Vovk; the
+# distribution-free interval wrapper production forecasters deploy):
+# one-step forecasts = trailing 7-day mean, absolute residuals split
+# 60/40 into calibration/test by time, the interval half-width is the
+# EXACT order statistic at rank ceil(0.9·(n_cal+1)) of the calibration
+# residuals (integer-arithmetic rank — no interpolated quantile), and
+# the reported number is the empirical test coverage, which conformal
+# theory guarantees ≈ 90% regardless of the revenue distribution. All
+# selection logic is integer; the only floats are the residuals both
+# engines derive with the same window formula.
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 9     # 1 - alpha = 9/10
+
+
+def conformal_revenue_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _daily_revenue(spark, sf_dir)
+    w = W.orderBy("day")
+    wf = w.rowsBetween(-7, -1)
+    s = d.select(
+        "day",
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count("r").over(wf).alias("nw"),
+        F.sum("r").over(wf).alias("sw"),
+    ).filter(F.col("nw") == 7)
+    resid = s.select(
+        "day", F.abs(F.col("r") - F.col("sw") / 7).alias("ar")
+    ).withColumn("rr", F.row_number().over(W.orderBy("day")))
+    n_resid = resid.count()
+    n_cal = 3 * n_resid // 5
+    cal = resid.filter(F.col("rr") <= n_cal)
+    k = min(n_cal, (_CONF_ALPHA_NUM * (n_cal + 1) + 9) // 10)
+    q = (
+        cal.select("ar", F.row_number().over(W.orderBy("ar", "day")).alias("qr"))
+        .filter(F.col("qr") == k)
+        .collect()[0]["ar"]
+    )
+    test = resid.filter(F.col("rr") > n_cal)
+    return test.agg(
+        F.lit(n_cal).alias("n_cal"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.round(F.lit(q), 2).alias("q_hat"),
+        F.round(
+            F.sum(F.when(F.col("ar") <= q, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("coverage"),
+    )
+
+
+CONFORMAL_REVENUE_INTERVAL_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+s AS (
+  SELECT day, r,
+         row_number() OVER (ORDER BY day) AS rn,
+         count(r) OVER w AS nw,
+         sum(r) OVER w AS sw
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), resid AS (
+  SELECT day, abs(r - sw / 7) AS ar,
+         row_number() OVER (ORDER BY day) AS rr
+  FROM s WHERE nw = 7
+), nn AS (
+  SELECT count(*) AS n_resid, 3 * count(*) // 5 AS n_cal FROM resid
+), q AS (
+  SELECT ar AS q_hat
+  FROM (
+    SELECT ar, row_number() OVER (ORDER BY ar, day) AS qr
+    FROM resid, nn WHERE rr <= n_cal
+  ), nn
+  WHERE qr = least(n_cal, ({_CONF_ALPHA_NUM} * (n_cal + 1) + 9) // 10)
+)
+SELECT nn.n_cal AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(q.q_hat, 2) AS q_hat,
+       round(sum(CASE WHEN ar <= q.q_hat THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS coverage
+FROM resid, nn, q
+WHERE rr > nn.n_cal
+GROUP BY nn.n_cal, q.q_hat
+"""

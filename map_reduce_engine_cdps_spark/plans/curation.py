@@ -1650,3 +1650,70 @@ SELECT source, round(sum(gap), 6) AS emd_bins FROM e GROUP BY source
 
 
 LENGTH_EMD_BY_SOURCE_SQL = _length_emd_sql()
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalized_quality — cross-source score calibration: a raw
+# per-doc score (doc length here) is replaced by the CORPUS value at
+# the same quantile the doc occupies WITHIN its source, so a "long doc
+# for source A" and a "long doc for source B" get comparable numbers
+# even when the sources' raw distributions differ wildly (the standard
+# fix before pooling per-source quality scores into one training-mix
+# threshold). The quantile→rank mapping is pure integer arithmetic —
+# target global rank = 1 + (r_s−1)·(N−1) // (n_s−1) — so both engines
+# agree exactly (no interpolated-percentile knife edges).
+#
+# Scale: one source-partitioned rank window (scales), one corpus-grain
+# rank (single-partition here; at 100 TB swap the exact global rank
+# for an approx-percentile lookup table — semantics identical up to
+# sketch error), one join on the integer rank.
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n_total = docs.count()
+    ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rs"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("ns"),
+    )
+    # `div` = exact integer division (all operands nonnegative)
+    g = F.expr(
+        f"1 + ((rs - 1) * {n_total - 1}) div greatest(ns - 1, 1)"
+    ).cast("long")
+    wg = W.orderBy("n_chars", "doc_id")
+    corpus = docs.select(
+        F.row_number().over(wg).alias("g"), F.col("n_chars").alias("norm_chars")
+    )
+    return (
+        ranked.withColumn("g", g)
+        .join(corpus, "g")
+        .select("doc_id", "source", "n_chars", "norm_chars")
+    )
+
+
+QUANTILE_NORMALIZED_QUALITY_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rs,
+         count(*) OVER (PARTITION BY source) AS ns,
+         count(*) OVER () AS nt
+  FROM documents
+), corpus AS (
+  SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS g,
+         n_chars AS norm_chars
+  FROM documents
+)
+SELECT d.doc_id, d.source, d.n_chars, corpus.norm_chars
+FROM d JOIN corpus
+  ON corpus.g = 1 + (d.rs - 1) * (d.nt - 1) // greatest(d.ns - 1, 1)
+"""

@@ -259,6 +259,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "doc_chunks": (curation.doc_chunks, curation.DOC_CHUNKS_SQL),
     "cdc_chunk_stats": (curation.cdc_chunk_stats, curation.CDC_CHUNK_STATS_SQL),
+    "quantile_normalized_quality": (
+        curation.quantile_normalized_quality,
+        curation.QUANTILE_NORMALIZED_QUALITY_SQL,
+    ),
     "pack_chunks_bins": (curation.pack_chunks_bins, curation.PACK_CHUNKS_BINS_SQL),
     "epoch_shuffle": (curation.epoch_shuffle, curation.EPOCH_SHUFFLE_SQL),
     "pareto_orders": (relational.pareto_orders, relational.PARETO_ORDERS_SQL),
@@ -768,6 +772,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.key_skew_profile,
         analytics.KEY_SKEW_PROFILE_SQL,
     ),
+    "conformal_revenue_interval": (
+        analytics.conformal_revenue_interval,
+        analytics.CONFORMAL_REVENUE_INTERVAL_SQL,
+    ),
     "length_emd_by_source": (
         curation.length_emd_by_source,
         curation.LENGTH_EMD_BY_SOURCE_SQL,
@@ -1244,6 +1252,8 @@ _PRIORITY_ORDER = [
     "incremental_near_dup",
     "source_vocab_jaccard",
     "rrf_fusion_topk",
+    "quantile_normalized_quality",
+    "conformal_revenue_interval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

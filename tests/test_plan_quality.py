@@ -197,6 +197,8 @@ DEDUP_FAMILY = [
     "duplicate_spans",
     "edit_distance_pairs",
     "simhash_hamming_pairs",
+    "bbit_minhash_eval",
+    "incremental_near_dup",
     "cross_source_leakage",
     "dup_graph_triangles",
     "customer_record_linkage",

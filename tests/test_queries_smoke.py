@@ -892,3 +892,33 @@ def test_rrf_fusion_sound(spark, sf_dir):
             1.0 / (r["r_sem"] + RRF_K) if r["r_sem"] else 0.0
         )
         assert abs(r["rrf"] - round(expect, 6)) < 1e-12
+
+
+def test_quantile_norm_and_conformal_sound(spark, sf_dir):
+    """Quantile mapping preserves per-source rank order and lands in
+    the corpus value range; conformal coverage is near the 90% target
+    on the held-out split."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        conformal_revenue_interval,
+    )
+    from map_reduce_engine_cdps_spark.plans.curation import (
+        quantile_normalized_quality,
+    )
+
+    rows = quantile_normalized_quality(spark, sf_dir).collect()
+    assert rows
+    lo = min(r["n_chars"] for r in rows)
+    hi = max(r["n_chars"] for r in rows)
+    by_source = {}
+    for r in rows:
+        assert lo <= r["norm_chars"] <= hi
+        by_source.setdefault(r["source"], []).append(
+            (r["n_chars"], r["doc_id"], r["norm_chars"])
+        )
+    for vals in by_source.values():
+        vals.sort()
+        norms = [n for _, _, n in vals]
+        assert norms == sorted(norms)
+    c = conformal_revenue_interval(spark, sf_dir).collect()[0]
+    assert c["n_cal"] > 0 and c["n_test"] > 0 and c["q_hat"] > 0
+    assert 0.75 <= c["coverage"] <= 1.0
