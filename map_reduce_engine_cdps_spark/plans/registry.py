@@ -781,6 +781,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.bloom_fpr_eval,
         relational.BLOOM_FPR_EVAL_SQL,
     ),
+    "zorder_layout_stats": (
+        relational.zorder_layout_stats,
+        relational.ZORDER_LAYOUT_STATS_SQL,
+    ),
     "length_emd_by_source": (
         curation.length_emd_by_source,
         curation.LENGTH_EMD_BY_SOURCE_SQL,
@@ -1261,6 +1265,7 @@ _PRIORITY_ORDER = [
     "conformal_revenue_interval",
     "bloom_fpr_eval",
     "wav_silence_segments",
+    "zorder_layout_stats",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -2725,3 +2725,100 @@ SELECT n_probe_keys, n_true_members, n_passed, n_false_pos, n_bits_set,
                            / {_BLOOM_BITS}), {_BLOOM_K}), 6) AS theoretical_fpr
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout_stats — measured Z-order (Morton curve) layout benefit,
+# the locality argument behind Delta/Iceberg OPTIMIZE ZORDER BY: bucket
+# orders into a 256x256 (custkey-bucket, date-bucket) grid, lay the
+# rows out either linearly (by date bucket) or by interleaved-bit
+# Z-value, split either layout into 256 equal row-count file chunks,
+# and count how many chunks a custkey-range filter touches under each.
+# Fewer touched chunks = more files pruned at scan time. Everything is
+# integer arithmetic (bit interleave via div/mod — shared SQL builder
+# in sources/writers.py), so the oracle agrees exactly.
+#
+# Scale: two rank windows over the fact table (the layout simulation;
+# a real OPTIMIZE would sort-write instead) + one filtered distinct
+# count per layout. The measurement query a table owner runs on a
+# SAMPLE before paying for the full rewrite.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_CHUNKS = 256
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from map_reduce_engine_cdps_spark.sources.writers import z_interleave_sql
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("cb"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256).alias(
+            "db"
+        ),
+        "o_orderkey",
+    )
+    z = F.expr(z_interleave_sql("cb", "db", _Z_BITS, intdiv="div"))
+    d = orders.withColumn("z", z)
+    n = d.count()
+    chunk_rows = max(n // _Z_CHUNKS, 1)
+    wl = W.orderBy("db", "o_orderkey")
+    wz = W.orderBy("z", "o_orderkey")
+    laid = d.select(
+        "cb",
+        ((F.row_number().over(wl) - 1) / chunk_rows)
+        .cast("long")
+        .alias("chunk_linear"),
+        ((F.row_number().over(wz) - 1) / chunk_rows)
+        .cast("long")
+        .alias("chunk_z"),
+    )
+    hit = laid.filter((F.col("cb") >= 8) & (F.col("cb") <= 15))
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_match_rows"),
+        F.countDistinct("chunk_linear").alias("chunks_touched_linear"),
+        F.countDistinct("chunk_z").alias("chunks_touched_zorder"),
+        F.round(
+            F.countDistinct("chunk_z")
+            / F.countDistinct("chunk_linear").cast("double"),
+            4,
+        ).alias("zorder_chunk_ratio"),
+    )
+
+
+def _zorder_sql() -> str:
+    from map_reduce_engine_cdps_spark.sources.writers import z_interleave_sql
+
+    zi = z_interleave_sql("cb", "db", _Z_BITS)
+    return f"""
+WITH o AS (
+  SELECT o_custkey % 256 AS cb,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+           AS db,
+         o_orderkey
+  FROM orders
+), z AS (
+  SELECT cb, db, o_orderkey, {zi} AS zv FROM o
+), nn AS (
+  SELECT greatest(count(*) // {_Z_CHUNKS}, 1) AS chunk_rows FROM z
+), laid AS (
+  SELECT cb,
+         (row_number() OVER (ORDER BY db, o_orderkey) - 1)
+           // chunk_rows AS chunk_linear,
+         (row_number() OVER (ORDER BY zv, o_orderkey) - 1)
+           // chunk_rows AS chunk_z
+  FROM z, nn
+)
+SELECT CAST(count(*) AS BIGINT) AS n_match_rows,
+       count(DISTINCT chunk_linear) AS chunks_touched_linear,
+       count(DISTINCT chunk_z) AS chunks_touched_zorder,
+       round(count(DISTINCT chunk_z)
+             / CAST(count(DISTINCT chunk_linear) AS DOUBLE), 4)
+         AS zorder_chunk_ratio
+FROM laid WHERE cb BETWEEN 8 AND 15
+"""
+
+
+ZORDER_LAYOUT_STATS_SQL = _zorder_sql

@@ -94,3 +94,23 @@ def gather(df: DataFrame, limit: int | None = None) -> list:
     unbounded collect is a driver OOM at scale; prefer a write sink.
     """
     return df.limit(limit).collect() if limit is not None else df.collect()
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout evaluation (see plans/relational.py:zorder_layout_stats
+# for the registry query): bit-interleaving expression shared between
+# the Spark plan and the DuckDB oracle — pure integer arithmetic
+# ((x >> i) & 1 via div/mod), 8 bits per dimension.
+# ---------------------------------------------------------------------------
+
+
+def z_interleave_sql(x: str, y: str, bits: int = 8, intdiv: str = "//") -> str:
+    """SQL for the Morton/Z-value of two `bits`-bit nonneg integers:
+    x's bit i lands at position 2i, y's at 2i+1. Engine-portable up to
+    the integer-division spelling: DuckDB `//`, Spark `div` (both exact
+    on the nonnegative operands used here)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"

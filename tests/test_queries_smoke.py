@@ -967,3 +967,15 @@ def test_bloom_fpr_sound(spark, sf_dir):
     assert r["n_false_pos"] == r["n_passed"] - r["n_true_members"]
     assert 0 <= r["measured_fpr"] <= 1
     assert r["n_bits_set"] <= 3 * r["n_true_members"]
+
+
+def test_zorder_improves_locality(spark, sf_dir):
+    """The point of the measurement: for a custkey-range filter the
+    Z-order layout must touch no more chunks than the date-linear
+    layout (on realistic data, strictly fewer)."""
+    from map_reduce_engine_cdps_spark.plans.relational import zorder_layout_stats
+
+    r = zorder_layout_stats(spark, sf_dir).collect()[0]
+    assert r["n_match_rows"] > 0
+    assert 1 <= r["chunks_touched_zorder"] <= r["chunks_touched_linear"]
+    assert r["zorder_chunk_ratio"] <= 1.0
