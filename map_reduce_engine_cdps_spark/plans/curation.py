@@ -1717,3 +1717,110 @@ SELECT d.doc_id, d.source, d.n_chars, corpus.norm_chars
 FROM d JOIN corpus
   ON corpus.g = 1 + (d.rs - 1) * (d.nt - 1) // greatest(d.ns - 1, 1)
 """
+
+
+# ---------------------------------------------------------------------------
+# submodular_coverage_sample — greedy maximum-coverage subset selection
+# (the monotone-submodular (1−1/e) greedy; the coverage member of the
+# facility-location family used for training-data subset selection):
+# pick SUBMOD_K docs one at a time, each maximizing the number of
+# corpus trigrams NOT covered by the docs already picked (ties to min
+# doc_id). Complements kcenter_seeds (geometric diversity) with
+# set-coverage diversity.
+#
+# Scale shape: per round, ONE distributed anti-join of the per-doc
+# trigram stream against the covered-set table (hashed trigram longs
+# crossing once) + a count/argmax; driver state is k rows, the covered
+# set stays a DataFrame. Greedy is k passes by construction — for
+# one-pass selection at extreme scale you'd switch to stochastic
+# greedy (different estimator). Oracle: mechanically unrolled rounds
+# with NOT IN covered-set CTEs.
+# ---------------------------------------------------------------------------
+
+SUBMOD_K = 5
+
+
+def _doc_trigram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    sh = TX.shingles(TX.tokens(F.col("text")))
+    ex = docs.select("doc_id", F.explode(sh).alias("g"))
+    # 60-bit hash of the trigram — set identity only needs uniqueness
+    return ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("gh"),
+    )
+
+
+def submodular_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = _doc_trigram_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    covered = None
+    picks = []
+    for rnd in range(SUBMOD_K):
+        cand = tri
+        if covered is not None:
+            cand = tri.join(covered, "gh", "left_anti")
+        gain = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        top = gain.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()
+        if not top or top[0]["gain"] == 0:
+            break
+        pick = top[0]
+        picks.append((rnd, int(pick["doc_id"]), int(pick["gain"])))
+        newly = tri.filter(F.col("doc_id") == pick["doc_id"]).select("gh")
+        covered = (
+            newly
+            if covered is None
+            else covered.union(newly).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "sel_round int, doc_id long, marginal_gain long"
+    )
+
+
+def _submod_sql() -> str:
+    sql = [
+        """WITH tri AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3 THEN
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           ELSE [] END) AS g
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents
+    )
+  )
+)"""
+    ]
+    prev_cov = None
+    for t in range(SUBMOD_K):
+        anti = (
+            f" WHERE gh NOT IN (SELECT gh FROM {prev_cov})" if prev_cov else ""
+        )
+        sql.append(
+            f""", g{t} AS MATERIALIZED (
+  SELECT doc_id, count(*) AS gain
+  FROM tri{anti}
+  GROUP BY doc_id
+), p{t} AS MATERIALIZED (
+  SELECT {t} AS sel_round, doc_id, CAST(gain AS BIGINT) AS marginal_gain
+  FROM g{t} ORDER BY gain DESC, doc_id ASC LIMIT 1
+), c{t} AS MATERIALIZED (
+  SELECT gh FROM tri WHERE doc_id = (SELECT doc_id FROM p{t})
+  {"UNION SELECT gh FROM " + prev_cov if prev_cov else ""}
+)"""
+        )
+        prev_cov = f"c{t}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT sel_round, doc_id, marginal_gain FROM p{t}"
+        for t in range(SUBMOD_K)
+    )
+    return "\n".join(sql) + "\n" + union + "\nORDER BY sel_round"
+
+
+SUBMODULAR_COVERAGE_SAMPLE_SQL = _submod_sql

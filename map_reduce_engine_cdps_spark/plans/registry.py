@@ -263,6 +263,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.quantile_normalized_quality,
         curation.QUANTILE_NORMALIZED_QUALITY_SQL,
     ),
+    "submodular_coverage_sample": (
+        curation.submodular_coverage_sample,
+        curation.SUBMODULAR_COVERAGE_SAMPLE_SQL,
+    ),
     "pack_chunks_bins": (curation.pack_chunks_bins, curation.PACK_CHUNKS_BINS_SQL),
     "epoch_shuffle": (curation.epoch_shuffle, curation.EPOCH_SHUFFLE_SQL),
     "pareto_orders": (relational.pareto_orders, relational.PARETO_ORDERS_SQL),
@@ -1266,6 +1270,7 @@ _PRIORITY_ORDER = [
     "bloom_fpr_eval",
     "wav_silence_segments",
     "zorder_layout_stats",
+    "submodular_coverage_sample",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

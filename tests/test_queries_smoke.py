@@ -979,3 +979,32 @@ def test_zorder_improves_locality(spark, sf_dir):
     assert r["n_match_rows"] > 0
     assert 1 <= r["chunks_touched_zorder"] <= r["chunks_touched_linear"]
     assert r["zorder_chunk_ratio"] <= 1.0
+
+
+def test_submodular_gains_decrease(spark, sf_dir):
+    """Submodularity: greedy marginal gains are non-increasing, picks
+    are distinct, and the first pick is the doc with the most distinct
+    trigrams."""
+    from map_reduce_engine_cdps_spark.plans.curation import (
+        _doc_trigram_hashes,
+        submodular_coverage_sample,
+    )
+
+    rows = sorted(
+        submodular_coverage_sample(spark, sf_dir).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert rows
+    gains = [r["marginal_gain"] for r in rows]
+    assert all(gains[i] >= gains[i + 1] for i in range(len(gains) - 1))
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    tri = _doc_trigram_hashes(spark, sf_dir)
+    best = (
+        tri.groupBy("doc_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("doc_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert rows[0]["doc_id"] == best["doc_id"]
+    assert rows[0]["marginal_gain"] == best["count"]
