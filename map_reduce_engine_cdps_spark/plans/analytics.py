@@ -3334,3 +3334,245 @@ FROM resid, nn, q
 WHERE rr > nn.n_cal
 GROUP BY nn.n_cal, q.q_hat
 """
+
+
+# ---------------------------------------------------------------------------
+# copurchase_part_pairs — market-basket pair mining on a HIGH-
+# CARDINALITY key (parts, not the 5-value event-type toy of
+# frequent_type_pairs), with the A-priori support prune doing the
+# scale work: only parts appearing in >= MIN_PART_SUPPORT orders can
+# appear in a frequent pair, so singleton-frequent parts are filtered
+# BEFORE the within-order pair join (the downward-closure property).
+# At 100 TB this prune is the difference between a pair join over a
+# curated frequent-item stream and an O(basket²)·orders blowup on the
+# raw stream. Output: top pairs by lift among pairs with support >=
+# MIN_PAIR_SUPPORT; lift from exact integer counts, one division.
+# ---------------------------------------------------------------------------
+
+MIN_PART_SUPPORT = 3
+MIN_PAIR_SUPPORT = 2
+
+
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= MIN_PART_SUPPORT)
+    )
+    pruned = li.join(freq, "l_partkey").select("l_orderkey", "l_partkey", "sup")
+    a = pruned.select(
+        "l_orderkey", F.col("l_partkey").alias("pa"), F.col("sup").alias("sa")
+    )
+    b = pruned.select(
+        "l_orderkey", F.col("l_partkey").alias("pb"), F.col("sup").alias("sb")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("pair_sup"))
+        .filter(F.col("pair_sup") >= MIN_PAIR_SUPPORT)
+    )
+    lift = (
+        F.col("pair_sup").cast("double")
+        * n_orders
+        / (F.col("sa") * F.col("sb"))
+    )
+    w = W.orderBy(
+        F.desc("lift"), F.desc("pair_sup"), F.asc("pa"), F.asc("pb")
+    )
+    return (
+        pairs.withColumn("lift", F.round(lift, 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("pa", "pb", "pair_sup", "lift", "rn")
+    )
+
+
+COPURCHASE_PART_PAIRS_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+), freq AS (
+  SELECT l_partkey, count(*) AS sup FROM li GROUP BY 1
+  HAVING count(*) >= {MIN_PART_SUPPORT}
+), pruned AS (
+  SELECT li.l_orderkey, li.l_partkey, freq.sup
+  FROM li JOIN freq USING (l_partkey)
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         a.sup AS sa, b.sup AS sb, count(*) AS pair_sup
+  FROM pruned a JOIN pruned b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {MIN_PAIR_SUPPORT}
+), scored AS (
+  SELECT pa, pb, CAST(pair_sup AS BIGINT) AS pair_sup,
+         round(CAST(pair_sup AS DOUBLE) * n_orders / (sa * sb), 4) AS lift,
+         row_number() OVER (ORDER BY CAST(pair_sup AS DOUBLE) * n_orders
+                              / (sa * sb) DESC,
+                            pair_sup DESC, pa ASC, pb ASC) AS rn
+  FROM pairs, n
+)
+SELECT pa, pb, pair_sup, lift, rn FROM scored WHERE rn <= 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# decayed_user_value — exponential time-decay aggregation (the
+# feature-store staple behind "recent activity" features): each
+# purchase contributes value·e^{−λ·age_days} toward its user's score,
+# anchored at the corpus max date. Decay weights are QUANTIZED to
+# integer micros per row before the multiply-sum, so the per-user
+# aggregate is exact integer arithmetic — engine libm differences in
+# exp() can only matter if a weight lands within half a micro of a
+# boundary (~1e-10 per row), not on every partial-sum reordering.
+# Top-20 users by decayed value.
+# ---------------------------------------------------------------------------
+
+_DECAY_LAMBDA = 0.05
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    ).filter(F.col("event_type") == "purchase")
+    ref = ev.agg(F.max("day")).collect()[0][0]
+    age = F.datediff(F.lit(ref), F.col("day"))
+    w_micros = F.round(
+        F.exp(-F.lit(_DECAY_LAMBDA) * age) * 1_000_000
+    ).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    scored = ev.select("user_id", (cents * w_micros).alias("contrib"))
+    agg = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("contrib").alias("c"),
+    )
+    wr = W.orderBy(F.desc("c"), F.asc("user_id"))
+    return (
+        agg.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "user_id",
+            "n_purchases",
+            F.round(F.col("c") / 1e8, 4).alias("decayed_value"),
+            "rn",
+        )
+    )
+
+
+DECAYED_USER_VALUE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, value, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'
+), ref AS (SELECT max(day) AS r FROM ev),
+scored AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT)
+         * CAST(round(exp(-{_DECAY_LAMBDA} * date_diff('day', day, r))
+                      * 1000000) AS BIGINT) AS contrib
+  FROM ev, ref
+), agg AS (
+  SELECT user_id, count(*) AS n_purchases,
+         CAST(sum(contrib) AS BIGINT) AS c
+  FROM scored GROUP BY user_id
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY c DESC, user_id ASC) AS rn FROM agg
+)
+SELECT user_id, n_purchases, round(c / 1e8, 4) AS decayed_value, rn
+FROM ranked WHERE rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# markov_next_event_accuracy — evaluated sequence prediction: fit the
+# order-1 Markov next-event predictor (argmax of transition counts,
+# ties to lexicographically smallest type — fully deterministic) on
+# transitions landing in the FIRST half of the time range, score
+# accuracy on the second half. The evaluation loop event_type_trigrams
+# and event_transition_matrix lack: a fitted model plus an honest
+# held-out number. Transitions derive from one per-user lag window;
+# everything after is integer counts on a (types × types)-bounded
+# table.
+# ---------------------------------------------------------------------------
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+        F.to_date("ts").alias("day"),
+    ).filter(F.col("prev").isNotNull())
+    rng = tr.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).collect()[0]
+    mid = F.date_add(
+        F.lit(rng["lo"]),
+        (F.datediff(F.lit(rng["hi"]), F.lit(rng["lo"])) / 2).cast("int"),
+    )
+    train = tr.filter(F.col("day") < mid)
+    test = tr.filter(F.col("day") >= mid)
+    counts = train.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    pred = counts.groupBy("prev").agg(
+        F.expr("min_by(cur, struct(-n, cur))").alias("pred")
+    )
+    scored = test.join(F.broadcast(pred), "prev", "left")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("cur") == F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("cur") == F.col("pred"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+MARKOV_NEXT_EVENT_ACCURACY_SQL = """
+WITH tr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_type AS cur,
+         CAST(ts AS DATE) AS day
+  FROM events
+), t2 AS (SELECT * FROM tr WHERE prev IS NOT NULL),
+rng AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM t2
+), split AS (
+  SELECT t2.*,
+         day < lo + CAST(CAST(date_diff('day', lo, hi) AS INTEGER) // 2
+                         AS INTEGER) AS is_train
+  FROM t2, rng
+), counts AS (
+  SELECT prev, cur, count(*) AS n FROM split WHERE is_train GROUP BY 1, 2
+), pred AS (
+  SELECT prev, cur AS pred FROM (
+    SELECT prev, cur,
+           row_number() OVER (PARTITION BY prev
+                              ORDER BY n DESC, cur ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN cur = pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN cur = pred THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS accuracy
+FROM split LEFT JOIN pred USING (prev)
+WHERE NOT is_train
+"""

@@ -781,6 +781,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.conformal_revenue_interval,
         analytics.CONFORMAL_REVENUE_INTERVAL_SQL,
     ),
+    "copurchase_part_pairs": (
+        analytics.copurchase_part_pairs,
+        analytics.COPURCHASE_PART_PAIRS_SQL,
+    ),
+    "decayed_user_value": (
+        analytics.decayed_user_value,
+        analytics.DECAYED_USER_VALUE_SQL,
+    ),
+    "markov_next_event_accuracy": (
+        analytics.markov_next_event_accuracy,
+        analytics.MARKOV_NEXT_EVENT_ACCURACY_SQL,
+    ),
     "bloom_fpr_eval": (
         relational.bloom_fpr_eval,
         relational.BLOOM_FPR_EVAL_SQL,
@@ -1271,6 +1283,9 @@ _PRIORITY_ORDER = [
     "wav_silence_segments",
     "zorder_layout_stats",
     "submodular_coverage_sample",
+    "copurchase_part_pairs",
+    "decayed_user_value",
+    "markov_next_event_accuracy",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

