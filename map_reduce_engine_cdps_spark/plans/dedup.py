@@ -1457,11 +1457,24 @@ FROM hit GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+LINK_BLOCK_CAP = 256
+
+
 def _linkage_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(key_a, key_b) pairs passing the linkage gates — the pair-level
     view of customer_record_linkage's aggregate funnel (same blocking,
     same predicates; see that query's header for the double-bucketing
-    scheme)."""
+    scheme).
+
+    Blocks are deterministically truncated to their LINK_BLOCK_CAP
+    smallest custkeys before pairing (the EMB_BUCKET_CAP pattern):
+    the grid has a FIXED bucket count (12 225 occupied at sf1+), so
+    block density — and the pair join — otherwise grows linearly with
+    customers and pairs quadratically (measured: 734 k pairs at sf1 →
+    80.2 M at sf10, blocks 90 → 900). 256 exceeds the hottest block at
+    every certified SF (sf1: 90), so results are exact there; past it
+    the cap is an explicit recall-for-boundedness trade mirrored
+    bit-for-bit in the oracles."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
@@ -1479,6 +1492,18 @@ def _linkage_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     blocked = grids[0].unionByName(grids[1])
+    blocked = (
+        blocked.withColumn(
+            "rnb",
+            F.row_number().over(
+                W.partitionBy(
+                    "grid", "bb", "c_nationkey", "c_mktsegment"
+                ).orderBy("c_custkey")
+            ),
+        )
+        .filter(F.col("rnb") <= LINK_BLOCK_CAP)
+        .drop("rnb")
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     same_g0_bucket = F.floor(F.col("a.bal_cents") / _LINK_GRID_W) == F.floor(
         F.col("b.bal_cents") / _LINK_GRID_W
@@ -1563,11 +1588,18 @@ WITH RECURSIVE c AS (
          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
   FROM customer
 ), blocked AS (
-  SELECT c.*, g.grid,
-         CAST(floor((bal_cents + CASE g.grid WHEN 0 THEN 0
-                     ELSE {_LINK_GRID_W // 2} END)
-                    / CAST({_LINK_GRID_W} AS DOUBLE)) AS BIGINT) AS bb
-  FROM c CROSS JOIN (SELECT 0 AS grid UNION ALL SELECT 1) g
+  SELECT * FROM (
+    SELECT b0.*, row_number() OVER (
+      PARTITION BY grid, bb, c_nationkey, c_mktsegment
+      ORDER BY c_custkey) AS rnb
+    FROM (
+      SELECT c.*, g.grid,
+             CAST(floor((bal_cents + CASE g.grid WHEN 0 THEN 0
+                         ELSE {_LINK_GRID_W // 2} END)
+                        / CAST({_LINK_GRID_W} AS DOUBLE)) AS BIGINT) AS bb
+      FROM c CROSS JOIN (SELECT 0 AS grid UNION ALL SELECT 1) g
+    ) b0
+  ) WHERE rnb <= {LINK_BLOCK_CAP}
 ), matched AS (
   SELECT a.c_custkey AS ka, b.c_custkey AS kb
   FROM blocked a JOIN blocked b
@@ -1753,11 +1785,18 @@ WITH c AS (
          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
   FROM customer
 ), blocked AS (
-  SELECT c.*, g.grid,
-         CAST(floor((bal_cents + CASE g.grid WHEN 0 THEN 0
-                     ELSE {_LINK_GRID_W // 2} END)
-                    / CAST({_LINK_GRID_W} AS DOUBLE)) AS BIGINT) AS bb
-  FROM c CROSS JOIN (SELECT 0 AS grid UNION ALL SELECT 1) g
+  SELECT * FROM (
+    SELECT b0.*, row_number() OVER (
+      PARTITION BY grid, bb, c_nationkey, c_mktsegment
+      ORDER BY c_custkey) AS rnb
+    FROM (
+      SELECT c.*, g.grid,
+             CAST(floor((bal_cents + CASE g.grid WHEN 0 THEN 0
+                         ELSE {_LINK_GRID_W // 2} END)
+                        / CAST({_LINK_GRID_W} AS DOUBLE)) AS BIGINT) AS bb
+      FROM c CROSS JOIN (SELECT 0 AS grid UNION ALL SELECT 1) g
+    ) b0
+  ) WHERE rnb <= {LINK_BLOCK_CAP}
 ), grid AS (
   SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
   FROM blocked a JOIN blocked b

@@ -1037,3 +1037,23 @@ def test_copurchase_decay_markov_sound(spark, sf_dir):
     assert m["n_test"] > 0
     assert 0 <= m["accuracy"] <= 1
     assert m["accuracy"] >= 0.1
+
+
+def test_linkage_block_cap_binds(spark, tmp_path, monkeypatch):
+    """Exercise the LINK_BLOCK_CAP path ACTIVE (inert at every
+    certified SF): 40 same-nation/segment/balance customers with
+    identical names form one block; cap=8 limits pairs to C(8,2)=28
+    among the 8 smallest keys vs C(40,2)=780 uncapped."""
+    import map_reduce_engine_cdps_spark.plans.dedup as D
+
+    rows = [(i, "Customer#X", 0, "SEG", 100.0) for i in range(40)]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_mktsegment string, c_acctbal double",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    monkeypatch.setattr(D, "LINK_BLOCK_CAP", 8)
+    out = D._linkage_matched_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert len(pairs) == 28
+    assert {k for p in pairs for k in p} == set(range(8))
