@@ -1013,6 +1013,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.rrf_fusion_topk,
         textops.RRF_FUSION_TOPK_SQL,
     ),
+    # --- WAND upper-bound pruning power for top-k retrieval ---
+    "wand_pruned_retrieval": (
+        textops.wand_pruned_retrieval,
+        textops.WAND_PRUNED_RETRIEVAL_SQL,
+    ),
 }
 
 
@@ -1286,6 +1291,7 @@ _PRIORITY_ORDER = [
     "copurchase_part_pairs",
     "decayed_user_value",
     "markov_next_event_accuracy",
+    "wand_pruned_retrieval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -1857,3 +1857,127 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
 
 
 RRF_FUSION_TOPK_SQL = _rrf_sql
+
+
+# ---------------------------------------------------------------------------
+# wand_pruned_retrieval — WAND-style upper-bound pruning power for
+# top-k retrieval (Broder et al., CIKM'03): per query term, the max
+# per-doc tf-idf contribution is that term's upper bound; any doc
+# whose matching terms' UBs sum below the exact k-th best score can be
+# skipped without scoring. The query reports the prune rate (how much
+# of the candidate set a WAND iterator would never fully score) plus
+# the top-k mass — the index-design number that decides whether
+# impact-ordered postings are worth building. Exact scoring is the
+# same tf-idf shape as tfidf_top_terms; everything else is bounded
+# aggregates over the 3-term query's postings.
+# ---------------------------------------------------------------------------
+
+_WAND_K = 10
+
+
+def wand_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    query = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("word"))
+        .limit(3)
+        .select("word")
+    )
+    contrib = (
+        tf.join(F.broadcast(query), "word")
+        .join(F.broadcast(dfreq.join(F.broadcast(query), "word")), "word")
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.col("tf")
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("c"),
+        )
+    )
+    scores = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+    wk = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    kth = (
+        scores.select("score", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") == _WAND_K)
+        .collect()
+    )
+    s_k = float(kth[0]["score"]) if kth else 0.0
+    ub = contrib.groupBy("word").agg(F.max("c").alias("ub"))
+    doc_ub = (
+        contrib.join(F.broadcast(ub), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("doc_ub"))
+    )
+    topk_mass = (
+        scores.select("score", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") <= _WAND_K)
+        .agg(F.sum(F.round(F.col("score"), 4)))
+        .collect()[0][0]
+    )
+    return doc_ub.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("doc_ub") < s_k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_skippable"),
+        F.round(
+            F.sum(F.when(F.col("doc_ub") < s_k, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("prune_rate"),
+        F.round(F.lit(topk_mass), 4).alias("topk_mass"),
+    )
+
+
+WAND_PRUNED_RETRIEVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents,
+       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), toks2 AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+query AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS cf FROM toks2 GROUP BY 1
+    ORDER BY cf DESC, word ASC LIMIT 3
+  )
+), contrib AS (
+  SELECT doc_id, tf.word, tf * ln(n_docs / df) AS c
+  FROM tf JOIN query USING (word) JOIN dfreq USING (word) CROSS JOIN n
+), scores AS (
+  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+), ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scores
+), sk AS (
+  SELECT coalesce(
+    (SELECT score FROM ranked WHERE rn = {_WAND_K}), 0.0) AS s_k
+), ub AS (
+  SELECT word, max(c) AS ub FROM contrib GROUP BY word
+), doc_ub AS (
+  SELECT doc_id, sum(ub) AS doc_ub
+  FROM contrib JOIN ub USING (word) GROUP BY doc_id
+), mass AS (
+  SELECT sum(round(score, 4)) AS topk_mass FROM ranked WHERE rn <= {_WAND_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN doc_ub < s_k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_skippable,
+       round(sum(CASE WHEN doc_ub < s_k THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS prune_rate,
+       round(topk_mass, 4) AS topk_mass
+FROM doc_ub, sk, mass
+GROUP BY s_k, topk_mass
+"""

@@ -1057,3 +1057,19 @@ def test_linkage_block_cap_binds(spark, tmp_path, monkeypatch):
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
     assert len(pairs) == 28
     assert {k for p in pairs for k in p} == set(range(8))
+
+
+def test_wand_prune_sound(spark, sf_dir):
+    """WAND safety: skippable docs can never include a top-k doc (UB >=
+    exact score, so doc_ub < s_k implies score < s_k), so n_skippable
+    <= n_candidates - k."""
+    from map_reduce_engine_cdps_spark.plans.textops import (
+        _WAND_K,
+        wand_pruned_retrieval,
+    )
+
+    r = wand_pruned_retrieval(spark, sf_dir).collect()[0]
+    assert r["n_candidates"] > 0
+    assert 0 <= r["n_skippable"] <= max(r["n_candidates"] - _WAND_K, 0)
+    assert 0 <= r["prune_rate"] <= 1
+    assert r["topk_mass"] > 0
