@@ -3576,3 +3576,166 @@ SELECT CAST(count(*) AS BIGINT) AS n_test,
 FROM split LEFT JOIN pred USING (prev)
 WHERE NOT is_train
 """
+
+
+# ---------------------------------------------------------------------------
+# twap_user_value — time-weighted average value per user (the
+# finance/metering aggregate plain AVG gets wrong when observations
+# are irregular): each event's value holds until the user's next event
+# (LOCF step function), TWAP = Σ value_i·dur_i / Σ dur_i. Durations
+# are integer SECONDS from unix-epoch truncation (Spark unix_micros
+# div 1e6 == DuckDB epoch_us // 1e6 — exact integers, no float
+# timestamp arithmetic) and values integer cents, so the per-user
+# accumulation is exact integer math; one division at the end. Top 20
+# users by TWAP.
+# ---------------------------------------------------------------------------
+
+
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_micros("ts") / 1_000_000).cast("long").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    seg = ev.select(
+        "user_id",
+        "cents",
+        (F.lead("sec").over(w) - F.col("sec")).alias("dur"),
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    agg = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("cents") * F.col("dur")).alias("wsum"),
+        F.sum("dur").alias("tdur"),
+    )
+    wr = W.orderBy(
+        F.desc(F.col("wsum") / F.col("tdur")), F.asc("user_id")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "user_id",
+            "n_segments",
+            F.round(F.col("wsum") / F.col("tdur") / 100.0, 4).alias("twap"),
+            "rn",
+        )
+    )
+
+
+TWAP_USER_VALUE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // 1000000 AS sec
+  FROM events
+), seg AS (
+  SELECT user_id, cents,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           - sec AS dur
+  FROM ev
+), s2 AS (SELECT * FROM seg WHERE dur IS NOT NULL AND dur > 0),
+agg AS (
+  SELECT user_id, count(*) AS n_segments,
+         CAST(sum(cents * dur) AS BIGINT) AS wsum,
+         CAST(sum(dur) AS BIGINT) AS tdur
+  FROM s2 GROUP BY user_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY CAST(wsum AS DOUBLE) / tdur DESC, user_id ASC) AS rn
+  FROM agg
+)
+SELECT user_id, n_segments,
+       round(CAST(wsum AS DOUBLE) / tdur / 100.0, 4) AS twap, rn
+FROM ranked WHERE rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# sax_revenue_symbols — Symbolic Aggregate approXimation (Lin/Keogh)
+# of the daily revenue series: z-normalize (explicit integer-count
+# sum/sumsq formula — no engine stddev), Piecewise Aggregate
+# Approximation into _SAX_SEGMENTS equal-count segments, map each
+# segment mean to a 4-letter alphabet at the standard Gaussian
+# breakpoints (−0.6745, 0, 0.6745 — exact literals). SAX is the
+# front-end of classic time-series motif/anomaly mining; the symbol
+# string is what a downstream suffix-index consumes. Segment
+# assignment is integer rank arithmetic; per-segment means divide
+# per-segment sums once.
+# ---------------------------------------------------------------------------
+
+_SAX_SEGMENTS = 16
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+def sax_revenue_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _daily_revenue(spark, sf_dir)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+    ).collect()[0]
+    import math
+
+    n, s1, s2 = stats["n"], float(stats["s1"]), float(stats["s2"])
+    mu = s1 / n
+    # math.sqrt is the correctly-rounded IEEE sqrt (identical to the
+    # oracle's sqrt); ** 0.5 routes through pow and can differ 1 ulp
+    sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    w = W.orderBy("day")
+    seg = d.select(
+        "r",
+        F.expr(f"(row_number() OVER (ORDER BY day) - 1) * {_SAX_SEGMENTS}")
+        .alias("_num"),
+    ).select("r", (F.col("_num") / n).cast("long").alias("segment"))
+    per = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r").alias("sr"),
+    )
+    zmean = (F.col("sr") / F.col("n_days") - mu) / sd
+    b1, b2, b3 = _SAX_BREAKS
+    sym = (
+        F.when(zmean < b1, "a")
+        .when(zmean < b2, "b")
+        .when(zmean < b3, "c")
+        .otherwise("d")
+    )
+    return per.select(
+        "segment",
+        "n_days",
+        F.round(zmean, 4).alias("z_mean"),
+        sym.alias("symbol"),
+    )
+
+
+SAX_REVENUE_SYMBOLS_SQL = f"""
+WITH d AS ({_DAILY_SQL}),
+stats AS (
+  SELECT count(*) AS n, sum(r) AS s1, sum(r * r) AS s2 FROM d
+), seg AS (
+  SELECT r,
+         ((row_number() OVER (ORDER BY day) - 1) * {_SAX_SEGMENTS}) // n
+           AS segment
+  FROM d, stats
+), per AS (
+  SELECT segment, count(*) AS n_days, sum(r) AS sr FROM seg GROUP BY segment
+), z AS (
+  SELECT segment, n_days,
+         (sr / n_days - s1 / n)
+           / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zm
+  FROM per, stats
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+       n_days,
+       round(zm, 4) AS z_mean,
+       CASE WHEN zm < {_SAX_BREAKS[0]} THEN 'a'
+            WHEN zm < {_SAX_BREAKS[1]} THEN 'b'
+            WHEN zm < {_SAX_BREAKS[2]} THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+"""

@@ -793,6 +793,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.markov_next_event_accuracy,
         analytics.MARKOV_NEXT_EVENT_ACCURACY_SQL,
     ),
+    "twap_user_value": (
+        analytics.twap_user_value,
+        analytics.TWAP_USER_VALUE_SQL,
+    ),
+    "sax_revenue_symbols": (
+        analytics.sax_revenue_symbols,
+        analytics.SAX_REVENUE_SYMBOLS_SQL,
+    ),
     "bloom_fpr_eval": (
         relational.bloom_fpr_eval,
         relational.BLOOM_FPR_EVAL_SQL,
@@ -1292,6 +1300,8 @@ _PRIORITY_ORDER = [
     "decayed_user_value",
     "markov_next_event_accuracy",
     "wand_pruned_retrieval",
+    "twap_user_value",
+    "sax_revenue_symbols",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

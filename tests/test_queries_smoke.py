@@ -1073,3 +1073,33 @@ def test_wand_prune_sound(spark, sf_dir):
     assert 0 <= r["n_skippable"] <= max(r["n_candidates"] - _WAND_K, 0)
     assert 0 <= r["prune_rate"] <= 1
     assert r["topk_mass"] > 0
+
+
+def test_twap_and_sax_sound(spark, sf_dir):
+    """TWAP top-20 is rank-sorted and within the raw value range; SAX
+    covers every day in 16 segments with symbols from the 4-letter
+    alphabet matching the z-mean bands."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        _SAX_BREAKS,
+        _SAX_SEGMENTS,
+        _daily_revenue,
+        sax_revenue_symbols,
+        twap_user_value,
+    )
+
+    rows = sorted(twap_user_value(spark, sf_dir).collect(), key=lambda r: r["rn"])
+    assert rows
+    tw = [r["twap"] for r in rows]
+    assert all(tw[i] >= tw[i + 1] for i in range(len(tw) - 1))
+    sax = sorted(sax_revenue_symbols(spark, sf_dir).collect(),
+                 key=lambda r: r["segment"])
+    assert len(sax) == _SAX_SEGMENTS
+    n_days = _daily_revenue(spark, sf_dir).count()
+    assert sum(r["n_days"] for r in sax) == n_days
+    b1, b2, b3 = _SAX_BREAKS
+    for r in sax:
+        z, s = r["z_mean"], r["symbol"]
+        expect = "a" if z < b1 else "b" if z < b2 else "c" if z < b3 else "d"
+        # z is rounded for display; only assert away from boundaries
+        if min(abs(z - b) for b in (b1, b2, b3)) > 1e-3:
+            assert s == expect
