@@ -3739,3 +3739,110 @@ SELECT CAST(segment AS BIGINT) AS segment,
             ELSE 'd' END AS symbol
 FROM z
 """
+
+
+# ---------------------------------------------------------------------------
+# cusum_control_chart — one-sided CUSUM control chart with reset
+# (Page 1954), the SEQUENTIAL drift detector next to the retrospective
+# revenue_changepoint: S_t = max(0, S_{t-1} + (x_t − μ₀) − k·σ₀),
+# alarm when S_t > h·σ₀, reset to 0 after alarm. Reference/allowance
+# from the FIRST 90 days (explicit integer-count formula). Like
+# revenue_holt, the recursion is a single-row Spark aggregate fold
+# with (S, alarm count) threaded through the accumulator; oracle is a
+# recursive CTE. Reports days monitored, alarms fired, max excursion.
+# ---------------------------------------------------------------------------
+
+_CUSUM_BURN = 90
+_CUSUM_K = 0.5     # allowance, in sigma units
+_CUSUM_H = 4.0     # decision interval, in sigma units
+
+
+def cusum_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = _daily_revenue(spark, sf_dir)
+    series = d.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "r"))), lambda x: x.r
+        ).alias("arr")
+    )
+    burn = series.select(
+        F.aggregate(
+            F.slice("arr", 1, _CUSUM_BURN), F.lit(0.0), lambda a, x: a + x
+        ).alias("s1"),
+        F.aggregate(
+            F.slice("arr", 1, _CUSUM_BURN), F.lit(0.0), lambda a, x: a + x * x
+        ).alias("s2"),
+    ).collect()[0]
+    mu = burn["s1"] / _CUSUM_BURN
+    sd = math.sqrt(
+        (burn["s2"] - burn["s1"] * burn["s1"] / _CUSUM_BURN)
+        / (_CUSUM_BURN - 1)
+    )
+    k = _CUSUM_K * sd
+    h = _CUSUM_H * sd
+    fold = F.expr(
+        f"""aggregate(
+      slice(arr, {_CUSUM_BURN + 1}, size(arr) - {_CUSUM_BURN}),
+      named_struct('s', cast(0.0 as double), 'alarms', 0,
+                   'mx', cast(0.0 as double)),
+      (acc, x) -> named_struct(
+        's', CASE WHEN greatest(cast(0.0 as double),
+                                acc.s + (x - {mu!r}) - {k!r}) > {h!r}
+                  THEN cast(0.0 as double)
+                  ELSE greatest(cast(0.0 as double),
+                                acc.s + (x - {mu!r}) - {k!r}) END,
+        'alarms', acc.alarms + CASE WHEN greatest(cast(0.0 as double),
+                                acc.s + (x - {mu!r}) - {k!r}) > {h!r}
+                  THEN 1 ELSE 0 END,
+        'mx', greatest(acc.mx, greatest(cast(0.0 as double),
+                                acc.s + (x - {mu!r}) - {k!r}))))"""
+    )
+    out = series.select(
+        (F.size("arr") - _CUSUM_BURN).alias("n_monitored"),
+        fold.alias("st"),
+    )
+    return out.select(
+        "n_monitored",
+        F.col("st.alarms").cast("long").alias("n_alarms"),
+        F.round(F.col("st.mx") / sd, 4).alias("max_excursion_sigma"),
+    )
+
+
+def _cusum_sql() -> str:
+    b = _CUSUM_BURN
+    return f"""
+WITH RECURSIVE d AS ({_DAILY_SQL}),
+arrs AS (SELECT list(r ORDER BY day) AS arr FROM d),
+burn AS (
+  SELECT {" + ".join(f"arr[{j}]" for j in range(1, b + 1))} AS s1,
+         {" + ".join(f"arr[{j}] * arr[{j}]" for j in range(1, b + 1))} AS s2
+  FROM arrs
+), params AS (
+  SELECT s1 / {b} AS mu,
+         sqrt((s2 - s1 * s1 / {b}) / ({b} - 1)) AS sd
+  FROM burn
+), cs(i, s, alarms, mx) AS (
+  SELECT {b}, 0.0::DOUBLE, 0, 0.0::DOUBLE FROM arrs
+  UNION ALL
+  SELECT i + 1,
+         CASE WHEN greatest(0.0::DOUBLE,
+                s + (arr[i + 1] - mu) - {_CUSUM_K} * sd)
+              > {_CUSUM_H} * sd THEN 0.0::DOUBLE
+              ELSE greatest(0.0::DOUBLE,
+                s + (arr[i + 1] - mu) - {_CUSUM_K} * sd) END,
+         alarms + CASE WHEN greatest(0.0::DOUBLE,
+                s + (arr[i + 1] - mu) - {_CUSUM_K} * sd)
+              > {_CUSUM_H} * sd THEN 1 ELSE 0 END,
+         greatest(mx, greatest(0.0::DOUBLE,
+                s + (arr[i + 1] - mu) - {_CUSUM_K} * sd))
+  FROM cs, arrs, params WHERE i < len(arr)
+)
+SELECT (SELECT len(arr) FROM arrs) - {b} AS n_monitored,
+       CAST(alarms AS BIGINT) AS n_alarms,
+       round(mx / (SELECT sd FROM params), 4) AS max_excursion_sigma
+FROM cs WHERE i = (SELECT len(arr) FROM arrs)
+"""
+
+
+CUSUM_CONTROL_CHART_SQL = _cusum_sql

@@ -801,6 +801,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.sax_revenue_symbols,
         analytics.SAX_REVENUE_SYMBOLS_SQL,
     ),
+    "cusum_control_chart": (
+        analytics.cusum_control_chart,
+        analytics.CUSUM_CONTROL_CHART_SQL,
+    ),
+    "aqp_sample_accuracy": (
+        relational.aqp_sample_accuracy,
+        relational.AQP_SAMPLE_ACCURACY_SQL,
+    ),
     "bloom_fpr_eval": (
         relational.bloom_fpr_eval,
         relational.BLOOM_FPR_EVAL_SQL,
@@ -1302,6 +1310,8 @@ _PRIORITY_ORDER = [
     "wand_pruned_retrieval",
     "twap_user_value",
     "sax_revenue_symbols",
+    "cusum_control_chart",
+    "aqp_sample_accuracy",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -2822,3 +2822,76 @@ FROM laid WHERE cb BETWEEN 8 AND 15
 
 
 ZORDER_LAYOUT_STATS_SQL = _zorder_sql
+
+
+# ---------------------------------------------------------------------------
+# aqp_sample_accuracy — approximate query processing, honestly scored:
+# a deterministic 1/8 hash sample of lineitem (first md5 nibble of the
+# order key < '2' — engine-reproducible, and ORDER-level so line items
+# of one order stay together, the correct cluster-sampling unit)
+# answers the per-returnflag count and revenue-sum questions at 8x
+# scale-up, and the query reports the relative error against the exact
+# answers it would replace. The decision artifact for "can the daily
+# dashboard run on the sample?" — at 100 TB the sample is what you
+# materialize. Counts and cent-sums are exact integers; one division
+# per error column.
+# ---------------------------------------------------------------------------
+
+
+def aqp_sample_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    in_sample = (
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 1) < "2"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("cents").alias("sum_exact"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_samp"),
+        F.sum(F.when(in_sample, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sum_samp"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        (F.col("n_samp") * 8).alias("n_est"),
+        F.round(
+            F.abs(F.col("n_samp") * 8 - F.col("n_exact"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("count_rel_err"),
+        F.round(
+            F.abs(F.col("sum_samp") * 8 - F.col("sum_exact"))
+            / F.col("sum_exact").cast("double"),
+            4,
+        ).alias("sum_rel_err"),
+    )
+
+
+AQP_SAMPLE_ACCURACY_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) < '2' AS in_samp
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag,
+         count(*) AS n_exact,
+         CAST(sum(cents) AS BIGINT) AS sum_exact,
+         CAST(sum(CASE WHEN in_samp THEN 1 ELSE 0 END) AS BIGINT) AS n_samp,
+         CAST(sum(CASE WHEN in_samp THEN cents ELSE 0 END) AS BIGINT)
+           AS sum_samp
+  FROM li GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_exact,
+       CAST(n_samp * 8 AS BIGINT) AS n_est,
+       round(abs(n_samp * 8 - n_exact) / CAST(n_exact AS DOUBLE), 4)
+         AS count_rel_err,
+       round(abs(sum_samp * 8 - sum_exact) / CAST(sum_exact AS DOUBLE), 4)
+         AS sum_rel_err
+FROM agg
+"""

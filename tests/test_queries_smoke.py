@@ -1103,3 +1103,27 @@ def test_twap_and_sax_sound(spark, sf_dir):
         # z is rounded for display; only assert away from boundaries
         if min(abs(z - b) for b in (b1, b2, b3)) > 1e-3:
             assert s == expect
+
+
+def test_cusum_and_aqp_sound(spark, sf_dir):
+    """CUSUM invariants: monitored days = series minus burn-in, max
+    excursion nonnegative; AQP: estimates positive and count errors
+    within the plausible band for a 1/8 cluster sample."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        _CUSUM_BURN,
+        _daily_revenue,
+        cusum_control_chart,
+    )
+    from map_reduce_engine_cdps_spark.plans.relational import aqp_sample_accuracy
+
+    c = cusum_control_chart(spark, sf_dir).collect()[0]
+    n_days = _daily_revenue(spark, sf_dir).count()
+    assert c["n_monitored"] == n_days - _CUSUM_BURN
+    assert c["n_alarms"] >= 0
+    assert c["max_excursion_sigma"] >= 0
+    rows = aqp_sample_accuracy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] > 0 and r["n_est"] >= 0
+        assert 0 <= r["count_rel_err"] < 1
+        assert 0 <= r["sum_rel_err"] < 1
