@@ -3846,3 +3846,68 @@ FROM cs WHERE i = (SELECT len(arr) FROM arrs)
 
 
 CUSUM_CONTROL_CHART_SQL = _cusum_sql
+
+
+# ---------------------------------------------------------------------------
+# revenue_topshare_curve — the decision-friendly companion to
+# revenue_gini: what share of total revenue do the top 1 / 5 / 10 / 25
+# percent of customers hold? Rank arithmetic is integer (ceil via
+# (n·p + 99) // 100), revenue is integer cents, shares divide once per
+# row. Reads as the concentration curve a capacity planner uses to
+# size hot-key handling.
+# ---------------------------------------------------------------------------
+
+_TOPSHARE_PCTS = (1, 5, 10, 25)
+
+
+def revenue_topshare_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = orders.groupBy("o_custkey").agg(F.sum("cents").alias("c"))
+    w = W.orderBy(F.desc("c"), F.asc("o_custkey"))
+    ranked = per.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("c").over(W.partitionBy()).alias("tot"),
+    )
+    rows = []
+    for p in _TOPSHARE_PCTS:
+        k = F.expr(f"(n * {p} + 99) div 100")
+        rows.append(
+            ranked.filter(F.col("rn") <= k).agg(
+                F.lit(p).alias("top_pct"),
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(
+                    F.sum("c") / F.first("tot").cast("double"), 4
+                ).alias("revenue_share"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+REVENUE_TOPSHARE_CURVE_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, o_custkey ASC) AS rn,
+         count(*) OVER () AS n, sum(c) OVER () AS tot
+  FROM per
+)
+""" + "\nUNION ALL\n".join(
+    f"""SELECT {p} AS top_pct,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(c) AS BIGINT) / CAST(max(tot) AS DOUBLE), 4)
+         AS revenue_share
+FROM ranked WHERE rn <= (n * {p} + 99) // 100"""
+    for p in _TOPSHARE_PCTS
+)

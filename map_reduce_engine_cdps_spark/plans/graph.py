@@ -680,3 +680,80 @@ FROM {prev} e JOIN sf ON sf.a = e.a AND sf.b = e.b"""
 
 
 KTRUSS_EDGES_SQL = _ktruss_sql
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity — Newman's degree-assortativity coefficient over
+# the near-dup candidate graph: the Pearson correlation of endpoint
+# degrees across (symmetrized) edges. Positive = hubs attach to hubs
+# (one template family snowballing), negative = hub-and-spoke dup
+# structure. Degrees are integers, so every accumulated moment is an
+# exact integer sum — floats appear only in the final closed-form
+# correlation. One degree aggregate + one edge join.
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    j = e.join(du, "u").join(dv, "v")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 4).alias("assortativity"),
+    )
+
+
+def _assortativity_sql() -> str:
+    from map_reduce_engine_cdps_spark.plans.dedup import MINHASH_LSH_PAIRS_SQL
+
+    return (
+        "WITH pairs AS MATERIALIZED ("
+        + MINHASH_LSH_PAIRS_SQL
+        + """),
+e AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), deg AS (
+  SELECT u, count(*) AS d FROM e GROUP BY u
+), j AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n // 2 AS n_edges,
+       round((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+         AS assortativity
+FROM m
+"""
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = _assortativity_sql

@@ -380,6 +380,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.ngram_novelty_scores,
         textops.NGRAM_NOVELTY_SCORES_SQL,
     ),
+    "term_burstiness": (
+        textops.term_burstiness,
+        textops.TERM_BURSTINESS_SQL,
+    ),
     # --- deduplication ---
     "dedup_exact": (dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
@@ -826,6 +830,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.rolling_zscore_anomalies,
         analytics.ROLLING_ZSCORE_ANOMALIES_SQL,
     ),
+    "revenue_topshare_curve": (
+        analytics.revenue_topshare_curve,
+        analytics.REVENUE_TOPSHARE_CURVE_SQL,
+    ),
     # --- basket mining / clickstream paths ---
     "frequent_type_pairs": (
         analytics.frequent_type_pairs,
@@ -962,6 +970,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ktruss_edges": (
         graph.ktruss_edges,
         graph.KTRUSS_EDGES_SQL,
+    ),
+    # --- Newman degree assortativity over the near-dup graph ---
+    "degree_assortativity": (
+        graph.degree_assortativity,
+        graph.DEGREE_ASSORTATIVITY_SQL,
     ),
     # --- LSH candidate recall vs exact-Jaccard ground truth (sampled) ---
     "lsh_pair_recall_eval": (
@@ -1312,6 +1325,9 @@ _PRIORITY_ORDER = [
     "sax_revenue_symbols",
     "cusum_control_chart",
     "aqp_sample_accuracy",
+    "revenue_topshare_curve",
+    "degree_assortativity",
+    "term_burstiness",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -1981,3 +1981,62 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidates,
 FROM doc_ub, sk, mass
 GROUP BY s_k, topk_mass
 """
+
+
+# ---------------------------------------------------------------------------
+# term_burstiness — Church-Gale burstiness of the top-20
+# collection-frequency terms: variance-to-mean ratio of per-doc counts
+# (docs without the term count as zeros, handled via integer sums +
+# the corpus doc count, never a dense matrix). VMR ≈ 1 = Poisson-like
+# function word; VMR ≫ 1 = bursty content word — the signal behind
+# tf normalization choices and stopword induction. All moments are
+# exact integer sums; two divisions at the end.
+# ---------------------------------------------------------------------------
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).alias("cf2"),
+    )
+    top = stats.orderBy(F.desc("cf"), F.asc("word")).limit(20)
+    mean = F.col("cf") / F.lit(float(n_docs))
+    var = (
+        F.col("cf2") - F.col("cf") * F.col("cf") / F.lit(float(n_docs))
+    ) / F.lit(float(n_docs - 1))
+    return top.select(
+        "word",
+        "df",
+        "cf",
+        F.round(var / mean, 4).alias("vmr"),
+    )
+
+
+TERM_BURSTINESS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(trim(text)), '\\s+'),
+    x -> length(x) > 0)) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+stats AS (
+  SELECT word, count(*) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf,
+         CAST(sum(tf * tf) AS BIGINT) AS cf2
+  FROM tf GROUP BY word
+), top AS (
+  SELECT * FROM stats ORDER BY cf DESC, word ASC LIMIT 20
+)
+SELECT word, df, cf,
+       round(((cf2 - cf * cf / nd) / (nd - 1)) / (cf / nd), 4) AS vmr
+FROM top, n
+"""

@@ -1127,3 +1127,28 @@ def test_cusum_and_aqp_sound(spark, sf_dir):
         assert r["n_exact"] > 0 and r["n_est"] >= 0
         assert 0 <= r["count_rel_err"] < 1
         assert 0 <= r["sum_rel_err"] < 1
+
+
+def test_topshare_assortativity_burstiness_sound(spark, sf_dir):
+    """Top-share curve is monotone in pct; assortativity in [-1, 1];
+    burstiness VMRs positive for the top-cf terms."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        revenue_topshare_curve,
+    )
+    from map_reduce_engine_cdps_spark.plans.graph import degree_assortativity
+    from map_reduce_engine_cdps_spark.plans.textops import term_burstiness
+
+    rows = sorted(
+        revenue_topshare_curve(spark, sf_dir).collect(),
+        key=lambda r: r["top_pct"],
+    )
+    shares = [r["revenue_share"] for r in rows]
+    assert all(0 < s <= 1 for s in shares)
+    assert all(shares[i] <= shares[i + 1] for i in range(len(shares) - 1))
+    assert all(r["revenue_share"] >= r["top_pct"] / 100.0 - 0.01 for r in rows)
+    a = degree_assortativity(spark, sf_dir).collect()[0]
+    assert a["n_edges"] > 0
+    assert -1.0001 <= a["assortativity"] <= 1.0001
+    tb = term_burstiness(spark, sf_dir).collect()
+    assert len(tb) == 20
+    assert all(r["vmr"] > 0 for r in tb)
