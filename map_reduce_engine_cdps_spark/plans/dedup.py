@@ -1337,10 +1337,14 @@ RECALL_SAMPLE_PCT = 40  # deterministic hash sample: (doc_id*48271) % 100 < PCT
 RECALL_TRUTH_J = 0.5
 
 
-def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+def _sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").filter(
         F.pmod(F.col("doc_id") * 48271, F.lit(100)) < RECALL_SAMPLE_PCT
     )
+
+
+def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _sampled_docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.explode(TX.shingles(TX.tokens(F.col("text")), 3)).alias("shingle"),
@@ -2045,3 +2049,164 @@ WHERE round(inter / CAST(na + nb - inter AS DOUBLE), 4) >= 0.2
 
 
 INCREMENTAL_NEAR_DUP_SQL = _incremental_near_dup_sql
+
+
+# ---------------------------------------------------------------------------
+# lsh_band_tuning_eval — the LSH design decision, MEASURED: for every
+# (bands b × rows r) split of the 8 minhash components (1×8, 2×4, 4×2,
+# 8×1), candidate-pair volume and recall against exact-Jaccard ≥ 0.5
+# ground truth on the deterministic 40% sample, with the theoretical
+# S-curve capture probability 1−(1−j^r)^b at j = 0.7 printed beside
+# the measurement. This is the table an index owner reads before
+# picking the banding for a 100 TB corpus: more bands = more recall =
+# more candidate volume to verify; the production config (2×4) sits
+# where measured recall and candidate count cross. Per config the
+# candidate front is b bucket self-joins over the SAMPLE (bounded),
+# and the theory column is a pure constant computed once and embedded
+# identically in both engines.
+# ---------------------------------------------------------------------------
+
+_TUNE_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))
+_TUNE_THEORY_J = 0.7
+
+
+def lsh_band_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _sampled_docs(spark, sf_dir)
+    d = (
+        _with_minhash_bands(docs)
+        .select("doc_id", *[f"mh{s}" for s in range(N_MINHASH)])
+        .localCheckpoint(eager=True)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(TX.shingles(TX.tokens(F.col("text")), 3)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b2 = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    tp = (
+        a.join(b2, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    truth = (
+        tp.withColumn(
+            "j",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("j") >= RECALL_TRUTH_J)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    out = []
+    for nb, r in _TUNE_CONFIGS:
+        cand = None
+        for i in range(nb):
+            parts = [F.col(f"mh{i * r + k}") for k in range(r)]
+            kd = d.select(
+                "doc_id", F.md5(F.concat_ws("|", *parts)).alias("bk")
+            )
+            x, y = kd.alias("x"), kd.alias("y")
+            c = x.join(
+                y,
+                (F.col("x.bk") == F.col("y.bk"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            ).select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            cand = c if cand is None else cand.union(c)
+        cand = cand.distinct().localCheckpoint(eager=True)
+        n_cand = cand.count()
+        n_caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+        theory = round(1 - (1 - _TUNE_THEORY_J**r) ** nb, 4)
+        out.append(
+            (
+                nb,
+                r,
+                n_cand,
+                n_truth,
+                n_caught,
+                round(n_caught / max(n_truth, 1), 4),
+                theory,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "bands int, rows_per_band int, n_candidates long, n_truth long,"
+        " n_caught long, recall double, capture_at_j07 double",
+    )
+
+
+def _band_tuning_sql() -> str:
+    mh_cols = ",\n         ".join(
+        _DUCK_MH.format(j=s // 4, off=(s % 4) * 8 + 1) + f" AS mh{s}"
+        for s in range(N_MINHASH)
+    )
+    parts = [
+        f"""WITH samp AS MATERIALIZED (
+  SELECT doc_id, shingles FROM ({_DUCK_SHINGLES})
+  WHERE (doc_id * 48271) % 100 < {RECALL_SAMPLE_PCT} AND len(shingles) > 0
+), mh AS MATERIALIZED (
+  SELECT doc_id, shingles,
+         {mh_cols}
+  FROM samp
+), post AS (
+  SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM samp
+), tp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS inter, max(a.n_sh) AS n_a, max(b.n_sh) AS n_b
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM tp
+  WHERE round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4)
+        >= {RECALL_TRUTH_J}
+), tn AS (SELECT count(*) AS n_truth FROM truth)"""
+    ]
+    selects = []
+    for nb, r in _TUNE_CONFIGS:
+        unions = "\n    UNION\n".join(
+            f"""    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM mh x JOIN mh y
+      ON md5(concat_ws('|', {", ".join(f"x.mh{i * r + k}" for k in range(r))}))
+       = md5(concat_ws('|', {", ".join(f"y.mh{i * r + k}" for k in range(r))}))
+     AND x.doc_id < y.doc_id"""
+            for i in range(nb)
+        )
+        parts.append(
+            f""", c{nb}x{r} AS MATERIALIZED (
+{unions}
+)"""
+        )
+        theory = round(1 - (1 - _TUNE_THEORY_J**r) ** nb, 4)
+        selects.append(
+            f"""SELECT {nb} AS bands, {r} AS rows_per_band,
+       (SELECT count(*) FROM c{nb}x{r}) AS n_candidates,
+       tn.n_truth AS n_truth,
+       (SELECT count(*) FROM truth t JOIN c{nb}x{r} c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_caught,
+       round((SELECT count(*) FROM truth t JOIN c{nb}x{r} c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+          / CAST(greatest(tn.n_truth, 1) AS DOUBLE), 4) AS recall,
+       CAST({theory} AS DOUBLE) AS capture_at_j07
+FROM tn"""
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+LSH_BAND_TUNING_EVAL_SQL = _band_tuning_sql

@@ -981,6 +981,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.lsh_pair_recall_eval,
         dedup.LSH_PAIR_RECALL_EVAL_SQL,
     ),
+    # --- banding S-curve: measured recall/volume per (bands x rows) ---
+    "lsh_band_tuning_eval": (
+        dedup.lsh_band_tuning_eval,
+        dedup.LSH_BAND_TUNING_EVAL_SQL,
+    ),
     # --- RAKE keyword extraction (stopword-segmented phrase scoring) ---
     "rake_keyword_scores": (
         textops.rake_keyword_scores,
@@ -1328,6 +1333,7 @@ _PRIORITY_ORDER = [
     "revenue_topshare_curve",
     "degree_assortativity",
     "term_burstiness",
+    "lsh_band_tuning_eval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

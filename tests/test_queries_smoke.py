@@ -1152,3 +1152,25 @@ def test_topshare_assortativity_burstiness_sound(spark, sf_dir):
     tb = term_burstiness(spark, sf_dir).collect()
     assert len(tb) == 20
     assert all(r["vmr"] > 0 for r in tb)
+
+
+def test_band_tuning_scurve_monotone(spark, sf_dir):
+    """More bands (fewer rows each) must never lose candidates or
+    recall: both are monotone nondecreasing from 1x8 to 8x1, and
+    theory capture follows the same order."""
+    from map_reduce_engine_cdps_spark.plans.dedup import lsh_band_tuning_eval
+
+    rows = sorted(
+        lsh_band_tuning_eval(spark, sf_dir).collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [(r["bands"], r["rows_per_band"]) for r in rows] == [
+        (1, 8), (2, 4), (4, 2), (8, 1)
+    ]
+    cands = [r["n_candidates"] for r in rows]
+    recalls = [r["recall"] for r in rows]
+    theory = [r["capture_at_j07"] for r in rows]
+    assert all(cands[i] <= cands[i + 1] for i in range(3))
+    assert all(recalls[i] <= recalls[i + 1] for i in range(3))
+    assert all(theory[i] < theory[i + 1] for i in range(3))
+    assert all(r["n_caught"] <= r["n_truth"] for r in rows)
