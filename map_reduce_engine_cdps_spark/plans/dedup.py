@@ -2210,3 +2210,92 @@ FROM tn"""
 
 
 LSH_BAND_TUNING_EVAL_SQL = _band_tuning_sql
+
+
+# ---------------------------------------------------------------------------
+# dup_length_bias — does dedup skew the length distribution? The
+# point-biserial correlation between doc length and LSH-duplicate
+# membership, computed entirely from integer sums (lengths and a 0/1
+# flag): r_pb = (mean_len_dup − mean_len_rest) · sqrt(p(1−p)) / sd_all.
+# A strongly negative value means near-dup removal preferentially
+# deletes long docs — the mix-shift a curation owner must re-weight
+# for. One flag join + one moment aggregate.
+# ---------------------------------------------------------------------------
+
+
+def dup_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    dups = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = docs.join(dups, "doc_id", "left").select(
+        "n_chars", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sl"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sll"),
+        F.sum("is_dup").alias("nd"),
+        F.sum(F.col("n_chars") * F.col("is_dup")).alias("sld"),
+    )
+    n, sl, sll, nd, sld = (
+        F.col("n"),
+        F.col("sl"),
+        F.col("sll"),
+        F.col("nd"),
+        F.col("sld"),
+    )
+    mean_dup = sld / nd
+    mean_rest = (sl - sld) / (n - nd)
+    p = nd / n.cast("double")
+    sd = F.sqrt((sll - sl * sl / n.cast("double")) / n.cast("double"))
+    rpb = (mean_dup - mean_rest) * F.sqrt(p * (1 - p)) / sd
+    return m.select(
+        n.alias("n_docs"),
+        nd.cast("long").alias("n_dup_members"),
+        F.round(mean_dup, 4).alias("mean_len_dup"),
+        F.round(mean_rest, 4).alias("mean_len_rest"),
+        F.round(rpb, 4).alias("point_biserial_r"),
+    )
+
+
+def _dup_length_bias_sql() -> str:
+    return (
+        "WITH pairs AS MATERIALIZED ("
+        + MINHASH_LSH_PAIRS_SQL
+        + """),
+dups AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs)
+), d AS (
+  SELECT n_chars,
+         CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM documents LEFT JOIN dups USING (doc_id)
+), m AS (
+  SELECT count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sl,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sll,
+         CAST(sum(is_dup) AS BIGINT) AS nd,
+         CAST(sum(n_chars * is_dup) AS BIGINT) AS sld
+  FROM d
+)
+SELECT n AS n_docs, nd AS n_dup_members,
+       round(sld / CAST(nd AS DOUBLE), 4) AS mean_len_dup,
+       round((sl - sld) / CAST(n - nd AS DOUBLE), 4) AS mean_len_rest,
+       round((sld / CAST(nd AS DOUBLE) - (sl - sld) / CAST(n - nd AS DOUBLE))
+             * sqrt((nd / CAST(n AS DOUBLE))
+                    * (1 - nd / CAST(n AS DOUBLE)))
+             / sqrt((sll - sl * CAST(sl AS DOUBLE) / n)
+                    / CAST(n AS DOUBLE)), 4)
+         AS point_biserial_r
+FROM m
+"""
+    )
+
+
+DUP_LENGTH_BIAS_SQL = _dup_length_bias_sql

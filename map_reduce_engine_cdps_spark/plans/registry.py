@@ -986,6 +986,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.lsh_band_tuning_eval,
         dedup.LSH_BAND_TUNING_EVAL_SQL,
     ),
+    # --- does dedup skew the length distribution? ---
+    "dup_length_bias": (
+        dedup.dup_length_bias,
+        dedup.DUP_LENGTH_BIAS_SQL,
+    ),
     # --- RAKE keyword extraction (stopword-segmented phrase scoring) ---
     "rake_keyword_scores": (
         textops.rake_keyword_scores,
@@ -1334,6 +1339,7 @@ _PRIORITY_ORDER = [
     "degree_assortativity",
     "term_burstiness",
     "lsh_band_tuning_eval",
+    "dup_length_bias",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -1174,3 +1174,17 @@ def test_band_tuning_scurve_monotone(spark, sf_dir):
     assert all(recalls[i] <= recalls[i + 1] for i in range(3))
     assert all(theory[i] < theory[i + 1] for i in range(3))
     assert all(r["n_caught"] <= r["n_truth"] for r in rows)
+
+
+def test_dup_length_bias_sound(spark, sf_dir):
+    """Point-biserial r in [-1, 1] and the flag partition accounts for
+    every doc."""
+    from map_reduce_engine_cdps_spark.plans.dedup import dup_length_bias
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    r = dup_length_bias(spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "documents").count()
+    assert r["n_docs"] == n
+    assert 0 < r["n_dup_members"] < n
+    assert -1.0001 <= r["point_biserial_r"] <= 1.0001
+    assert r["mean_len_dup"] > 0 and r["mean_len_rest"] > 0
