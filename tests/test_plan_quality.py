@@ -199,6 +199,7 @@ DEDUP_FAMILY = [
     "simhash_hamming_pairs",
     "bbit_minhash_eval",
     "incremental_near_dup",
+    "dup_length_bias",
     "cross_source_leakage",
     "dup_graph_triangles",
     "customer_record_linkage",
