@@ -2299,3 +2299,116 @@ FROM m
 
 
 DUP_LENGTH_BIAS_SQL = _dup_length_bias_sql
+
+
+# ---------------------------------------------------------------------------
+# shingle_size_sensitivity — the OTHER dedup design dial, measured: for
+# shingle widths n ∈ {2, 3, 4}, the exact-Jaccard pair count at ≥ 0.5
+# on the deterministic sample and the exact median Jaccard among those
+# pairs (lower-middle element by rank — no interpolation). Wider
+# shingles = stricter matching = fewer, higher-precision pairs; this
+# table plus lsh_band_tuning_eval is the full tuning evidence for the
+# (SHINGLE_N, bands × rows) choice. Truth joins are sample-bounded.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SIZES = (2, 3, 4)
+
+
+def shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _sampled_docs(spark, sf_dir)
+    out = []
+    for n in _SHINGLE_SIZES:
+        sh = docs.select(
+            "doc_id",
+            F.explode(TX.shingles(TX.tokens(F.col("text")), n)).alias("s"),
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+        a = sh.join(sizes, "doc_id").select(
+            F.col("doc_id").alias("da"), "s", F.col("ns").alias("na")
+        )
+        b = sh.join(sizes, "doc_id").select(
+            F.col("doc_id").alias("db"), "s", F.col("ns").alias("nb")
+        )
+        tp = (
+            a.join(b, "s")
+            .filter(F.col("da") < F.col("db"))
+            .groupBy("da", "db")
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.max("na").alias("na"),
+                F.max("nb").alias("nb"),
+            )
+        )
+        j = F.round(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            4,
+        )
+        pairs = tp.withColumn("j", j).filter(F.col("j") >= RECALL_TRUTH_J)
+        ranked = pairs.select(
+            "j",
+            F.row_number().over(W.orderBy("j")).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("c"),
+        )
+        med_rows = ranked.filter(F.expr("rn = (c + 1) div 2")).collect()
+        cnt_row = pairs.count()
+        med = float(med_rows[0]["j"]) if med_rows else None
+        out.append((n, cnt_row, med))
+    return spark.createDataFrame(
+        out, "shingle_n int, n_pairs long, median_j double"
+    )
+
+
+def _shingle_sensitivity_sql() -> str:
+    blocks = []
+    for n in _SHINGLE_SIZES:
+        win = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+        blocks.append(
+            f"""SELECT {n} AS shingle_n,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       (SELECT j FROM (
+          SELECT j, row_number() OVER (ORDER BY j) AS rn,
+                 count(*) OVER () AS c
+          FROM p{n}) WHERE rn = (c + 1) // 2) AS median_j
+FROM p{n}"""
+        )
+    ctes = []
+    for n in _SHINGLE_SIZES:
+        win = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+        ctes.append(
+            f"""s{n} AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n} THEN
+           list_distinct(list_transform(
+             range(1, len(toks) - {n} + 2), i -> {win}))
+         ELSE [] END AS sh
+  FROM t
+), e{n} AS (
+  SELECT doc_id, unnest(sh) AS s, len(sh) AS ns FROM s{n} WHERE len(sh) > 0
+), tp{n} AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         count(*) AS inter, max(a.ns) AS na, max(b.ns) AS nb
+  FROM e{n} a JOIN e{n} b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p{n} AS (
+  SELECT round(inter::DOUBLE / (na + nb - inter)::DOUBLE, 4) AS j
+  FROM tp{n}
+  WHERE round(inter::DOUBLE / (na + nb - inter)::DOUBLE, 4)
+        >= {RECALL_TRUTH_J}
+)"""
+        )
+    return (
+        f"""WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+  WHERE (doc_id * 48271) % 100 < {RECALL_SAMPLE_PCT}
+), """
+        + ", ".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(blocks)
+    )
+
+
+SHINGLE_SIZE_SENSITIVITY_SQL = _shingle_sensitivity_sql

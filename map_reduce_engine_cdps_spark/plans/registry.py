@@ -991,6 +991,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.dup_length_bias,
         dedup.DUP_LENGTH_BIAS_SQL,
     ),
+    # --- shingle-width tuning evidence ---
+    "shingle_size_sensitivity": (
+        dedup.shingle_size_sensitivity,
+        dedup.SHINGLE_SIZE_SENSITIVITY_SQL,
+    ),
     # --- RAKE keyword extraction (stopword-segmented phrase scoring) ---
     "rake_keyword_scores": (
         textops.rake_keyword_scores,
@@ -1340,6 +1345,7 @@ _PRIORITY_ORDER = [
     "term_burstiness",
     "lsh_band_tuning_eval",
     "dup_length_bias",
+    "shingle_size_sensitivity",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -1188,3 +1188,20 @@ def test_dup_length_bias_sound(spark, sf_dir):
     assert 0 < r["n_dup_members"] < n
     assert -1.0001 <= r["point_biserial_r"] <= 1.0001
     assert r["mean_len_dup"] > 0 and r["mean_len_rest"] > 0
+
+
+def test_shingle_sensitivity_monotone(spark, sf_dir):
+    """Wider shingles are strictly stricter on word n-grams: the >=0.5
+    pair count is non-increasing in n, and medians stay in [0.5, 1]."""
+    from map_reduce_engine_cdps_spark.plans.dedup import shingle_size_sensitivity
+
+    rows = sorted(
+        shingle_size_sensitivity(spark, sf_dir).collect(),
+        key=lambda r: r["shingle_n"],
+    )
+    assert [r["shingle_n"] for r in rows] == [2, 3, 4]
+    counts = [r["n_pairs"] for r in rows]
+    assert all(counts[i] >= counts[i + 1] for i in range(2))
+    for r in rows:
+        if r["n_pairs"]:
+            assert 0.5 <= r["median_j"] <= 1.0
