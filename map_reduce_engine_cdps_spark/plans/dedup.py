@@ -2303,19 +2303,31 @@ DUP_LENGTH_BIAS_SQL = _dup_length_bias_sql
 
 # ---------------------------------------------------------------------------
 # shingle_size_sensitivity — the OTHER dedup design dial, measured: for
-# shingle widths n ∈ {2, 3, 4}, the exact-Jaccard pair count at ≥ 0.5
+# shingle widths n ∈ {3, 4, 5}, the exact-Jaccard pair count at ≥ 0.5
 # on the deterministic sample and the exact median Jaccard among those
 # pairs (lower-middle element by rank — no interpolation). Wider
 # shingles = stricter matching = fewer, higher-precision pairs; this
 # table plus lsh_band_tuning_eval is the full tuning evidence for the
 # (SHINGLE_N, bands × rows) choice. Truth joins are sample-bounded.
+# Width 2 is deliberately EXCLUDED: on a small-vocabulary corpus
+# bigram shingles are nearly universal, so the 2-gram posting join
+# degenerates to all-pairs (measured: sf1 sweep timed out >580 s with
+# width 2 in the set; 3/4/5 carry the same design signal without the
+# cliff).
 # ---------------------------------------------------------------------------
 
-_SHINGLE_SIZES = (2, 3, 4)
+_SHINGLE_SIZES = (3, 4, 5)
+# own, smaller sample than the recall eval: the truth join runs once
+# per width and pair volume is quadratic in the sample rate — 20%
+# carries the same ordering signal at a quarter of the pair work
+# (sf1: 137 s at 40% -> measured again below at 20%)
+_SHINGLE_SAMPLE_PCT = 20
 
 
 def shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _sampled_docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id") * 48271, F.lit(100)) < _SHINGLE_SAMPLE_PCT
+    )
     out = []
     for n in _SHINGLE_SIZES:
         sh = docs.select(
@@ -2403,7 +2415,7 @@ FROM p{n}"""
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                      x -> length(x) > 0) AS toks
   FROM documents
-  WHERE (doc_id * 48271) % 100 < {RECALL_SAMPLE_PCT}
+  WHERE (doc_id * 48271) % 100 < {_SHINGLE_SAMPLE_PCT}
 ), """
         + ", ".join(ctes)
         + "\n"

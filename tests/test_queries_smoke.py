@@ -1199,7 +1199,7 @@ def test_shingle_sensitivity_monotone(spark, sf_dir):
         shingle_size_sensitivity(spark, sf_dir).collect(),
         key=lambda r: r["shingle_n"],
     )
-    assert [r["shingle_n"] for r in rows] == [2, 3, 4]
+    assert [r["shingle_n"] for r in rows] == [3, 4, 5]
     counts = [r["n_pairs"] for r in rows]
     assert all(counts[i] >= counts[i + 1] for i in range(2))
     for r in rows:
