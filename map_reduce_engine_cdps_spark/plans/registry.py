@@ -1062,6 +1062,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.wand_pruned_retrieval,
         textops.WAND_PRUNED_RETRIEVAL_SQL,
     ),
+    # --- PMI-based query expansion candidates ---
+    "query_expansion_pmi": (
+        textops.query_expansion_pmi,
+        textops.QUERY_EXPANSION_PMI_SQL,
+    ),
 }
 
 
@@ -1346,6 +1351,7 @@ _PRIORITY_ORDER = [
     "lsh_band_tuning_eval",
     "dup_length_bias",
     "shingle_size_sensitivity",
+    "query_expansion_pmi",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -2040,3 +2040,112 @@ SELECT word, df, cf,
        round(((cf2 - cf * cf / nd) / (nd - 1)) / (cf / nd), 4) AS vmr
 FROM top, n
 """
+
+
+# ---------------------------------------------------------------------------
+# query_expansion_pmi — association-based query expansion (the classic
+# pre-embedding recall lever, still the cheap first move in lexical
+# stacks): for each of the corpus-top-cf query terms, the top-3
+# expansion candidates by document-level PMI, df-pruned (min DF 5) so
+# rare-term flukes can't win. PMI from exact integer doc counts —
+# log((co·N)/(df_q·df_c)) — computed on the (query-term × vocabulary)
+# co-occurrence table, which is 3×|V|-bounded, never |V|².
+# ---------------------------------------------------------------------------
+
+_QE_MIN_DF = 5
+
+
+def query_expansion_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dt = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    ).distinct()
+    dfreq = dt.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    query = (
+        docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("word"))
+        .limit(3)
+        .select(F.col("word").alias("q"))
+    )
+    qd = dt.join(F.broadcast(query), dt.word == F.col("q")).select(
+        "doc_id", "q"
+    )
+    co = (
+        qd.join(dt, "doc_id")
+        .filter(F.col("word") != F.col("q"))
+        .groupBy("q", "word")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    scored = (
+        co.join(dfreq.withColumnRenamed("word", "q").withColumnRenamed("df", "df_q"), "q")
+        .join(dfreq.filter(F.col("df") >= _QE_MIN_DF), "word")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("co")
+                    * F.lit(float(n_docs))
+                    / (F.col("df_q") * F.col("df"))
+                ),
+                4,
+            ),
+        )
+    )
+    w = W.partitionBy("q").orderBy(F.desc("pmi"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("q").alias("query_term"),
+            F.col("word").alias("expansion"),
+            F.col("co").alias("n_co_docs"),
+            "pmi",
+            "rn",
+        )
+    )
+
+
+QUERY_EXPANSION_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents,
+       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), toks2 AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+dt AS (SELECT DISTINCT doc_id, word FROM toks2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+dfreq AS (SELECT word, count(*) AS df FROM dt GROUP BY 1),
+query AS (
+  SELECT word AS q FROM (
+    SELECT word, count(*) AS cf FROM toks2 GROUP BY 1
+    ORDER BY cf DESC, word ASC LIMIT 3
+  )
+), qd AS (
+  SELECT dt.doc_id, query.q FROM dt JOIN query ON dt.word = query.q
+), co AS (
+  SELECT qd.q, dt.word, count(*) AS co
+  FROM qd JOIN dt ON qd.doc_id = dt.doc_id
+  WHERE dt.word <> qd.q
+  GROUP BY 1, 2
+), scored AS (
+  SELECT co.q, co.word, co.co,
+         round(ln(co.co * nd / (dq.df * dc.df)), 4) AS pmi
+  FROM co
+  JOIN dfreq dq ON co.q = dq.word
+  JOIN dfreq dc ON co.word = dc.word
+  CROSS JOIN n
+  WHERE dc.df >= {_QE_MIN_DF}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q
+                               ORDER BY pmi DESC, word ASC) AS rn
+  FROM scored
+)
+SELECT q AS query_term, word AS expansion,
+       CAST(co AS BIGINT) AS n_co_docs, pmi, rn
+FROM ranked WHERE rn <= 3
+"""

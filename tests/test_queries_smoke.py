@@ -1205,3 +1205,18 @@ def test_shingle_sensitivity_monotone(spark, sf_dir):
     for r in rows:
         if r["n_pairs"]:
             assert 0.5 <= r["median_j"] <= 1.0
+
+
+def test_query_expansion_pmi_sound(spark, sf_dir):
+    """Three query terms, up to three ranked expansions each, no
+    self-expansion, co-occurrence counts positive."""
+    from map_reduce_engine_cdps_spark.plans.textops import query_expansion_pmi
+
+    rows = query_expansion_pmi(spark, sf_dir).collect()
+    assert rows
+    terms = {r["query_term"] for r in rows}
+    assert len(terms) == 3
+    for r in rows:
+        assert r["expansion"] != r["query_term"]
+        assert r["n_co_docs"] > 0
+        assert 1 <= r["rn"] <= 3
