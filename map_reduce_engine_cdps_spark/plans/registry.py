@@ -1089,73 +1089,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # canaries (5): one per certified operator family — relational agg,
-    # expression battery, dedup, ANN, text — regression tripwires for
-    # the r2-r4 windows
+    # --- round-6 certification window (driver gate = first 50) ---
+    # 3 canaries (relational agg, dedup, text) + 47 first-time
+    # never-driver-certified oracle-backed queries (VERDICT r5 item 1:
+    # ration additions, drain the backlog).
     "pricing_summary",
-    "danger_topk",
     "minhash_lsh_pairs",
-    "lsh_ann_topk",
     "text_quality",
-    # remaining streaming twins (round-3/4 verdicts' top ask)
-    "streaming_user_sessions",
-    "streaming_dedup_events",
-    "streaming_segment_counts",
-    "streaming_click_purchase_join",
-    "streaming_trending_topk",
-    # TPC-H battery (plans/tpch.py)
-    "shipping_priority",
-    "priority_order_counts",
-    "small_qty_revenue",
-    "top_return_customers",
-    "brand_supplier_counts",
-    "volume_shipping",
-    "nation_market_share",
-    "product_type_profit",
-    "promo_revenue_share",
-    "large_volume_customers",
-    "disjunctive_part_revenue",
-    "waiting_suppliers",
-    "forecast_revenue",
-    "top_revenue_supplier",
-    "idle_rich_customers",
-    "min_cost_supplier",
-    "important_part_value",
-    "dominant_part_suppliers",
-    "local_supplier_volume",
-    "linestatus_priority_counts",
-    "customer_order_distribution",
-    # Spark-4 surfaces (pipe syntax, VARIANT, UDTFs)
-    "pipe_syntax_flag_counts",
-    "variant_props_stats",
-    "variant_typeof_profile",
-    "udtf_top_tokens",
-    "udtf_doc_chunks",
-    "udtf_doc_sentences",
-    # sketches / embedding workloads / Arrow-kernel projections
-    "approx_distinct_users",
-    "approx_quantile_check",
-    "embedding_quantize_stats",
-    "negative_sampling_pairs",
-    "label_centroid_norms",
-    "tree_covariance",
-    "arrow_norm_stats",
-    "arrow_label_centroids",
-    # multimodal leftovers + the round-5 NEW gradient-fixture decode
-    # (full-variability pad/resize arithmetic inside the driver gate)
-    "doc_embeddings",
-    "media_features",
-    "image_dhash_dedup",
-    "audio_window_features",
-    "ppm_gradient_features",
-    # ---- entry 51+: round-6 rotation candidates (oracle-backed, not yet
-    # driver-certified) ----
-    "click_purchase_within_1h",
-    "customer_upsert",
-    "order_status_runs",
-    "salted_type_stats",
-    "salted_above_type_mean",
-    "json_props_extract",
     "pyds_synthetic_stats",
     "multi_resolution_rollup",
     "regr_price_qty",
@@ -1195,7 +1135,68 @@ _PRIORITY_ORDER = [
     "revenue_ewma",
     "revenue_holt",
     "dow_seasonality",
-    # rows-only (no oracle by design — iterative / non-SQL-expressible)
+    "near_dup_clusters_star",
+    "doc_shingle_cosine_pairs",
+    "bigram_logprob_scores",
+    "seasonal_decompose_revenue",
+    "kfold_assignments",
+    "reservoir_sample_per_source",
+    "kcore_membership",
+    "lsh_pair_recall_eval",
+    # --- certified in earlier rounds / staged for later windows ---
+    "danger_topk",
+    "lsh_ann_topk",
+    "streaming_user_sessions",
+    "streaming_dedup_events",
+    "streaming_segment_counts",
+    "streaming_click_purchase_join",
+    "streaming_trending_topk",
+    "shipping_priority",
+    "priority_order_counts",
+    "small_qty_revenue",
+    "top_return_customers",
+    "brand_supplier_counts",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "disjunctive_part_revenue",
+    "waiting_suppliers",
+    "forecast_revenue",
+    "top_revenue_supplier",
+    "idle_rich_customers",
+    "min_cost_supplier",
+    "important_part_value",
+    "dominant_part_suppliers",
+    "local_supplier_volume",
+    "linestatus_priority_counts",
+    "customer_order_distribution",
+    "pipe_syntax_flag_counts",
+    "variant_props_stats",
+    "variant_typeof_profile",
+    "udtf_top_tokens",
+    "udtf_doc_chunks",
+    "udtf_doc_sentences",
+    "approx_distinct_users",
+    "approx_quantile_check",
+    "embedding_quantize_stats",
+    "negative_sampling_pairs",
+    "label_centroid_norms",
+    "tree_covariance",
+    "arrow_norm_stats",
+    "arrow_label_centroids",
+    "doc_embeddings",
+    "media_features",
+    "image_dhash_dedup",
+    "audio_window_features",
+    "ppm_gradient_features",
+    "click_purchase_within_1h",
+    "customer_upsert",
+    "order_status_runs",
+    "salted_type_stats",
+    "salted_above_type_mean",
+    "json_props_extract",
     "kmeans_lloyd",
     "bpe_merges",
     "bpe_token_compression",
@@ -1203,7 +1204,6 @@ _PRIORITY_ORDER = [
     "one_vs_one_training",
     "ensemble_vote_accuracy",
     "one_vs_one_shim",
-    # ---- already driver-certified in rounds 2-4 ----
     "wordcount_shim",
     "danger_shim",
     "one_vs_one_shim_pairs",
@@ -1282,7 +1282,6 @@ _PRIORITY_ORDER = [
     "simhash_buckets",
     "ngram_jaccard_topk",
     "near_dup_clusters",
-    "near_dup_clusters_star",
     "duplicate_spans",
     "edit_distance_pairs",
     "cross_source_leakage",
@@ -1293,13 +1292,6 @@ _PRIORITY_ORDER = [
     "embedding_near_dup",
     "embedding_covariance",
     "embedding_dim_stats",
-    "doc_shingle_cosine_pairs",
-    "bigram_logprob_scores",
-    "seasonal_decompose_revenue",
-    "kfold_assignments",
-    "reservoir_sample_per_source",
-    "kcore_membership",
-    "lsh_pair_recall_eval",
     "rake_keyword_scores",
     "pca_explained_variance",
     "customer_golden_records",
