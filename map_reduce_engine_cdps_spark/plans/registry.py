@@ -440,7 +440,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- distributed Lloyd k-means (IVF coarse-quantizer trainer):
     # iterative fixpoint, not SQL-expressible → rows-only ---
-    "kmeans_lloyd": (similarity.kmeans_lloyd, None),
+    "kmeans_lloyd": (similarity.kmeans_lloyd, similarity.KMEANS_LLOYD_SQL),
     # --- compat shim: reference-style 4-hook program, same oracle as the
     # DataFrame wordcount (proves shim ≡ SQL semantics end-to-end) ---
     "wordcount_shim": (workloads.wordcount_shim, textops.WORDCOUNT_SQL),
@@ -743,8 +743,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.KMV_SEGMENT_JACCARD_SQL,
     ),
     # --- BPE tokenizer training (iterative; rows-only check like kmeans) ---
-    "bpe_merges": (textops.bpe_merges, None),
-    "bpe_token_compression": (textops.bpe_token_compression, None),
+    "bpe_merges": (textops.bpe_merges, textops.BPE_MERGES_SQL),
+    "bpe_token_compression": (textops.bpe_token_compression, textops.BPE_TOKEN_COMPRESSION_SQL),
     # --- time-series analytics over the daily revenue series ---
     "revenue_changepoint": (
         analytics.revenue_changepoint,
@@ -1140,10 +1140,13 @@ _PRIORITY_ORDER = [
     "bigram_logprob_scores",
     "seasonal_decompose_revenue",
     "kfold_assignments",
+    "kmeans_lloyd",
+    "bpe_merges",
+    "bpe_token_compression",
+    # --- certified in earlier rounds / staged for later windows ---
     "reservoir_sample_per_source",
     "kcore_membership",
     "lsh_pair_recall_eval",
-    # --- certified in earlier rounds / staged for later windows ---
     "danger_topk",
     "lsh_ann_topk",
     "streaming_user_sessions",
@@ -1197,9 +1200,6 @@ _PRIORITY_ORDER = [
     "salted_type_stats",
     "salted_above_type_mean",
     "json_props_extract",
-    "kmeans_lloyd",
-    "bpe_merges",
-    "bpe_token_compression",
     "video_frame_samples",
     "one_vs_one_training",
     "ensemble_vote_accuracy",

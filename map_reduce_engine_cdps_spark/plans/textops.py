@@ -690,6 +690,102 @@ def _bpe_train(word_freqs: list[tuple[str, int]], n_merges: int):
     return merges, words
 
 
+def _bpe_sql_ctes() -> str:
+    """Shared DuckDB CTE chain replaying BPE merge learning (VERDICT r5
+    item 4: the rows-only BPE pair gains real oracle entries).
+    _BPE_MERGES is a small fixed constant, so the driver-side training
+    loop unrolls into SQL: per round, count adjacent symbol pairs
+    weighted by word frequency, pick max count with lexicographic
+    (left, right) tie-break — exactly `min(p for p, c ... if c == top)`
+    — then apply the merge. The greedy left-to-right single-pass merge
+    (`out[-1] == a and s == b`) is exactly a non-overlapping string
+    replace() once each symbol is delimited on BOTH sides
+    ("|sym|" units): replace("|a||b|" → "|ab|") consumes matches
+    left-to-right without overlap, the same traversal as the fold, and
+    the double delimiter makes partial-symbol matches ("at|h" vs
+    pair t,h) impossible. Symbols are [a-z0-9]+ so '|' never collides.
+
+    Produces CTEs: wf(word, cnt) full corpus freq; w0..wN the top-V
+    symbolized table per round; m1..mN(a, b, c) the learned merges."""
+    parts = [
+        """wf AS MATERIALIZED (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+    FROM documents,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+    WHERE length(t.tok) > 0
+  ) WHERE length(word) > 0 GROUP BY word
+)""",
+        f"""w0 AS MATERIALIZED (
+  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS s, cnt
+  FROM wf ORDER BY cnt DESC, word ASC LIMIT {_BPE_VOCAB}
+)""",
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        prev = f"w{k - 1}"
+        parts.extend((
+            f"""p{k} AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT sy[i] AS a, sy[i + 1] AS b, cnt FROM (
+      SELECT sy, cnt, unnest(generate_series(1, len(sy) - 1)) AS i
+      FROM (SELECT string_split(trim(s, '|'), '||') AS sy, cnt FROM {prev})
+    )
+  ) GROUP BY a, b
+)""",
+            f"m{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1)",
+            f"""w{k} AS MATERIALIZED (
+  SELECT word,
+         replace(s, (SELECT '|' || a || '||' || b || '|' FROM m{k}),
+                    (SELECT '|' || a || b || '|' FROM m{k})) AS s,
+         cnt
+  FROM {prev}
+)""",
+        ))
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    ranks = "\nUNION ALL ".join(
+        f'SELECT {k} AS merge_rank, a AS "left", b AS "right", c AS pair_count '
+        f"FROM m{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"WITH {_bpe_sql_ctes()}\nSELECT * FROM ({ranks}) ORDER BY merge_rank"
+
+
+def _bpe_token_compression_sql() -> str:
+    # Apply the learned merges to EVERY distinct corpus word (a0..aN),
+    # then aggregate frequency-weighted symbol counts — the same
+    # broadcast-encode the Spark pandas_udf performs.
+    parts = [
+        "a0 AS MATERIALIZED (SELECT word, cnt, "
+        "regexp_replace(word, '(.)', '|\\1|', 'g') AS s FROM wf)"
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s, (SELECT '|' || a || '||' || b || '|' FROM m{k}),
+                    (SELECT '|' || a || b || '|' FROM m{k})) AS s
+  FROM a{k - 1}
+)"""
+        )
+    return f"""WITH {_bpe_sql_ctes()},
+{",".join(parts)}
+SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+       count(*) AS n_distinct_words,
+       round(sum(length(word) * cnt) / CAST(sum(cnt) AS DOUBLE), 4)
+         AS avg_syms_before,
+       round(sum(len(string_split(trim(s, '|'), '||')) * cnt)
+             / CAST(sum(cnt) AS DOUBLE), 4) AS avg_syms_after
+FROM a{_BPE_MERGES}
+"""
+
+
+BPE_MERGES_SQL = _bpe_merges_sql
+BPE_TOKEN_COMPRESSION_SQL = _bpe_token_compression_sql
+
+
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table: rank, pair, weighted pair count."""
     freqs = [
