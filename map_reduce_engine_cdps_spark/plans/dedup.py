@@ -2324,39 +2324,59 @@ _SHINGLE_SIZES = (3, 4, 5)
 _SHINGLE_SAMPLE_PCT = 20
 
 
-def shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+# Row bound for the global (no-partition) median-rank window below:
+# its input is the truth-pair set — sample-bounded and threshold-
+# bounded, never the corpus — and tests/test_plan_quality.py
+# (test_eval_global_windows_are_row_bounded) counts it at the test SF
+# and fails if a future _SHINGLE_SAMPLE_PCT / RECALL_TRUTH_J change
+# lets it approach this cap, so the one-partition sort stays an
+# eval-scale object by construction, not by convention.
+SHINGLE_WINDOW_ROW_CAP = 100_000
+
+
+def _shingle_truth_pairs(docs: DataFrame, n: int) -> DataFrame:
+    """Sampled exact-Jaccard truth pairs (j >= RECALL_TRUTH_J) for
+    shingle width n — the frame the median-rank global window sorts."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(TX.shingles(TX.tokens(F.col("text")), n)).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("da"), "s", F.col("ns").alias("na")
+    )
+    b = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("db"), "s", F.col("ns").alias("nb")
+    )
+    tp = (
+        a.join(b, "s")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    j = F.round(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        4,
+    )
+    return tp.withColumn("j", j).filter(F.col("j") >= RECALL_TRUTH_J)
+
+
+def _shingle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").filter(
         F.pmod(F.col("doc_id") * 48271, F.lit(100)) < _SHINGLE_SAMPLE_PCT
     )
+
+
+def shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _shingle_sample(spark, sf_dir)
     out = []
     for n in _SHINGLE_SIZES:
-        sh = docs.select(
-            "doc_id",
-            F.explode(TX.shingles(TX.tokens(F.col("text")), n)).alias("s"),
-        )
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-        a = sh.join(sizes, "doc_id").select(
-            F.col("doc_id").alias("da"), "s", F.col("ns").alias("na")
-        )
-        b = sh.join(sizes, "doc_id").select(
-            F.col("doc_id").alias("db"), "s", F.col("ns").alias("nb")
-        )
-        tp = (
-            a.join(b, "s")
-            .filter(F.col("da") < F.col("db"))
-            .groupBy("da", "db")
-            .agg(
-                F.count(F.lit(1)).alias("inter"),
-                F.max("na").alias("na"),
-                F.max("nb").alias("nb"),
-            )
-        )
-        j = F.round(
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-            4,
-        )
-        pairs = tp.withColumn("j", j).filter(F.col("j") >= RECALL_TRUTH_J)
+        pairs = _shingle_truth_pairs(docs, n)
         ranked = pairs.select(
             "j",
             F.row_number().over(W.orderBy("j")).alias("rn"),

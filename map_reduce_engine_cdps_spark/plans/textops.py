@@ -1971,9 +1971,20 @@ RRF_FUSION_TOPK_SQL = _rrf_sql
 _WAND_K = 10
 
 
-def wand_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+# Row bound for the k-th-score global window below: its input is one
+# row per candidate doc (docs containing a top-3 query term), which the
+# plan gate (test_eval_global_windows_are_row_bounded) counts at the
+# test SF against this cap — the guard that keeps the one-partition
+# rank an eval-scale object if the query-term count or corpus shape
+# ever changes.
+WAND_WINDOW_ROW_CAP = 100_000
 
+
+def _wand_contrib_scores(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(per-(doc, term) contributions, per-doc scores) for the WAND
+    eval — `scores` is the frame the k-th-score global window ranks."""
     docs = load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
@@ -2001,6 +2012,13 @@ def wand_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scores = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
+    return contrib, scores
+
+
+def wand_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    contrib, scores = _wand_contrib_scores(spark, sf_dir)
     wk = W.orderBy(F.desc("score"), F.asc("doc_id"))
     kth = (
         scores.select("score", F.row_number().over(wk).alias("rn"))

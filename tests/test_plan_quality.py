@@ -347,3 +347,41 @@ def test_multimodal_exchanges_carry_no_binary(spark):
             assert not bad, f"{name}: binary shuffle payload {bad}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_eval_global_windows_are_row_bounded(spark):
+    """VERDICT r5 item 5: the two eval queries that rank through a
+    no-partition window (shingle_size_sensitivity's median rank,
+    wand_pruned_retrieval's k-th-score fetch) must keep that window's
+    input an eval-scale object. This counts the ACTUAL frames those
+    windows sort at the test SF and fails long before a sample-rate or
+    threshold change (e.g. a _SHINGLE_SAMPLE_PCT bump) could turn the
+    single-partition sort into a million-row bottleneck. Caps live
+    next to the queries (SHINGLE_WINDOW_ROW_CAP / WAND_WINDOW_ROW_CAP);
+    the margin factor keeps headroom so growth trends trip the gate
+    before production scale does."""
+    from map_reduce_engine_cdps_spark.plans import dedup, textops
+
+    docs = dedup._shingle_sample(spark, SF_DIR)
+    n_sampled = docs.count()
+    for n in dedup._SHINGLE_SIZES:
+        rows = dedup._shingle_truth_pairs(docs, n).count()
+        assert rows <= dedup.SHINGLE_WINDOW_ROW_CAP, (
+            f"shingle width {n}: {rows} truth pairs exceed the global-"
+            f"window cap {dedup.SHINGLE_WINDOW_ROW_CAP}"
+        )
+        # quadratic-degeneration tripwire: truth pairs should stay far
+        # below the all-pairs count of the sample
+        all_pairs = n_sampled * (n_sampled - 1) // 2
+        assert rows <= all_pairs // 4 or rows <= 1000, (
+            f"shingle width {n}: {rows} of {all_pairs} sample pairs pass "
+            "the truth threshold — the sample join is degenerating "
+            "toward all-pairs"
+        )
+
+    _, scores = textops._wand_contrib_scores(spark, SF_DIR)
+    rows = scores.count()
+    assert rows <= textops.WAND_WINDOW_ROW_CAP, (
+        f"wand k-th-score window input {rows} exceeds cap "
+        f"{textops.WAND_WINDOW_ROW_CAP}"
+    )
