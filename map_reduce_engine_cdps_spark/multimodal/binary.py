@@ -870,9 +870,50 @@ WHERE frame_idx < nf AND frame_idx % 2 = 0
 """
 
 
+def _video_frame_samples_sql() -> str:
+    """Strict-replay oracle (VERDICT r5 item 4, the ppm_cnn_embeddings
+    technique): the synthetic media table is a pure function of
+    media_id (sha256-derived payloads, n=64) and the fake frame
+    featurizer is deterministic, so the expected per-media aggregate is
+    computed here at SQL-build time with the SAME pure-Python helpers
+    the Arrow UDF runs, averaging the float32 feature in frame order
+    like Spark's per-group avg, and embedded as exact double literals
+    (repr round-trips bit-for-bit). What the comparison then certifies
+    is the distributed plumbing: mapInPandas fan-out, frame stride/cap,
+    Arrow float32 transfer, and the groupBy aggregation."""
+    import hashlib as _hl
+
+    rows = []
+    for i in range(64):
+        payload = _hl.sha256(str(i).encode()).digest() * (1 + i % 5)
+        n_frames = max(len(payload) // FRAME_BYTES, 1)
+        feats, taken = [], 0
+        for f in range(0, n_frames, 2):
+            if taken >= 4:
+                break
+            chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+            feats.append(float(np.float32(_fake_decode_features(chunk)[0])))
+            taken += 1
+        s = 0.0
+        for x in feats:
+            s += x
+        rows.append(
+            f"(CAST({i} AS BIGINT), CAST({len(feats)} AS BIGINT), "
+            f"round(CAST('{s / len(feats)!r}' AS DOUBLE), 6))"
+        )
+    values = ",\n       ".join(rows)
+    return f"""
+SELECT * FROM (VALUES {values})
+  AS t(media_id, n_frames, avg_feat0)
+"""
+
+
+VIDEO_FRAME_SAMPLES_SQL = _video_frame_samples_sql
+
+
 def video_frame_samples(spark, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): frame sampling + per-media frame
-    stats over the deterministic synthetic media table."""
+    """Registry entry: frame sampling + per-media frame stats over the
+    deterministic synthetic media table; strict-replay oracle above."""
     media = synth_media_df(spark, n=64, partitions=8)
     frames = sample_frames(media, every_n=2, max_frames=4)
     return (

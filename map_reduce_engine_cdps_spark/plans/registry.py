@@ -489,7 +489,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "image_dhash_dedup": (binary.image_dhash_dedup, binary.IMAGE_DHASH_DEDUP_SQL),
     # --- video frame sampling: one-to-many mapInPandas fan-out with
     # bounded frames-per-media; decode stubbed, plumbing real — rows-only ---
-    "video_frame_samples": (binary.video_frame_samples, None),
+    "video_frame_samples": (binary.video_frame_samples, binary.VIDEO_FRAME_SAMPLES_SQL),
     # --- Structured Streaming path, oracle-checked against the SAME SQL
     # as its batch twin (streaming ≡ batch ≡ DuckDB) ---
     "streaming_window_counts": (
