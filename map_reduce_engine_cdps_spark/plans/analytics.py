@@ -3911,3 +3911,329 @@ WITH per AS (
 FROM ranked WHERE rn <= (n * {p} + 99) // 100"""
     for p in _TOPSHARE_PCTS
 )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_revenue_ci — Poisson-bootstrap confidence interval for the
+# mean order price. The classic resampling scheme that distributes
+# (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+# Google TR 2012): instead of drawing n rows with replacement (which
+# needs global coordination), each row enters resample b with an
+# independent Poisson(1) weight — here derived deterministically from
+# md5(orderkey:b) so both engines build bit-identical resamples. One
+# scan fans each row out B times (a constant-factor map, no extra
+# shuffle beyond the B-group aggregate); every per-resample mean is a
+# ratio of exact integer sums, so the percentile CI is reproducible.
+# The reference has no uncertainty surface at all (aggregation stops at
+# avg, reference tasks/accident_analysis.py:110-115) — this is the
+# engine extension that turns its point estimates into intervals.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64  # resamples; CI indexes below are 2.5%/97.5% of this
+# Poisson(1) inverse-CDF thresholds on a uniform from 6 md5 hex chars
+_POIS_CDF = [
+    (0.3678794412, 0),
+    (0.7357588823, 1),
+    (0.9196986029, 2),
+    (0.9810118431, 3),
+    (0.9963401532, 4),
+    (0.9994058152, 5),
+]
+
+
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fan = orders.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("b"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        / 16777216.0
+    )
+    w_expr = F.lit(6)
+    for thr, k in reversed(_POIS_CDF):
+        w_expr = F.when(u < thr, k).otherwise(w_expr)
+    means = (
+        fan.withColumn("w", w_expr)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wc"),
+            F.sum("w").alias("ws"),
+        )
+        .select((F.col("wc") / (100.0 * F.col("ws"))).alias("m"))
+    )
+    ranked = means.select(
+        "m", F.row_number().over(W.orderBy("m")).alias("rn")
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents") / (100.0 * F.count(F.lit(1)))).alias("mean_price"),
+    )
+    lo = int(_BOOT_B * 0.025)  # 1 -> 2nd smallest (1-indexed rn == lo+1)
+    hi = int(_BOOT_B * 0.975)  # 62 -> 63rd (rn == hi+1)
+    bounds = ranked.agg(
+        F.max(F.when(F.col("rn") == lo + 1, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == hi + 1, F.col("m"))).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(bounds)).select(
+        "n_orders",
+        F.lit(_BOOT_B).alias("b_resamples"),
+        F.round("mean_price", 4).alias("mean_price"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+    )
+
+
+def _boot_w_sql() -> str:
+    branches = " ".join(
+        f"WHEN u < {thr} THEN {k}" for thr, k in _POIS_CDF
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+BOOTSTRAP_REVENUE_CI_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), fan AS (
+  SELECT o_orderkey, cents, b,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                  || CAST(b AS VARCHAR)), 1, 6)) AS BIGINT)
+           / 16777216.0 AS u
+  FROM o CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+), means AS (
+  SELECT CAST(sum(w * cents) AS BIGINT)
+           / (100.0 * CAST(sum(w) AS BIGINT)) AS m
+  FROM (SELECT b, cents, {{W}} AS w FROM fan)
+  GROUP BY b
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means
+), point AS (
+  SELECT count(*) AS n_orders,
+         CAST(sum(cents) AS BIGINT) / (100.0 * count(*)) AS mean_price
+  FROM o
+)
+SELECT n_orders, {_BOOT_B} AS b_resamples,
+       round(mean_price, 4) AS mean_price,
+       round(max(CASE WHEN rn = {int(_BOOT_B * 0.025) + 1} THEN m END), 4) AS ci_lo,
+       round(max(CASE WHEN rn = {int(_BOOT_B * 0.975) + 1} THEN m END), 4) AS ci_hi
+FROM ranked CROSS JOIN point
+GROUP BY n_orders, mean_price
+""".replace("{W}", _boot_w_sql())
+
+
+# ---------------------------------------------------------------------------
+# rolling_revenue_qty_corr — 7-day rolling Pearson correlation between
+# the daily revenue and daily shipped-quantity series. The windowed
+# co-moment pattern: all five sufficient statistics (Σx, Σy, Σxy, Σx²,
+# Σy²) are exact-integer window sums over the O(days) aggregate, so the
+# correlation is a closed-form scalar both engines evaluate identically
+# — no engine corr() whose accumulation order could differ in the last
+# ULP. Shape: one shuffle to the day grain, then a 7-row frame over a
+# calendar-bounded series; unchanged at 100×.
+# ---------------------------------------------------------------------------
+
+_ROLL_CORR_W = 7
+
+
+def rolling_revenue_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.round(F.sum("l_extendedprice")).cast("long").alias("x"),
+        F.sum("l_quantity").cast("long").alias("y"),
+    )
+    w = W.orderBy("day").rowsBetween(-(_ROLL_CORR_W - 1), 0)
+    n = F.lit(float(_ROLL_CORR_W))
+    sx = F.sum("x").over(w).cast("double")
+    sy = F.sum("y").over(w).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).over(w).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).over(w).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(W.orderBy("day").rowsBetween(-(_ROLL_CORR_W - 1), 0))
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = F.when(den > 0.0, (n * sxy - sx * sy) / den)
+    return (
+        d.select(
+            "day",
+            F.col("x").alias("rev_d"),
+            F.col("y").alias("qty_d"),
+            F.round(r, 6).alias("roll_corr_7d"),
+            cnt.alias("frame_n"),
+        )
+        .filter(F.col("frame_n") == _ROLL_CORR_W)
+        .drop("frame_n")
+    )
+
+
+ROLLING_REVENUE_QTY_CORR_SQL = f"""
+WITH d AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(round(sum(l_extendedprice)) AS BIGINT) AS x,
+         CAST(sum(l_quantity) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+), s AS (
+  SELECT day, x, y,
+         CAST(sum(x) OVER w AS DOUBLE) AS sx,
+         CAST(sum(y) OVER w AS DOUBLE) AS sy,
+         CAST(sum(x * y) OVER w AS DOUBLE) AS sxy,
+         CAST(sum(x * x) OVER w AS DOUBLE) AS sxx,
+         CAST(sum(y * y) OVER w AS DOUBLE) AS syy,
+         count(*) OVER w AS cnt
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN {_ROLL_CORR_W - 1} PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day, x AS rev_d, y AS qty_d,
+       round(CASE WHEN sqrt(({_ROLL_CORR_W}.0 * sxx - sx * sx)
+                          * ({_ROLL_CORR_W}.0 * syy - sy * sy)) > 0.0
+             THEN ({_ROLL_CORR_W}.0 * sxy - sx * sy)
+                / sqrt(({_ROLL_CORR_W}.0 * sxx - sx * sx)
+                     * ({_ROLL_CORR_W}.0 * syy - sy * sy)) END, 6)
+         AS roll_corr_7d
+FROM s WHERE cnt = {_ROLL_CORR_W}
+"""
+
+
+# ---------------------------------------------------------------------------
+# hurst_exponent_revenue — rescaled-range (R/S) estimate of the Hurst
+# exponent of the daily-revenue series (Hurst 1951; Mandelbrot & Wallis
+# 1969): for block sizes m ∈ {16,32,64,128}, split the day-indexed
+# series into complete blocks, compute R/S = (max cumdev − min cumdev)
+# / population-std per block, average per m, and fit log2(R/S) against
+# log2(m) by least squares — slope is H (≈0.5 for a memoryless series).
+# Determinism: the series is quantized to integer thousands of dollars;
+# block means/stds derive from exact integer sums; per-m averages are
+# micro-quantized before averaging so no cross-engine double-sum order
+# can differ. Shape: the series is O(calendar days) regardless of SF —
+# the block fan-out is 4× that, constant at any scale.
+# ---------------------------------------------------------------------------
+
+_HURST_BLOCKS = [16, 32, 64, 128]
+
+
+def hurst_exponent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _daily_revenue(spark, sf_dir).select(
+        F.row_number().over(W.orderBy("day")).alias("i"),
+        F.round(F.col("r") / 1000.0).cast("long").alias("v"),
+    )
+    fan = d.select(
+        "i",
+        "v",
+        F.explode(F.array(*[F.lit(m) for m in _HURST_BLOCKS])).alias("m"),
+    ).withColumn("blk", ((F.col("i") - 1) / F.col("m")).cast("long"))
+    wb = W.partitionBy("m", "blk")
+    wcum = wb.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    g = (
+        fan.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bn") == F.col("m"))
+        .withColumn("mu", F.sum("v").over(wb) / F.col("m").cast("double"))
+        .withColumn("j", F.row_number().over(wb.orderBy("i")))
+        .withColumn(
+            "z",
+            F.sum("v").over(wcum).cast("double") - F.col("j") * F.col("mu"),
+        )
+    )
+    blocks = g.groupBy("m", "blk").agg(
+        (F.max("z") - F.min("z")).alias("rng"),
+        F.sqrt(
+            F.sum(F.col("v") * F.col("v")).cast("double") / F.max("m")
+            - F.max("mu") * F.max("mu")
+        ).alias("sd"),
+    )
+    per_m = (
+        blocks.filter(F.col("sd") > 0.0)
+        .select(
+            "m",
+            F.round(F.col("rng") / F.col("sd") * 1e6).cast("long").alias("rs_u"),
+        )
+        .groupBy("m")
+        .agg(
+            (F.sum("rs_u") / (F.count(F.lit(1)) * 1e6)).alias("avg_rs"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+    )
+    pts = per_m.select(
+        "m",
+        "avg_rs",
+        (F.log2("m")).alias("lx"),
+        (F.log2("avg_rs")).alias("ly"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        *[
+            F.round(F.max(F.when(F.col("m") == m, F.col("avg_rs"))), 4).alias(
+                f"rs_{m}"
+            )
+            for m in _HURST_BLOCKS
+        ],
+    )
+    return fit.select(
+        F.round(
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("hurst_h"),
+        *[F.col(f"rs_{m}") for m in _HURST_BLOCKS],
+    )
+
+
+HURST_EXPONENT_REVENUE_SQL = f"""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY day) AS i,
+         CAST(round(r / 1000.0) AS BIGINT) AS v
+  FROM ({_DAILY_SQL})
+), fan AS (
+  SELECT i, v, m, (i - 1) // m AS blk
+  FROM d CROSS JOIN (SELECT unnest({_HURST_BLOCKS}) AS m)
+), g AS (
+  SELECT m, blk, i, v,
+         count(*) OVER wb AS bn,
+         CAST(sum(v) OVER wb AS BIGINT) / CAST(m AS DOUBLE) AS mu,
+         row_number() OVER (PARTITION BY m, blk ORDER BY i) AS j,
+         CAST(sum(v) OVER (PARTITION BY m, blk ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM fan
+  WINDOW wb AS (PARTITION BY m, blk)
+), blocks AS (
+  SELECT m, blk,
+         max(cum - j * mu) - min(cum - j * mu) AS rng,
+         sqrt(CAST(sum(v * v) AS BIGINT) / CAST(max(m) AS DOUBLE)
+              - max(mu) * max(mu)) AS sd
+  FROM g WHERE bn = m
+  GROUP BY m, blk
+), per_m AS (
+  SELECT m,
+         CAST(sum(CAST(round(rng / sd * 1e6) AS BIGINT)) AS BIGINT)
+           / (count(*) * 1e6) AS avg_rs
+  FROM blocks WHERE sd > 0.0
+  GROUP BY m
+), pts AS (
+  SELECT m, avg_rs, log2(m) AS lx, log2(avg_rs) AS ly FROM per_m
+)
+SELECT round((count(*) * sum(lx * ly) - sum(lx) * sum(ly))
+           / (count(*) * sum(lx * lx) - sum(lx) * sum(lx)), 4) AS hurst_h,
+       {", ".join(f"round(max(CASE WHEN m = {m} THEN avg_rs END), 4) AS rs_{m}" for m in _HURST_BLOCKS)}
+FROM pts
+"""

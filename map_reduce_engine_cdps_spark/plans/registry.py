@@ -834,6 +834,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.revenue_topshare_curve,
         analytics.REVENUE_TOPSHARE_CURVE_SQL,
     ),
+    "bootstrap_revenue_ci": (
+        analytics.bootstrap_revenue_ci,
+        analytics.BOOTSTRAP_REVENUE_CI_SQL,
+    ),
+    "rolling_revenue_qty_corr": (
+        analytics.rolling_revenue_qty_corr,
+        analytics.ROLLING_REVENUE_QTY_CORR_SQL,
+    ),
+    "hurst_exponent_revenue": (
+        analytics.hurst_exponent_revenue,
+        analytics.HURST_EXPONENT_REVENUE_SQL,
+    ),
     # --- basket mining / clickstream paths ---
     "frequent_type_pairs": (
         analytics.frequent_type_pairs,
@@ -1344,6 +1356,10 @@ _PRIORITY_ORDER = [
     "dup_length_bias",
     "shingle_size_sensitivity",
     "query_expansion_pmi",
+    # --- round-6 rationed additions (at the tail: outside the r6 window) ---
+    "bootstrap_revenue_ci",
+    "rolling_revenue_qty_corr",
+    "hurst_exponent_revenue",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -560,3 +560,61 @@ def test_pca_spectrum_identities(spark, sf_dir):
     # determinism across reruns
     again = [r["eigenvalue"] for r in pca_explained_variance(spark, sf_dir).collect()]
     assert again == evs
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """Poisson-bootstrap CI: lo <= point mean <= hi, interval is narrow
+    relative to the price spread, and the resample construction is
+    deterministic across reruns."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        _BOOT_B,
+        bootstrap_revenue_ci,
+    )
+
+    row = bootstrap_revenue_ci(spark, sf_dir).collect()[0]
+    assert row["b_resamples"] == _BOOT_B
+    assert row["ci_lo"] <= row["mean_price"] <= row["ci_hi"]
+    # a 95% CI of the mean over >=1500 orders should be far tighter
+    # than the raw price scale (prices span ~1e5)
+    assert 0 < row["ci_hi"] - row["ci_lo"] < 0.2 * row["mean_price"]
+    again = bootstrap_revenue_ci(spark, sf_dir).collect()[0]
+    assert again == row
+
+
+def test_rolling_corr_bounds_and_frames(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        _ROLL_CORR_W,
+        rolling_revenue_qty_corr,
+    )
+
+    rows = rolling_revenue_qty_corr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["roll_corr_7d"] is not None:
+            assert -1.0 <= r["roll_corr_7d"] <= 1.0
+    # only full frames are emitted: first W-1 days dropped
+    days = sorted(r["day"] for r in rows)
+    import datetime
+
+    full_span = (days[-1] - days[0]).days
+    assert len(rows) <= full_span + 1
+    # revenue and quantity per day co-move strongly (row count per day
+    # drives both): median rolling corr is clearly positive
+    vals = sorted(r["roll_corr_7d"] for r in rows if r["roll_corr_7d"] is not None)
+    assert vals[len(vals) // 2] > 0.5
+
+
+def test_hurst_exponent_in_range(spark, sf_dir):
+    """H of an aggregated near-iid daily series sits in (0,1) and the
+    per-block-size R/S averages grow with block size (the power law the
+    fit relies on)."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        _HURST_BLOCKS,
+        hurst_exponent_revenue,
+    )
+
+    row = hurst_exponent_revenue(spark, sf_dir).collect()[0]
+    assert 0.0 < row["hurst_h"] < 1.0
+    rs = [row[f"rs_{m}"] for m in _HURST_BLOCKS]
+    assert all(v is not None and v > 0 for v in rs)
+    assert rs == sorted(rs), "R/S must increase with block size"
