@@ -838,6 +838,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.bootstrap_revenue_ci,
         analytics.BOOTSTRAP_REVENUE_CI_SQL,
     ),
+    "max_concurrent_sessions": (
+        relational.max_concurrent_sessions,
+        relational.MAX_CONCURRENT_SESSIONS_SQL,
+    ),
+    "frequent_event_subsequences": (
+        relational.frequent_event_subsequences,
+        relational.FREQUENT_EVENT_SUBSEQUENCES_SQL,
+    ),
     "rolling_revenue_qty_corr": (
         analytics.rolling_revenue_qty_corr,
         analytics.ROLLING_REVENUE_QTY_CORR_SQL,
@@ -1360,6 +1368,8 @@ _PRIORITY_ORDER = [
     "bootstrap_revenue_ci",
     "rolling_revenue_qty_corr",
     "hurst_exponent_revenue",
+    "max_concurrent_sessions",
+    "frequent_event_subsequences",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

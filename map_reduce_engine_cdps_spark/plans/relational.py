@@ -2895,3 +2895,175 @@ SELECT l_returnflag, n_exact,
          AS sum_rel_err
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# max_concurrent_sessions — peak session concurrency via the sweep-line
+# pattern, distributed: every session contributes a +1 delta at its
+# start and a -1 at its end; concurrency is the running sum over the
+# time-ordered delta stream. A naive running sum is a single-partition
+# window over ALL deltas — the classic scale trap — so this uses the
+# two-level distributed prefix sum: per-day partial sums roll up to
+# O(days) day-start offsets (one bounded window over the calendar),
+# and the within-day running sums are partitioned by day. Starts sort
+# before ends at the same instant (inclusive overlap), so max(run) is
+# invariant to tie order among equal keys. The reference engine has no
+# interval operator at all; this is the standard infra/capacity query
+# (peak concurrent users) expressed shuffle-minimally.
+# ---------------------------------------------------------------------------
+
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_idx, start_ts, end_ts) with the same 30-min
+    gap sessionization as user_sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_idx",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+
+
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _session_intervals(spark, sf_dir)
+    deltas = iv.select(
+        F.col("start_ts").alias("t"), F.lit(1).alias("d"), "user_id", "session_idx"
+    ).unionAll(
+        iv.select(
+            F.col("end_ts").alias("t"),
+            F.lit(-1).alias("d"),
+            "user_id",
+            "session_idx",
+        )
+    )
+    deltas = deltas.withColumn("day", F.to_date("t"))
+    # level 1: per-day totals -> day-start offsets (O(days) window)
+    day_offsets = (
+        deltas.groupBy("day")
+        .agg(F.sum("d").alias("day_sum"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("day_sum").over(
+                    W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("day", "offset")
+    )
+    # level 2: within-day running sum, starts before ends at equal t
+    wday = W.partitionBy("day").orderBy(
+        "t", F.desc("d"), "user_id", "session_idx"
+    )
+    runs = (
+        deltas.join(F.broadcast(day_offsets), "day")
+        .withColumn(
+            "run",
+            F.col("offset")
+            + F.sum("d").over(wday.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    mc = runs.agg(F.max("run").alias("mc"))
+    peak = (
+        runs.join(F.broadcast(mc), F.col("run") == F.col("mc"))
+        .agg(F.min("t").alias("peak_t"), F.max("mc").alias("max_concurrent"))
+    )
+    n = iv.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return n.crossJoin(F.broadcast(peak)).select(
+        "n_sessions",
+        "max_concurrent",
+        F.unix_timestamp(F.col("peak_t")).alias("peak_epoch"),
+    )
+
+
+MAX_CONCURRENT_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(date_trunc('second', ts))
+                 - epoch(date_trunc('second', lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM g
+), iv AS (
+  SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM s GROUP BY user_id, session_idx
+), deltas AS (
+  SELECT start_ts AS t, 1 AS d, user_id, session_idx FROM iv
+  UNION ALL
+  SELECT end_ts AS t, -1 AS d, user_id, session_idx FROM iv
+), runs AS (
+  SELECT t, CAST(sum(d) OVER (ORDER BY t, d DESC, user_id, session_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run
+  FROM deltas
+), mc AS (SELECT max(run) AS mc FROM runs)
+SELECT (SELECT count(*) FROM iv) AS n_sessions,
+       max(mc) AS max_concurrent,
+       CAST(epoch(date_trunc('second', min(t))) AS BIGINT) AS peak_epoch
+FROM runs, mc WHERE run = mc
+"""
+
+
+# ---------------------------------------------------------------------------
+# frequent_event_subsequences — gap-tolerant sequential-pattern support
+# (the SPAM/PrefixSpan counting problem, Agrawal & Srikant ICDE'95):
+# for every ordered type triple (a,b,c), in how many users' event
+# streams does a→b→c occur as a SUBSEQUENCE (any gaps)? Unlike
+# event_type_trigrams (contiguous windows), containment here uses the
+# order-statistics identity: a→b→c exists iff some b-occurrence falls
+# strictly between the user's first a and last c. Occurrences are
+# ordered by timestamp with STRICT inequalities, so ties at the same
+# instant don't chain (a defined semantic both engines share). That
+# turns an
+# exponential subsequence scan into events ⋈ per-user-type min/max —
+# a join whose fan-out is a constant |types|² per event row, linear at
+# any scale; the distinct collapses to O(users · |types|³).
+# ---------------------------------------------------------------------------
+
+def frequent_event_subsequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    mm = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    )
+    a = mm.select("user_id", F.col("event_type").alias("a"), F.col("mn").alias("a_mn"))
+    c = mm.select("user_id", F.col("event_type").alias("c"), F.col("mx").alias("c_mx"))
+    b = ev.select("user_id", F.col("event_type").alias("b"), "ts")
+    trip = (
+        b.join(a, "user_id")
+        .filter(F.col("ts") > F.col("a_mn"))
+        .join(c, "user_id")
+        .filter(F.col("ts") < F.col("c_mx"))
+        .select("user_id", "a", "b", "c")
+        .distinct()
+    )
+    return trip.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+
+
+FREQUENT_EVENT_SUBSEQUENCES_SQL = """
+WITH mm AS (
+  SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+  FROM events GROUP BY user_id, event_type
+), trip AS (
+  SELECT DISTINCT b.user_id, a.event_type AS a, b.event_type AS b,
+         c.event_type AS c
+  FROM events b
+  JOIN mm a ON a.user_id = b.user_id AND b.ts > a.mn
+  JOIN mm c ON c.user_id = b.user_id AND b.ts < c.mx
+)
+SELECT a, b, c, count(*) AS support
+FROM trip GROUP BY a, b, c
+"""

@@ -618,3 +618,78 @@ def test_hurst_exponent_in_range(spark, sf_dir):
     rs = [row[f"rs_{m}"] for m in _HURST_BLOCKS]
     assert all(v is not None and v > 0 for v in rs)
     assert rs == sorted(rs), "R/S must increase with block size"
+
+
+def test_max_concurrent_sessions_vs_bruteforce(spark, sf_dir):
+    """The two-level distributed prefix sum must equal a driver-side
+    brute-force sweep over the same session intervals."""
+    from map_reduce_engine_cdps_spark.plans.relational import (
+        _session_intervals,
+        max_concurrent_sessions,
+    )
+
+    row = max_concurrent_sessions(spark, sf_dir).collect()[0]
+    iv = [
+        (r["start_ts"], r["end_ts"])
+        for r in _session_intervals(spark, sf_dir).collect()
+    ]
+    assert row["n_sessions"] == len(iv)
+    deltas = sorted(
+        [(s, -1) for s, _ in iv] + [(e, 1) for _, e in iv],
+        key=lambda p: (p[0], p[1]),
+    )  # d stored negated so ascending sort puts starts (+1) first
+    run = best = 0
+    best_t = None
+    for t, nd in deltas:
+        run -= nd
+        if run > best:
+            best, best_t = run, t
+    assert row["max_concurrent"] == best
+    import calendar
+
+    assert row["peak_epoch"] == calendar.timegm(best_t.timetuple())
+
+
+def test_event_subsequences_vs_bruteforce(spark, sf_dir):
+    """Strict-timestamp subsequence support equals the per-user triple
+    scan on the collected (small) event log."""
+    from collections import defaultdict
+
+    from map_reduce_engine_cdps_spark.plans.relational import (
+        frequent_event_subsequences,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    got = {
+        (r["a"], r["b"], r["c"]): r["support"]
+        for r in frequent_event_subsequences(spark, sf_dir).collect()
+    }
+    ev = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    ):
+        ev[r["user_id"]].append((r["ts"], r["event_type"]))
+    types = sorted({t for seq in ev.values() for _, t in seq})
+    expect = defaultdict(int)
+    for seq in ev.values():
+        mn = {}
+        mx = {}
+        for ts, ty in seq:
+            if ty not in mn or ts < mn[ty]:
+                mn[ty] = ts
+            if ty not in mx or ts > mx[ty]:
+                mx[ty] = ts
+        for a in types:
+            if a not in mn:
+                continue
+            for c in types:
+                if c not in mx:
+                    continue
+                present = {
+                    b for ts, b in seq if mn[a] < ts < mx[c]
+                }
+                for b in present:
+                    expect[(a, b, c)] += 1
+    assert got == dict(expect)
