@@ -846,6 +846,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.frequent_event_subsequences,
         relational.FREQUENT_EVENT_SUBSEQUENCES_SQL,
     ),
+    "quality_score_auc": (textops.quality_score_auc, textops.QUALITY_SCORE_AUC_SQL),
+    "chi2_term_selection": (
+        textops.chi2_term_selection,
+        textops.CHI2_TERM_SELECTION_SQL,
+    ),
+    "mcnemar_lang_models": (
+        textops.mcnemar_lang_models,
+        textops.MCNEMAR_LANG_MODELS_SQL,
+    ),
     "rolling_revenue_qty_corr": (
         analytics.rolling_revenue_qty_corr,
         analytics.ROLLING_REVENUE_QTY_CORR_SQL,
@@ -1370,6 +1379,9 @@ _PRIORITY_ORDER = [
     "hurst_exponent_revenue",
     "max_concurrent_sessions",
     "frequent_event_subsequences",
+    "quality_score_auc",
+    "chi2_term_selection",
+    "mcnemar_lang_models",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -2263,3 +2263,264 @@ SELECT q AS query_term, word AS expansion,
        CAST(co AS BIGINT) AS n_co_docs, pmi, rn
 FROM ranked WHERE rn <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# quality_score_auc — ROC-AUC of the stopword-ratio quality signal as a
+# classifier of lang='en': the standard bias diagnostic for any
+# English-stopword-based quality filter (the score SHOULD separate
+# English — that's the measured extent to which a "quality" threshold
+# is actually a language gate; cf. Gopher/CCNet filter analyses). AUC
+# via the Mann-Whitney midrank identity: AUC = (R1 − n1(n1+1)/2) /
+# (n1·n0) with average ranks over ties. The score is quantized to 4
+# decimals first, so the rank table is grouped by VALUE — the global
+# ordering window runs over ≤10001 distinct scores regardless of
+# corpus size (the eval-query cap pattern; plan-gate friendly), while
+# counts per value stay exact integers.
+# ---------------------------------------------------------------------------
+
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    d = docs.select(
+        F.round(TX.stopword_ratio(tok), 4).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    per_v = d.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("c1")
+    )
+    wv = W.orderBy("s")
+    ranked = per_v.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("c").over(wv.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ),
+    ).withColumn(
+        "midrank", F.col("cum_before") + (F.col("c") + 1) / 2.0
+    )
+    agg = ranked.agg(
+        F.sum(F.col("c1") * F.col("midrank")).alias("r1"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n0"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_en"),
+        F.col("n0").alias("n_other"),
+        F.round(
+            (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+QUALITY_SCORE_AUC_SQL = """
+WITH t AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), d AS (
+  SELECT round(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN
+                    ('the','a','an','of','and','to','in','is','it','that')))::DOUBLE
+                  / len(toks)
+               ELSE 0.0 END, 4) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM t
+), per_v AS (
+  SELECT s, count(*) AS c, CAST(sum(pos) AS BIGINT) AS c1
+  FROM d GROUP BY s
+), ranked AS (
+  SELECT c, c1,
+         coalesce(CAST(sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+           + (c + 1) / 2.0 AS midrank
+  FROM per_v
+)
+SELECT CAST(sum(c1) AS BIGINT) AS n_en,
+       CAST(sum(c - c1) AS BIGINT) AS n_other,
+       round((sum(c1 * midrank) - sum(c1) * (sum(c1) + 1) / 2.0)
+           / CAST(sum(c1) * sum(c - c1) AS DOUBLE), 6) AS auc
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi2_term_selection — χ² feature selection of terms against the
+# lang='en' label (the fastText/quality-classifier vocabulary step;
+# Yang & Pedersen ICML'97): per term with document frequency ≥ 5, the
+# 2×2 doc-level contingency vs the label, ranked by the χ² statistic.
+# Everything up to the final ranking is exact-integer: distinct
+# (doc, term) pairs → per-term positive/total df join a 1-row label
+# census. The ranking window runs over the df-thresholded vocabulary
+# (bounded: natural-language vocab grows ~O(corpus^0.5), Heaps' law —
+# measured in vocab_growth_heaps), with a term tie-break.
+# ---------------------------------------------------------------------------
+
+_CHI2_MIN_DF = 5
+_CHI2_TOP = 20
+
+
+def chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.explode(F.array_distinct(TX.clean_tokens(F.col("text")))).alias("term"),
+    )
+    per_term = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("pos").alias("df_en")
+    ).filter(F.col("df") >= _CHI2_MIN_DF)
+    census = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+    )
+    j = per_term.crossJoin(F.broadcast(census))
+    n11 = F.col("df_en")
+    n10 = F.col("df") - F.col("df_en")
+    n01 = F.col("n_en") - F.col("df_en")
+    n00 = F.col("n_docs") - F.col("n_en") - n10
+    num = F.col("n_docs").cast("double") * F.pow(n11 * n00 - n10 * n01, 2)
+    den = (
+        (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+    ).cast("double")
+    scored = j.select(
+        "term",
+        "df",
+        n11.alias("df_en"),
+        F.round(F.when(den > 0.0, num / den).otherwise(0.0), 4).alias("chi2"),
+    )
+    wr = W.orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _CHI2_TOP)
+        .select("rnk", "term", "df", "df_en", "chi2")
+    )
+
+
+CHI2_TERM_SELECTION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         unnest(list_distinct(list_filter(
+             list_transform(
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> length(x) > 0),
+               x -> regexp_replace(x, '[^a-z0-9]', '', 'g')),
+             x -> length(x) > 0))) AS term
+  FROM documents
+), per_term AS (
+  SELECT term, count(*) AS df, CAST(sum(pos) AS BIGINT) AS df_en
+  FROM t GROUP BY term HAVING count(*) >= {_CHI2_MIN_DF}
+), census AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+  FROM documents
+), scored AS (
+  SELECT term, df, df_en,
+         round(CASE WHEN (df) * (n_docs - df) * (n_en) * (n_docs - n_en) > 0
+               THEN CAST(n_docs AS DOUBLE)
+                  * ((df_en * (n_docs - n_en - (df - df_en))
+                     - (df - df_en) * (n_en - df_en)) ** 2)
+                  / CAST((df_en + (df - df_en)) * ((n_en - df_en) + (n_docs - n_en - (df - df_en)))
+                       * (df_en + (n_en - df_en)) * ((df - df_en) + (n_docs - n_en - (df - df_en)))
+                    AS DOUBLE)
+               ELSE 0.0 END, 4) AS chi2
+  FROM per_term CROSS JOIN census
+)
+SELECT row_number() OVER (ORDER BY chi2 DESC, term ASC) AS rnk,
+       term, df, df_en, chi2
+FROM scored
+ORDER BY chi2 DESC, term ASC LIMIT {_CHI2_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_lang_models — McNemar's paired test (McNemar 1947; the
+# correct significance test for comparing two classifiers on the SAME
+# examples — Dietterich, Neural Computation 1998) between the two
+# dependency-free lang='en' detectors this engine ships: A = stopword
+# ratio ≥ 0.05 (lang_id_accuracy's heuristic), B = average token
+# length ≤ 5.0. The statistic uses only the discordant pair counts
+# b = (A right, B wrong), c = (A wrong, B right) with continuity
+# correction: (|b−c|−1)²/(b+c). One scan, one 1-row aggregate —
+# every count exact-integer, the statistic a single scalar both
+# engines compute identically.
+# ---------------------------------------------------------------------------
+
+def mcnemar_lang_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    d = docs.select(
+        (F.col("lang") == "en").alias("y"),
+        (TX.stopword_ratio(tok) >= 0.05).alias("pa"),
+        (TX.avg_token_len(tok) <= 5.0).alias("pb"),
+    ).select(
+        (F.col("pa") == F.col("y")).cast("long").alias("a_ok"),
+        (F.col("pb") == F.col("y")).cast("long").alias("b_ok"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("a_ok").alias("na"),
+        F.sum("b_ok").alias("nb"),
+        F.sum(
+            (F.col("a_ok") == 1).cast("long") * (F.col("b_ok") == 0).cast("long")
+        ).alias("b_disc"),
+        F.sum(
+            (F.col("a_ok") == 0).cast("long") * (F.col("b_ok") == 1).cast("long")
+        ).alias("c_disc"),
+    )
+    return agg.select(
+        "n_docs",
+        F.round(F.col("na") / F.col("n_docs").cast("double"), 4).alias("acc_a"),
+        F.round(F.col("nb") / F.col("n_docs").cast("double"), 4).alias("acc_b"),
+        "b_disc",
+        "c_disc",
+        F.round(
+            F.when(
+                F.col("b_disc") + F.col("c_disc") > 0,
+                F.pow(F.abs(F.col("b_disc") - F.col("c_disc")) - 1, 2)
+                / (F.col("b_disc") + F.col("c_disc")).cast("double"),
+            ).otherwise(0.0),
+            4,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+MCNEMAR_LANG_MODELS_SQL = """
+WITH t AS (
+  SELECT lang = 'en' AS y,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), preds AS (
+  SELECT y,
+         (CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN
+                    ('the','a','an','of','and','to','in','is','it','that')))::DOUBLE
+                  / len(toks)
+               ELSE 0.0 END) >= 0.05 AS pa,
+         (CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, x -> length(x)::DOUBLE))
+                  / len(toks)
+               ELSE 0.0 END) <= 5.0 AS pb
+  FROM t
+), oks AS (
+  SELECT CASE WHEN pa = y THEN 1 ELSE 0 END AS a_ok,
+         CASE WHEN pb = y THEN 1 ELSE 0 END AS b_ok
+  FROM preds
+)
+SELECT count(*) AS n_docs,
+       round(CAST(sum(a_ok) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS acc_a,
+       round(CAST(sum(b_ok) AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS acc_b,
+       CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS b_disc,
+       CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS c_disc,
+       round(CASE WHEN sum(CASE WHEN a_ok <> b_ok THEN 1 ELSE 0 END) > 0
+             THEN ((abs(CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      - CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS BIGINT)) - 1) ** 2)
+                / CAST(sum(CASE WHEN a_ok <> b_ok THEN 1 ELSE 0 END) AS DOUBLE)
+             ELSE 0.0 END, 4) AS mcnemar_chi2
+FROM oks
+"""

@@ -1220,3 +1220,66 @@ def test_query_expansion_pmi_sound(spark, sf_dir):
         assert r["expansion"] != r["query_term"]
         assert r["n_co_docs"] > 0
         assert 1 <= r["rn"] <= 3
+
+
+def test_quality_score_auc_vs_bruteforce(spark, sf_dir):
+    """Midrank AUC equals the O(n1·n0) pairwise definition computed
+    driver-side, and the stopword score really is an English signal."""
+    from map_reduce_engine_cdps_spark.plans.textops import quality_score_auc
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    row = quality_score_auc(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select("text", "lang").collect()
+    stop = {"the", "a", "an", "of", "and", "to", "in", "is", "it", "that"}
+
+    def score(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        return round(sum(t in stop for t in toks) / len(toks), 4) if toks else 0.0
+
+    pos = [score(d["text"]) for d in docs if d["lang"] == "en"]
+    neg = [score(d["text"]) for d in docs if d["lang"] != "en"]
+    assert row["n_en"] == len(pos) and row["n_other"] == len(neg)
+    wins = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-6
+    # the synthetic corpus seeds stopwords across all langs, so the
+    # signal is weak here — the identity above is the real check
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_chi2_terms_are_english_markers(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.textops import (
+        _CHI2_MIN_DF,
+        _CHI2_TOP,
+        chi2_term_selection,
+    )
+
+    rows = chi2_term_selection(spark, sf_dir).collect()
+    assert [r["rnk"] for r in rows] == list(range(1, _CHI2_TOP + 1))
+    assert all(r["df"] >= _CHI2_MIN_DF for r in rows)
+    assert all(r["chi2"] >= 0.0 for r in rows)
+    chis = [r["chi2"] for r in rows]
+    assert chis == sorted(chis, reverse=True)
+    # the strongest lang='en' discriminators must include EN stopwords
+    top_terms = {r["term"] for r in rows}
+    assert top_terms & {"the", "of", "and", "to", "a"}
+
+
+def test_mcnemar_counts_consistent(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.plans.textops import mcnemar_lang_models
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    row = mcnemar_lang_models(spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "documents").count()
+    assert row["n_docs"] == n
+    assert 0 <= row["b_disc"] + row["c_disc"] <= n
+    assert 0.0 <= row["acc_a"] <= 1.0 and 0.0 <= row["acc_b"] <= 1.0
+    # accuracy difference and discordant counts must agree in sign:
+    # acc_a - acc_b == (b_disc - c_disc) / n
+    assert abs((row["acc_a"] - row["acc_b"]) - (row["b_disc"] - row["c_disc"]) / n) < 2e-4
+    if row["b_disc"] + row["c_disc"] > 0:
+        expect = (abs(row["b_disc"] - row["c_disc"]) - 1) ** 2 / (
+            row["b_disc"] + row["c_disc"]
+        )
+        assert abs(row["mcnemar_chi2"] - round(expect, 4)) < 1e-9
