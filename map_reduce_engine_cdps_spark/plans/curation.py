@@ -1824,3 +1824,63 @@ def _submod_sql() -> str:
 
 
 SUBMODULAR_COVERAGE_SAMPLE_SQL = _submod_sql
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit — the homogeneity-attack audit on the k-anonymous
+# release (Machanavajjhala et al., "l-Diversity", ICDE 2006): a
+# released equivalence class that satisfies k-anonymity can still leak
+# its sensitive attribute if every member shares one value. For each
+# released QI class (same quasi-identifiers as kanon_release_stats:
+# mktsegment × nation, n ≥ KANON_K), l = count of distinct sensitive
+# values (the account-balance tier). Reports, per segment, how many
+# released classes fail l ≥ 2 / l ≥ 3 plus the min and exact average
+# l. Shape: one grouped distinct-count over the release — O(classes)
+# shuffle rows; the audit costs no more than the release itself.
+# ---------------------------------------------------------------------------
+
+_LDIV_TIERS = "CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 3000 THEN 'low' WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END"
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "tier", F.expr(_LDIV_TIERS)
+    )
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("tier").alias("l"),
+    )
+    rel = F.col("n") >= KANON_K
+    return classes.groupBy("c_mktsegment").agg(
+        F.sum(rel.cast("long")).alias("released_classes"),
+        F.sum((rel & (F.col("l") < 2)).cast("long")).alias("fails_l2"),
+        F.sum((rel & (F.col("l") < 3)).cast("long")).alias("fails_l3"),
+        F.min(F.when(rel, F.col("l"))).alias("min_l"),
+        F.round(
+            F.sum(F.when(rel, F.col("l")))
+            / F.sum(rel.cast("long")).cast("double"),
+            4,
+        ).alias("avg_l"),
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+         count(DISTINCT {_LDIV_TIERS}) AS l
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN n >= {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS released_classes,
+       CAST(sum(CASE WHEN n >= {KANON_K} AND l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fails_l2,
+       CAST(sum(CASE WHEN n >= {KANON_K} AND l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fails_l3,
+       min(CASE WHEN n >= {KANON_K} THEN l END) AS min_l,
+       round(CAST(sum(CASE WHEN n >= {KANON_K} THEN l END) AS BIGINT)
+           / CAST(sum(CASE WHEN n >= {KANON_K} THEN 1 ELSE 0 END) AS DOUBLE), 4)
+         AS avg_l
+FROM classes
+GROUP BY c_mktsegment
+"""

@@ -855,6 +855,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.mcnemar_lang_models,
         textops.MCNEMAR_LANG_MODELS_SQL,
     ),
+    "knn_hubness_stats": (
+        similarity.knn_hubness_stats,
+        similarity.KNN_HUBNESS_STATS_SQL,
+    ),
+    "l_diversity_audit": (curation.l_diversity_audit, curation.L_DIVERSITY_AUDIT_SQL),
     "rolling_revenue_qty_corr": (
         analytics.rolling_revenue_qty_corr,
         analytics.ROLLING_REVENUE_QTY_CORR_SQL,
@@ -1382,6 +1387,8 @@ _PRIORITY_ORDER = [
     "quality_score_auc",
     "chi2_term_selection",
     "mcnemar_lang_models",
+    "knn_hubness_stats",
+    "l_diversity_audit",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -1833,3 +1833,130 @@ def _kcenter_sql() -> str:
 
 
 KCENTER_SEEDS_SQL = _kcenter_sql
+
+
+# ---------------------------------------------------------------------------
+# knn_hubness_stats — hubness diagnostic of the embedding space
+# (Radovanović et al., JMLR 2010): in high dimensions the k-NN
+# in-degree distribution skews right — a few "hub" vectors appear in
+# many neighbor lists while "anti-hubs" appear in none, which silently
+# degrades every kNN-based dedup/retrieval decision. Measured here as
+# the in-degree distribution of the exact kNN graph from a fixed
+# 32-query probe set (constant work O(32·n) at any corpus size — the
+# sample-the-queries pattern, not corpus²). Hub test uses the integer
+# cross-multiplication indeg·n > 2·nq·k (no float threshold), and the
+# in-degree skewness derives from exact integer moment sums over the
+# whole corpus (anti-hub zeros included analytically).
+# ---------------------------------------------------------------------------
+
+HUB_QUERIES = 32
+HUB_K = 10
+
+
+def knn_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_pd = V.norm_arrow()
+    q = emb.filter(F.col("vec_id") < HUB_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_pd(F.col("embedding")).alias("q_n"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_pd(F.col("embedding")).alias("c_n"),
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _cos_pre_arrow(
+                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    edges = sims.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= HUB_K
+    )
+    indeg = edges.groupBy("cand_id").agg(F.count(F.lit(1)).alias("indeg"))
+    n_row = emb.agg(F.count(F.lit(1)).alias("n"))
+    moments = indeg.agg(
+        F.max("indeg").alias("max_indeg"),
+        F.count(F.lit(1)).alias("touched"),
+        F.sum("indeg").alias("s1"),
+        F.sum(F.col("indeg") * F.col("indeg")).alias("s2"),
+        F.sum(F.col("indeg") * F.col("indeg") * F.col("indeg")).alias("s3"),
+    )
+    j = moments.crossJoin(F.broadcast(n_row))
+    nq_k = HUB_QUERIES * HUB_K
+    hubs = (
+        indeg.crossJoin(F.broadcast(n_row))
+        .filter(F.col("indeg") * F.col("n") > 2 * nq_k)
+        .agg(F.count(F.lit(1)).alias("hub_cnt"))
+    )
+    # sqrt is correctly rounded (IEEE); pow(x, 1.5/3) is not guaranteed
+    # bit-identical across libms — so the skew uses only * / sqrt.
+    mu = F.col("s1") / F.col("n").cast("double")
+    m2 = F.col("s2") / F.col("n").cast("double") - mu * mu
+    m3 = (
+        F.col("s3") / F.col("n").cast("double")
+        - 3.0 * mu * F.col("s2") / F.col("n").cast("double")
+        + 2.0 * mu * mu * mu
+    )
+    return j.crossJoin(F.broadcast(hubs)).select(
+        F.lit(HUB_QUERIES).alias("n_queries"),
+        F.lit(HUB_K).alias("k"),
+        F.col("n").alias("n_corpus"),
+        "max_indeg",
+        F.col("hub_cnt"),
+        (F.col("n") - F.col("touched")).alias("antihub_cnt"),
+        F.round(
+            F.when(m2 > 0.0, m3 / (m2 * F.sqrt(m2))).otherwise(0.0), 4
+        ).alias("indeg_skewness"),
+    )
+
+
+KNN_HUBNESS_STATS_SQL = f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < {HUB_QUERIES}) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+), edges AS (
+  SELECT cand_id FROM (
+    SELECT cand_id, row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM sims
+  ) WHERE rank <= {HUB_K}
+), indeg AS (
+  SELECT cand_id, count(*) AS indeg FROM edges GROUP BY cand_id
+), nn AS (SELECT count(*) AS n FROM embeddings),
+mo AS (
+  SELECT max(indeg) AS max_indeg, count(*) AS touched,
+         CAST(sum(indeg) AS BIGINT) AS s1,
+         CAST(sum(indeg * indeg) AS BIGINT) AS s2,
+         CAST(sum(indeg * indeg * indeg) AS BIGINT) AS s3
+  FROM indeg
+), hub AS (
+  SELECT count(*) AS hub_cnt FROM indeg, nn
+  WHERE indeg * n > 2 * {HUB_QUERIES * HUB_K}
+)
+SELECT {HUB_QUERIES} AS n_queries, {HUB_K} AS k, n AS n_corpus,
+       max_indeg, hub_cnt, n - touched AS antihub_cnt,
+       round(CASE WHEN s2 / CAST(n AS DOUBLE) - mu * mu > 0.0
+             THEN (s3 / CAST(n AS DOUBLE)
+                   - 3.0 * mu * s2 / CAST(n AS DOUBLE)
+                   + 2.0 * mu * mu * mu)
+                / ((s2 / CAST(n AS DOUBLE) - mu * mu)
+                   * sqrt(s2 / CAST(n AS DOUBLE) - mu * mu))
+             ELSE 0.0 END, 4) AS indeg_skewness
+FROM (SELECT mo.*, nn.n, s1 / CAST(nn.n AS DOUBLE) AS mu FROM mo, nn), hub
+"""

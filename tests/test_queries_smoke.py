@@ -1283,3 +1283,68 @@ def test_mcnemar_counts_consistent(spark, sf_dir):
             row["b_disc"] + row["c_disc"]
         )
         assert abs(row["mcnemar_chi2"] - round(expect, 4)) < 1e-9
+
+
+def test_knn_hubness_vs_bruteforce(spark, sf_dir):
+    """In-degree stats must match a numpy recomputation of the exact
+    kNN graph from the same probe set."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        HUB_K,
+        HUB_QUERIES,
+        knn_hubness_stats,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    row = knn_hubness_stats(spark, sf_dir).collect()[0]
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    n = len(emb)
+    assert row["n_corpus"] == n
+    indeg = {}
+    for q in range(HUB_QUERIES):
+        qv = emb[q]
+        qn = np.sqrt((qv * qv).sum())
+        sims = []
+        for cid, cv in emb.items():
+            if cid == q:
+                continue
+            cs = round(float(qv @ cv / (qn * np.sqrt((cv * cv).sum()))), 6)
+            sims.append((-cs, cid))
+        for _, cid in sorted(sims)[:HUB_K]:
+            indeg[cid] = indeg.get(cid, 0) + 1
+    assert row["max_indeg"] == max(indeg.values())
+    assert row["antihub_cnt"] == n - len(indeg)
+    assert row["hub_cnt"] == sum(
+        1 for v in indeg.values() if v * n > 2 * HUB_QUERIES * HUB_K
+    )
+    degs = np.zeros(n)
+    for cid, v in indeg.items():
+        degs[cid] = v
+    m2 = degs.var()
+    skew = ((degs - degs.mean()) ** 3).mean() / (m2 * np.sqrt(m2))
+    assert abs(row["indeg_skewness"] - skew) < 1e-3
+
+
+def test_l_diversity_consistent_with_kanon(spark):
+    """At sf0.01 released classes exist; the audit counts must be
+    internally consistent and bounded by the tier cardinality."""
+    sf = "/root/testdata/sf0.01"
+    from map_reduce_engine_cdps_spark.plans.curation import (
+        KANON_K,
+        kanon_release_stats,
+        l_diversity_audit,
+    )
+
+    rows = {r["c_mktsegment"]: r for r in l_diversity_audit(spark, sf).collect()}
+    kan = {r["c_mktsegment"]: r for r in kanon_release_stats(spark, sf).collect()}
+    assert rows.keys() == kan.keys()
+    for seg, r in rows.items():
+        assert r["released_classes"] == kan[seg]["groups_released"]
+        assert 0 <= r["fails_l2"] <= r["fails_l3"] <= r["released_classes"]
+        if r["released_classes"]:
+            assert 1 <= r["min_l"] <= 4  # four balance tiers
+            assert r["min_l"] <= r["avg_l"] <= 4.0
