@@ -2929,7 +2929,11 @@ def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    iv = _session_intervals(spark, sf_dir)
+    # The interval frame feeds five consumers (two delta arms, the
+    # offsets, the peak scan, the census); left lazy, Catalyst
+    # re-derives the events-window sessionization per consumer — 9
+    # scans of the big table. Materialize the O(sessions) frame once.
+    iv = _session_intervals(spark, sf_dir).localCheckpoint(eager=True)
     deltas = iv.select(
         F.col("start_ts").alias("t"), F.lit(1).alias("d"), "user_id", "session_idx"
     ).unionAll(

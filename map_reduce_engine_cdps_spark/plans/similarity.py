@@ -1885,7 +1885,14 @@ def knn_hubness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = sims.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= HUB_K
     )
-    indeg = edges.groupBy("cand_id").agg(F.count(F.lit(1)).alias("indeg"))
+    # indeg feeds both the moment aggregate and the hub filter: left
+    # lazy, the O(32·n) similarity fan-out runs twice. Materialize the
+    # O(32·k) in-degree table once.
+    indeg = (
+        edges.groupBy("cand_id")
+        .agg(F.count(F.lit(1)).alias("indeg"))
+        .localCheckpoint(eager=True)
+    )
     n_row = emb.agg(F.count(F.lit(1)).alias("n"))
     moments = indeg.agg(
         F.max("indeg").alias("max_indeg"),
