@@ -385,3 +385,45 @@ def test_eval_global_windows_are_row_bounded(spark):
         f"wand k-th-score window input {rows} exceeds cap "
         f"{textops.WAND_WINDOW_ROW_CAP}"
     )
+
+
+def test_round6_global_windows_are_value_bounded(spark):
+    """The two round-6 queries that rank through a no-partition window
+    must keep that window's input bounded by DESIGN, not by data size:
+    quality_score_auc sorts one row per DISTINCT 4-decimal score
+    (≤ 10001 values whatever the corpus), chi2_term_selection sorts the
+    df-thresholded vocabulary (Heaps-sublinear; capped here with
+    headroom so a tokenizer change trips the gate first), and
+    bootstrap_revenue_ci's percentile sort is exactly _BOOT_B rows."""
+    from map_reduce_engine_cdps_spark.functions import text as TX
+    from map_reduce_engine_cdps_spark.plans import analytics, textops
+    from map_reduce_engine_cdps_spark.sources.readers import load_parallel
+
+    from pyspark.sql import functions as F
+
+    docs = load_parallel(spark, SF_DIR, "documents")
+    tok = TX.tokens(F.col("text"))
+    n_scores = (
+        docs.select(F.round(TX.stopword_ratio(tok), 4).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_scores <= 10001  # structural bound of the 4-decimal ratio
+
+    vocab = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(TX.clean_tokens(F.col("text")))).alias(
+                "term"
+            ),
+        )
+        .groupBy("term")
+        .count()
+        .filter(F.col("count") >= textops._CHI2_MIN_DF)
+        .count()
+    )
+    assert vocab <= 50_000, (
+        f"chi2 ranking window input {vocab} terms — df>={textops._CHI2_MIN_DF} "
+        "vocabulary no longer eval-scale"
+    )
+    assert analytics._BOOT_B <= 4096
