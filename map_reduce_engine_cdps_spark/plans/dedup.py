@@ -2135,36 +2135,54 @@ def lsh_band_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_truth = truth.count()
-    out = []
-    for nb, r in _TUNE_CONFIGS:
-        cand = None
+    # Single-pass rework (round 6): the nested loop ran one bucket
+    # self-join per (config, band) — 15 joins, each with its own
+    # union/distinct/checkpoint/count/semi-join chain (49.7 s at sf1).
+    # All 15 band keys now land in ONE frame (the band index is folded
+    # into the key so only same-band buckets collide), the self-join
+    # runs once, and candidate/recall counts group by config.
+    kd = None
+    for ci, (nb, r) in enumerate(_TUNE_CONFIGS):
         for i in range(nb):
             parts = [F.col(f"mh{i * r + k}") for k in range(r)]
-            kd = d.select(
-                "doc_id", F.md5(F.concat_ws("|", *parts)).alias("bk")
+            x = d.select(
+                F.lit(ci).alias("cfg"),
+                "doc_id",
+                F.md5(F.concat_ws("|", F.lit(f"{ci}:{i}"), *parts)).alias("bk"),
             )
-            x, y = kd.alias("x"), kd.alias("y")
-            c = x.join(
-                y,
-                (F.col("x.bk") == F.col("y.bk"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            ).select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-            )
-            cand = c if cand is None else cand.union(c)
-        cand = cand.distinct().localCheckpoint(eager=True)
-        n_cand = cand.count()
-        n_caught = truth.join(cand, ["doc_a", "doc_b"], "left_semi").count()
+            kd = x if kd is None else kd.unionAll(x)
+    xa = kd.select("cfg", F.col("doc_id").alias("doc_a"), "bk")
+    yb = kd.select("cfg", F.col("doc_id").alias("doc_b"), "bk")
+    cand = (
+        xa.join(yb, ["cfg", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cand = {
+        r_["cfg"]: r_["n"]
+        for r_ in cand.groupBy("cfg").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_caught = {
+        r_["cfg"]: r_["n"]
+        for r_ in cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = []
+    for ci, (nb, r) in enumerate(_TUNE_CONFIGS):
+        caught = n_caught.get(ci, 0)
         theory = round(1 - (1 - _TUNE_THEORY_J**r) ** nb, 4)
         out.append(
             (
                 nb,
                 r,
-                n_cand,
+                n_cand.get(ci, 0),
                 n_truth,
-                n_caught,
-                round(n_caught / max(n_truth, 1), 4),
+                caught,
+                round(caught / max(n_truth, 1), 4),
                 theory,
             )
         )
@@ -2396,19 +2414,61 @@ def _shingle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass rework (round 6): the loop formulation ran one full
+    # shingle self-join per width TWICE (median collect + count = 6
+    # quadratic joins; 55.6 s at sf1). Now all three width shingle
+    # sets come out of ONE scan, materialized once (never explode a
+    # HOF-derived array — the cdc rule), the self-join runs once on
+    # (width, shingle), and the median windows partition by width so
+    # one collect returns every row of the answer. The count comes
+    # from the same window frame — no second action.
     docs = _shingle_sample(spark, sf_dir)
-    out = []
+    toks = TX.tokens(F.col("text"))
+    arr = docs.select(
+        "doc_id",
+        *[TX.shingles(toks, n).alias(f"sh{n}") for n in _SHINGLE_SIZES],
+    ).localCheckpoint(eager=True)
+    e = None
     for n in _SHINGLE_SIZES:
-        pairs = _shingle_truth_pairs(docs, n)
-        ranked = pairs.select(
-            "j",
-            F.row_number().over(W.orderBy("j")).alias("rn"),
-            F.count(F.lit(1)).over(W.partitionBy()).alias("c"),
+        x = arr.filter(F.size(f"sh{n}") > 0).select(
+            F.lit(n).alias("w"),
+            "doc_id",
+            F.size(f"sh{n}").alias("ns"),
+            F.explode(f"sh{n}").alias("s"),
         )
-        med_rows = ranked.filter(F.expr("rn = (c + 1) div 2")).collect()
-        cnt_row = pairs.count()
-        med = float(med_rows[0]["j"]) if med_rows else None
-        out.append((n, cnt_row, med))
+        e = x if e is None else e.unionAll(x)
+    a = e.select("w", F.col("doc_id").alias("da"), "s", F.col("ns").alias("na"))
+    b = e.select("w", F.col("doc_id").alias("db"), "s", F.col("ns").alias("nb"))
+    tp = (
+        a.join(b, ["w", "s"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("w", "da", "db")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    j = F.round(
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        4,
+    )
+    pairs = tp.withColumn("j", j).filter(F.col("j") >= RECALL_TRUTH_J)
+    ranked = pairs.select(
+        "w",
+        "j",
+        F.row_number().over(W.partitionBy("w").orderBy("j")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("w")).alias("c"),
+    )
+    med = {
+        r["w"]: (int(r["c"]), float(r["j"]))
+        for r in ranked.filter(F.expr("rn = (c + 1) div 2")).collect()
+    }
+    out = [
+        (n, med[n][0] if n in med else 0, med[n][1] if n in med else None)
+        for n in _SHINGLE_SIZES
+    ]
     return spark.createDataFrame(
         out, "shingle_n int, n_pairs long, median_j double"
     )
