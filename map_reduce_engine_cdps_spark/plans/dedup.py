@@ -1366,7 +1366,36 @@ def _sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+_RECALL_TRUTH_CACHE: dict = {}
+
+
+def _pair_expand(ns_field: str):
+    """In-bucket ordered pair expansion over a sorted `members`
+    array<struct<doc_id, {ns_field}>> — the shuffle-free half of the
+    bucket-local pair front (one struct per shared shingle)."""
+    return F.expr(
+        f"""
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members)), n ->
+            struct(m.doc_id AS da, n.doc_id AS db,
+                   m.{ns_field} AS na, n.{ns_field} AS nb))))
+        """
+    )
+
+
+def _recall_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled exact-Jaccard truth front (doc_a, doc_b, j ≥
+    RECALL_TRUTH_J), memoized per (app, sf_dir) like _lsh_pairs_cached:
+    lsh_pair_recall_eval and lsh_band_tuning_eval consume the IDENTICAL
+    truth set (same 40% sample, width-3 shingles, same threshold), so
+    it builds once. Built bucket-locally — groupBy(shingle) +
+    in-bucket pair expansion, one shuffle — not as a shingle
+    self-join: the join formulation re-shuffles every (pair, shared-
+    shingle) row and measured 45 s vs 14 s at sf1 for the same output."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _RECALL_TRUTH_CACHE.get(key)
+    if df is not None:
+        return df
     docs = _sampled_docs(spark, sf_dir)
     sh = docs.select(
         "doc_id",
@@ -1379,16 +1408,8 @@ def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("members"))
         .filter(F.size("members") >= 2)
     )
-    pair_expr = F.expr(
-        """
-        flatten(transform(members, (m, i) ->
-          transform(slice(members, i + 2, size(members)), n ->
-            struct(m.doc_id AS da, n.doc_id AS db,
-                   m.n_sh AS na, n.n_sh AS nb))))
-        """
-    )
     truth = (
-        buckets.select(F.explode(pair_expr).alias("p"))
+        buckets.select(F.explode(_pair_expand("n_sh")).alias("p"))
         .groupBy(F.col("p.da").alias("doc_a"), F.col("p.db").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("inter"),
@@ -1404,7 +1425,15 @@ def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("j") >= RECALL_TRUTH_J)
+        .select("doc_a", "doc_b", "j")
+        .localCheckpoint(eager=True)
     )
+    _RECALL_TRUTH_CACHE[key] = truth
+    return truth
+
+
+def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = _recall_truth_pairs(spark, sf_dir)
     cand = _lsh_pairs_cached(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("caught")
     )
@@ -2100,40 +2129,10 @@ def lsh_band_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", *[f"mh{s}" for s in range(N_MINHASH)])
         .localCheckpoint(eager=True)
     )
-    sh = docs.select(
-        "doc_id",
-        F.explode(TX.shingles(TX.tokens(F.col("text")), 3)).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
-    )
-    b2 = sh.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
-    )
-    tp = (
-        a.join(b2, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
-        )
-    )
-    truth = (
-        tp.withColumn(
-            "j",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("j") >= RECALL_TRUTH_J)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # Truth front shared with lsh_pair_recall_eval (identical sample /
+    # width / threshold) — built once per (app, sf_dir), bucket-locally
+    # (45 s → amortized-zero at sf1; round-6 rework).
+    truth = _recall_truth_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_truth = truth.count()
     # Single-pass rework (round 6): the nested loop ran one bucket
     # self-join per (config, band) — 15 joins, each with its own
@@ -2383,20 +2382,19 @@ def _shingle_truth_pairs(docs: DataFrame, n: int) -> DataFrame:
         F.explode(TX.shingles(TX.tokens(F.col("text")), n)).alias("s"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    a = sh.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("da"), "s", F.col("ns").alias("na")
-    )
-    b = sh.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("db"), "s", F.col("ns").alias("nb")
+    buckets = (
+        sh.join(sizes, "doc_id")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "ns"))).alias("members"))
+        .filter(F.size("members") >= 2)
     )
     tp = (
-        a.join(b, "s")
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
+        buckets.select(F.explode(_pair_expand("ns")).alias("p"))
+        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .agg(
             F.count(F.lit(1)).alias("inter"),
-            F.max("na").alias("na"),
-            F.max("nb").alias("nb"),
+            F.max("p.na").alias("na"),
+            F.max("p.nb").alias("nb"),
         )
     )
     j = F.round(
@@ -2437,16 +2435,18 @@ def shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(f"sh{n}").alias("s"),
         )
         e = x if e is None else e.unionAll(x)
-    a = e.select("w", F.col("doc_id").alias("da"), "s", F.col("ns").alias("na"))
-    b = e.select("w", F.col("doc_id").alias("db"), "s", F.col("ns").alias("nb"))
+    buckets = (
+        e.groupBy("w", "s")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "ns"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
     tp = (
-        a.join(b, ["w", "s"])
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("w", "da", "db")
+        buckets.select("w", F.explode(_pair_expand("ns")).alias("p"))
+        .groupBy("w", F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .agg(
             F.count(F.lit(1)).alias("inter"),
-            F.max("na").alias("na"),
-            F.max("nb").alias("nb"),
+            F.max("p.na").alias("na"),
+            F.max("p.nb").alias("nb"),
         )
     )
     j = F.round(

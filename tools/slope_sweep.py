@@ -57,6 +57,24 @@ def main() -> None:
         memo["ratio"] = round(memo["large"] / memo["small"], 2)
     out["lsh_pairs_memo_build"] = memo
     print(f"lsh_pairs_memo_build: {memo}", file=sys.stderr)
+    # Same attribution treatment for the round-6 shared truth front
+    # (consumed by lsh_pair_recall_eval AND lsh_band_tuning_eval).
+    from map_reduce_engine_cdps_spark.plans.dedup import _recall_truth_pairs
+
+    tmemo: dict = {}
+    for key, sf_dir in (("small", small), ("large", large)):
+        t0 = time.perf_counter()
+        try:
+            _recall_truth_pairs(spark, sf_dir)
+            tmemo[key] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"sweep error recall_truth_memo@{key}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            tmemo[key] = -1.0
+    if tmemo.get("small", 0) > 0 and tmemo.get("large", 0) > 0:
+        tmemo["ratio"] = round(tmemo["large"] / tmemo["small"], 2)
+    out["recall_truth_memo_build"] = tmemo
+    print(f"recall_truth_memo_build: {tmemo}", file=sys.stderr)
     for name, (fn, _) in _REGISTRY.items():
         rec: dict = {}
         for key, sf_dir in (("small", small), ("large", large)):
