@@ -41,6 +41,14 @@ QUERIES = [
     "minhash_lsh_pairs",
     "simhash_buckets",
     "semdedup_prune",
+    # round-6 additions with the steepest sweep ratios, plus the
+    # reworked eval trio (truth memo is its own line below)
+    "frequent_event_subsequences",
+    "knn_hubness_stats",
+    "max_concurrent_sessions",
+    "lsh_pair_recall_eval",
+    "lsh_band_tuning_eval",
+    "shingle_size_sensitivity",
 ]
 
 SFS = {
@@ -65,6 +73,18 @@ def main() -> None:
         print(f"memo warm {sf}: {memo[sf]}s", flush=True)
     out["lsh_pairs_memo_build"] = {
         **memo, "ratio": round(memo["sf10"] / memo["sf1"], 2)
+    }
+
+    from map_reduce_engine_cdps_spark.plans.dedup import _recall_truth_pairs
+
+    tmemo: dict[str, float] = {}
+    for sf, sf_dir in SFS.items():
+        t0 = time.perf_counter()
+        _recall_truth_pairs(spark, sf_dir)
+        tmemo[sf] = round(time.perf_counter() - t0, 3)
+        print(f"truth memo warm {sf}: {tmemo[sf]}s", flush=True)
+    out["recall_truth_memo_build"] = {
+        **tmemo, "ratio": round(tmemo["sf10"] / tmemo["sf1"], 2)
     }
 
     samples: dict[tuple[str, str], list[float]] = {
