@@ -1359,11 +1359,39 @@ FROM scored GROUP BY nationkey, mktsegment
 RECALL_SAMPLE_PCT = 40  # deterministic hash sample: (doc_id*48271) % 100 < PCT
 RECALL_TRUTH_J = 0.5
 
+# Fixed-budget evaluation (round 6, sf10 probe finding): ground truth
+# is BY DEFINITION quadratic in dup-group size, so a fixed sample RATE
+# makes the truth front grow ~corpus² — measured 745 s at derived sf10
+# (~100× the sf1 truth-pair count for 10× docs). The sample rate now
+# shrinks on a count-derived tier (the NEAR_DUP_TIERS pattern: same
+# scalar count, same CASE in the oracle), keeping the truth budget
+# roughly constant beyond sf1. Every certified SF (≤ sf1: ≤100 k docs)
+# stays at the original rate — results there are bit-identical.
+_RECALL_SAMPLE_TIERS = ((100_000, RECALL_SAMPLE_PCT), (300_000, 20), (None, 10))
+_SHINGLE_TIERS = ((100_000, 20), (300_000, 10), (None, 5))
+
+
+def _tier_pct(n_docs: int, tiers) -> int:
+    for bound, pct in tiers:
+        if bound is None or n_docs <= bound:
+            return pct
+    raise AssertionError("unreachable")
+
+
+def _tier_pct_sql(tiers) -> str:
+    """The identical tier as a DuckDB scalar on the same count."""
+    cases = " ".join(
+        f"WHEN (SELECT count(*) FROM documents) <= {bound} THEN {pct}"
+        for bound, pct in tiers
+        if bound is not None
+    )
+    return f"(CASE {cases} ELSE {tiers[-1][1]} END)"
+
 
 def _sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").filter(
-        F.pmod(F.col("doc_id") * 48271, F.lit(100)) < RECALL_SAMPLE_PCT
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    pct = _tier_pct(docs.count(), _RECALL_SAMPLE_TIERS)
+    return docs.filter(F.pmod(F.col("doc_id") * 48271, F.lit(100)) < pct)
 
 
 _RECALL_TRUTH_CACHE: dict = {}
@@ -1437,7 +1465,12 @@ def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _lsh_pairs_cached(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("caught")
     )
-    joined = truth.join(cand, ["doc_a", "doc_b"], "left")
+    # shuffle-hash, not broadcast: at large SFs the truth side is a
+    # multi-million-row table whose size Catalyst underestimates —
+    # building/shipping it as a driver broadcast measured 19.5 s at
+    # sf10 where the shuffled hash join of the same inputs runs in
+    # under a second (both sides are checkpointed scalar-key tables).
+    joined = truth.hint("shuffle_hash").join(cand, ["doc_a", "doc_b"], "left")
     jbucket = (
         F.when(F.col("j") < 0.6, "0.5-0.6")
         .when(F.col("j") < 0.8, "0.6-0.8")
@@ -1464,7 +1497,7 @@ LSH_PAIR_RECALL_EVAL_SQL = (
     + f"""),
 samp AS MATERIALIZED (
   SELECT doc_id, shingles FROM ({_DUCK_SHINGLES})
-  WHERE (doc_id * 48271) % 100 < {RECALL_SAMPLE_PCT} AND len(shingles) > 0
+  WHERE (doc_id * 48271) % 100 < {_tier_pct_sql(_RECALL_SAMPLE_TIERS)} AND len(shingles) > 0
 ),
 post AS (
   SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh FROM samp
@@ -2200,7 +2233,7 @@ def _band_tuning_sql() -> str:
     parts = [
         f"""WITH samp AS MATERIALIZED (
   SELECT doc_id, shingles FROM ({_DUCK_SHINGLES})
-  WHERE (doc_id * 48271) % 100 < {RECALL_SAMPLE_PCT} AND len(shingles) > 0
+  WHERE (doc_id * 48271) % 100 < {_tier_pct_sql(_RECALL_SAMPLE_TIERS)} AND len(shingles) > 0
 ), mh AS MATERIALIZED (
   SELECT doc_id, shingles,
          {mh_cols}
@@ -2361,6 +2394,8 @@ _SHINGLE_SIZES = (3, 4, 5)
 # per width and pair volume is quadratic in the sample rate — 20%
 # carries the same ordering signal at a quarter of the pair work
 # (sf1: 137 s at 40% -> measured again below at 20%)
+# base rate of the _SHINGLE_TIERS table (≤100 k docs); the effective
+# rate is count-derived — see _tier_pct / fixed-budget note above
 _SHINGLE_SAMPLE_PCT = 20
 
 
@@ -2406,9 +2441,9 @@ def _shingle_truth_pairs(docs: DataFrame, n: int) -> DataFrame:
 
 
 def _shingle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").filter(
-        F.pmod(F.col("doc_id") * 48271, F.lit(100)) < _SHINGLE_SAMPLE_PCT
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    pct = _tier_pct(docs.count(), _SHINGLE_TIERS)
+    return docs.filter(F.pmod(F.col("doc_id") * 48271, F.lit(100)) < pct)
 
 
 def shingle_size_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2518,7 +2553,7 @@ FROM p{n}"""
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                      x -> length(x) > 0) AS toks
   FROM documents
-  WHERE (doc_id * 48271) % 100 < {_SHINGLE_SAMPLE_PCT}
+  WHERE (doc_id * 48271) % 100 < {_tier_pct_sql(_SHINGLE_TIERS)}
 ), """
         + ", ".join(ctes)
         + "\n"
