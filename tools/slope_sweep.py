@@ -75,6 +75,24 @@ def main() -> None:
         tmemo["ratio"] = round(tmemo["large"] / tmemo["small"], 2)
     out["recall_truth_memo_build"] = tmemo
     print(f"recall_truth_memo_build: {tmemo}", file=sys.stderr)
+    # ...and the linkage matched-pair memo (first consumer was
+    # customer_golden_records, which absorbed the build in its line).
+    from map_reduce_engine_cdps_spark.plans.dedup import _linkage_pairs_cached
+
+    lmemo: dict = {}
+    for key, sf_dir in (("small", small), ("large", large)):
+        t0 = time.perf_counter()
+        try:
+            _linkage_pairs_cached(spark, sf_dir)
+            lmemo[key] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"sweep error linkage_pairs_memo@{key}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            lmemo[key] = -1.0
+    if lmemo.get("small", 0) > 0 and lmemo.get("large", 0) > 0:
+        lmemo["ratio"] = round(lmemo["large"] / lmemo["small"], 2)
+    out["linkage_pairs_memo_build"] = lmemo
+    print(f"linkage_pairs_memo_build: {lmemo}", file=sys.stderr)
     for name, (fn, _) in _REGISTRY.items():
         rec: dict = {}
         for key, sf_dir in (("small", small), ("large", large)):
