@@ -427,3 +427,36 @@ def test_round6_global_windows_are_value_bounded(spark):
         "vocabulary no longer eval-scale"
     )
     assert analytics._BOOT_B <= 4096
+
+
+def test_eval_sample_tiers_certified_rates_and_sql_parity():
+    """Fixed-budget eval sampling (round 6): every certified SF's doc
+    count (≤ 100k) must keep the original sample rates — the tier only
+    engages beyond sf1 — and the DuckDB CASE must agree with the
+    Python tier at every boundary, else truth fronts diverge."""
+    import duckdb
+
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        RECALL_SAMPLE_PCT,
+        _RECALL_SAMPLE_TIERS,
+        _SHINGLE_SAMPLE_PCT,
+        _SHINGLE_TIERS,
+        _tier_pct,
+        _tier_pct_sql,
+    )
+
+    for n in (500, 5_000, 50_000, 100_000):
+        assert _tier_pct(n, _RECALL_SAMPLE_TIERS) == RECALL_SAMPLE_PCT
+        assert _tier_pct(n, _SHINGLE_TIERS) == _SHINGLE_SAMPLE_PCT
+    assert [
+        _tier_pct(n, _RECALL_SAMPLE_TIERS)
+        for n in (100_001, 300_000, 300_001, 10**9)
+    ] == [20, 20, 10, 10]
+    for tiers in (_RECALL_SAMPLE_TIERS, _SHINGLE_TIERS):
+        rates = [_tier_pct(n, tiers) for n in (1, 10**5, 10**6, 10**9)]
+        assert rates == sorted(rates, reverse=True), "tiers must not grow"
+        for n in (500, 100_000, 100_001, 300_000, 300_001, 10**7):
+            con = duckdb.connect()
+            con.execute(f"CREATE TABLE documents AS SELECT * FROM range({n})")
+            got = con.execute(f"SELECT {_tier_pct_sql(tiers)}").fetchone()[0]
+            assert got == _tier_pct(n, tiers), (tiers, n)
