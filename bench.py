@@ -140,6 +140,26 @@ def main() -> None:
         out["sf1_queries"] = sf1
         out["sf1_queries_iqr"] = sf1_iqr
         out["sf1_value"] = round(sum(t for t in sf1.values() if t > 0), 3)
+    # The driver's BENCH_r{N}.json keeps only the last 2000 stdout
+    # chars (the visible first dict is queries_iqr, not the medians —
+    # VERDICT r6 item 7), so also persist the complete JSON alongside
+    # the round artifacts. Round number = next after the newest
+    # committed BENCH_r*.json; failures here must never sink the bench.
+    try:
+        import glob as _glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        tag = f"r{max(rounds, default=0) + 1:02d}"
+        with open(os.path.join(here, f"BENCH_full_{tag}.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except Exception as e:  # pragma: no cover
+        print(f"bench full-artifact write skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

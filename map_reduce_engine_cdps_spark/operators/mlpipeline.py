@@ -40,41 +40,67 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
 
 
-def _train_pair(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic binary logistic regression for one label pair.
+# Production iteration count for the full trainer (the reference trains
+# sklearn LogisticRegression to convergence, tasks/plants_classifier.py;
+# 200 full-batch GD steps is our dependency-free stand-in). PROBE_ITERS
+# is the oracle-replayable registry probe: the same trainer run for a
+# fixed small step count so the whole pipeline — pair join geometry,
+# grouped Arrow UDF, gradient/sigmoid math, accuracy aggregate — can be
+# replayed as unrolled DuckDB SQL (the kmeans_lloyd template,
+# plans/similarity.py:_kmeans_sql). Only the iteration count differs
+# between probe and production; the code path is identical.
+GD_ITERS = 200
+GD_LR = 0.5
+PROBE_ITERS = 2
 
-    Full-batch GD, zero init, fixed LR/iters → reproducible across
-    cluster layouts (no RNG, no data-order dependence beyond the
-    pre-sort below).
+
+def _make_train_pair(n_iters: int):
+    """Build the per-pair trainer UDF for a fixed iteration count.
+
+    Deterministic binary logistic regression: full-batch GD, zero init,
+    fixed LR/iters → reproducible across cluster layouts (no RNG, no
+    data-order dependence beyond the vec_id pre-sort).
     """
-    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-    label_a = int(pdf["label_a"].iloc[0])
-    label_b = int(pdf["label_b"].iloc[0])
-    x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    y = (pdf["label"].to_numpy() == label_b).astype(np.float64)
-    w = np.zeros(x.shape[1])
-    b = 0.0
-    lr = 0.5
-    for _ in range(200):
-        p = _sigmoid(x @ w + b)
-        grad_w = x.T @ (p - y) / len(y)
-        grad_b = float(np.mean(p - y))
-        w -= lr * grad_w
-        b -= lr * grad_b
-    acc = float(np.mean((_sigmoid(x @ w + b) >= 0.5) == (y == 1.0)))
-    return pd.DataFrame(
-        [
-            {
-                "pair_key": f"{label_a}_{label_b}",
-                "label_a": label_a,
-                "label_b": label_b,
-                "n_samples": len(y),
-                "train_acc": round(acc, 4),
-                "coef_norm": round(float(np.linalg.norm(w)), 4),
-                "intercept": round(b, 4),
-            }
-        ]
-    )
+
+    def _train_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        label_a = int(pdf["label_a"].iloc[0])
+        label_b = int(pdf["label_b"].iloc[0])
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        y = (pdf["label"].to_numpy() == label_b).astype(np.float64)
+        w = np.zeros(x.shape[1])
+        b = 0.0
+        for _ in range(n_iters):
+            p = _sigmoid(x @ w + b)
+            grad_w = x.T @ (p - y) / len(y)
+            grad_b = float(np.mean(p - y))
+            w -= GD_LR * grad_w
+            b -= GD_LR * grad_b
+        acc = float(np.mean((_sigmoid(x @ w + b) >= 0.5) == (y == 1.0)))
+        # train_acc stays UNROUNDED: it is the exact rational
+        # correct/n, bit-identical in numpy and DuckDB (integer sum +
+        # one IEEE division) — rounding it would reintroduce the
+        # banker's-vs-half-away tie at values like 51/96 = 0.53125.
+        # + 0.0 normalizes IEEE -0.0 → 0.0 (Python round(-1e-9, 4) is
+        # -0.0; the driver's value-hash stringifies the sign).
+        return pd.DataFrame(
+            [
+                {
+                    "pair_key": f"{label_a}_{label_b}",
+                    "label_a": label_a,
+                    "label_b": label_b,
+                    "n_samples": len(y),
+                    "train_acc": acc,
+                    "coef_norm": round(float(np.linalg.norm(w)), 4) + 0.0,
+                    "intercept": round(b, 4) + 0.0,
+                }
+            ]
+        )
+
+    return _train_pair
+
+
+_train_pair = _make_train_pair(GD_ITERS)
 
 
 def label_pairs_df(emb: DataFrame) -> DataFrame:
@@ -88,7 +114,12 @@ def label_pairs_df(emb: DataFrame) -> DataFrame:
     )
 
 
-def train_one_vs_one(spark: SparkSession, sf_dir: str, model_dir: str | None = None) -> DataFrame:
+def train_one_vs_one(
+    spark: SparkSession,
+    sf_dir: str,
+    model_dir: str | None = None,
+    n_iters: int = GD_ITERS,
+) -> DataFrame:
     """Train one binary classifier per label pair over the embeddings
     table. Returns one row per pair (metrics + coefficients summary).
 
@@ -106,7 +137,7 @@ def train_one_vs_one(spark: SparkSession, sf_dir: str, model_dir: str | None = N
     )
     joined = emb.join(F.broadcast(sided), "label")
     trained = joined.groupBy("label_a", "label_b").applyInPandas(
-        _train_pair, schema=TRAIN_SCHEMA
+        _make_train_pair(n_iters), schema=TRAIN_SCHEMA
     )
     if model_dir is not None:
         trained.write.mode("overwrite").parquet(model_dir)
@@ -115,9 +146,15 @@ def train_one_vs_one(spark: SparkSession, sf_dir: str, model_dir: str | None = N
 
 
 def one_vs_one_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: deterministic per-pair training metrics
-    (non-SQL-expressible — iterative optimizer — so rows-only check)."""
-    return train_one_vs_one(spark, sf_dir).orderBy("label_a", "label_b")
+    """Registry entry ``one_vs_one_training``: per-pair training metrics
+    at PROBE_ITERS unrolled GD steps, replayed exactly by
+    ONE_VS_ONE_GD2_SQL (VERDICT r6 item 2: the rows-only queries gain
+    oracle entries via the kmeans_lloyd loop-unrolling template). The
+    production trainer is `train_one_vs_one` (n_iters=GD_ITERS),
+    pytest-parity-covered against the shim path."""
+    return train_one_vs_one(spark, sf_dir, n_iters=PROBE_ITERS).orderBy(
+        "label_a", "label_b"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -136,35 +173,44 @@ FULL_TRAIN_SCHEMA = (
 )
 
 
-def _train_pair_full(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-    label_a = int(pdf["label_a"].iloc[0])
-    label_b = int(pdf["label_b"].iloc[0])
-    x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-    y = (pdf["label"].to_numpy() == label_b).astype(np.float64)
-    w = np.zeros(x.shape[1])
-    b = 0.0
-    lr = 0.5
-    for _ in range(200):
-        p = _sigmoid(x @ w + b)
-        w -= lr * (x.T @ (p - y) / len(y))
-        b -= lr * float(np.mean(p - y))
-    return pd.DataFrame(
-        [
-            {
-                "label_a": label_a,
-                "label_b": label_b,
-                "weights": list(w),
-                "intercept": b,
-            }
-        ]
-    )
+def _make_train_pair_full(n_iters: int):
+    def _train_pair_full(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        label_a = int(pdf["label_a"].iloc[0])
+        label_b = int(pdf["label_b"].iloc[0])
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        y = (pdf["label"].to_numpy() == label_b).astype(np.float64)
+        w = np.zeros(x.shape[1])
+        b = 0.0
+        for _ in range(n_iters):
+            p = _sigmoid(x @ w + b)
+            w -= GD_LR * (x.T @ (p - y) / len(y))
+            b -= GD_LR * float(np.mean(p - y))
+        return pd.DataFrame(
+            [
+                {
+                    "label_a": label_a,
+                    "label_b": label_b,
+                    "weights": list(w),
+                    "intercept": b,
+                }
+            ]
+        )
+
+    return _train_pair_full
 
 
-def ensemble_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): one-vs-one ensemble evaluated by
-    majority vote, per-true-label accuracy. Deterministic end to end
-    (GD trainer has no RNG; tie-break = smallest label)."""
+_train_pair_full = _make_train_pair_full(GD_ITERS)
+
+
+def ensemble_vote_accuracy(
+    spark: SparkSession, sf_dir: str, n_iters: int = GD_ITERS
+) -> DataFrame:
+    """One-vs-one ensemble evaluated by majority vote, per-true-label
+    accuracy. Deterministic end to end (GD trainer has no RNG;
+    tie-break = smallest label). The registry registers
+    `ensemble_vote_probe` (n_iters=PROBE_ITERS) so the vote replay is
+    oracle-checkable; this full-strength version stays the API."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = label_pairs_df(emb)
     sided = pairs.withColumn(
@@ -173,7 +219,7 @@ def ensemble_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     models_rows = (
         emb.join(F.broadcast(sided), "label")
         .groupBy("label_a", "label_b")
-        .applyInPandas(_train_pair_full, schema=FULL_TRAIN_SCHEMA)
+        .applyInPandas(_make_train_pair_full(n_iters), schema=FULL_TRAIN_SCHEMA)
         .collect()
     )
     models = [
@@ -202,12 +248,24 @@ def ensemble_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(best, dtype="int32")
 
     scored = emb.select("label", vote(F.col("embedding")).alias("pred"))
+    # vote_accuracy stays UNROUNDED: exact rational correct/n,
+    # bit-identical across engines (rounding would reintroduce the
+    # half-tie divergence — see _make_train_pair).
     return scored.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_samples"),
-        F.round(
-            F.avg((F.col("pred") == F.col("label")).cast("double")), 4
-        ).alias("vote_accuracy"),
+        F.avg((F.col("pred") == F.col("label")).cast("double")).alias(
+            "vote_accuracy"
+        ),
     )
+
+
+def ensemble_vote_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry ``ensemble_vote_accuracy``: the majority-vote
+    ensemble at PROBE_ITERS GD steps — broadcast models, Arrow vote
+    UDF, tie-to-smallest-label argmax and per-label accuracy are all
+    replayed by ENSEMBLE_VOTE_GD2_SQL. Only the iteration count
+    differs from the production `ensemble_vote_accuracy` API."""
+    return ensemble_vote_accuracy(spark, sf_dir, n_iters=PROBE_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +282,12 @@ def ensemble_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def one_vs_one_shim(spark: SparkSession, sf_dir: str, n_workers: int = 4) -> DataFrame:
+def one_vs_one_shim(
+    spark: SparkSession,
+    sf_dir: str,
+    n_workers: int = 4,
+    n_iters: int = GD_ITERS,
+) -> DataFrame:
     from map_reduce_engine_cdps_spark.compat.mapreduce import run_task
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -269,10 +332,10 @@ def one_vs_one_shim(spark: SparkSession, sf_dir: str, n_workers: int = 4) -> Dat
             y = np.array([1.0 if lab == b else 0.0 for _, _, lab in rows])
             w_vec = np.zeros(x.shape[1])
             bias = 0.0
-            for _ in range(200):
+            for _ in range(n_iters):
                 p = _sigmoid(x @ w_vec + bias)
-                w_vec -= 0.5 * (x.T @ (p - y) / len(y))
-                bias -= 0.5 * float(np.mean(p - y))
+                w_vec -= GD_LR * (x.T @ (p - y) / len(y))
+                bias -= GD_LR * float(np.mean(p - y))
             acc = float(np.mean((_sigmoid(x @ w_vec + bias) >= 0.5) == (y == 1.0)))
             out.append(
                 {
@@ -280,9 +343,9 @@ def one_vs_one_shim(spark: SparkSession, sf_dir: str, n_workers: int = 4) -> Dat
                     "label_a": a,
                     "label_b": b,
                     "n_samples": len(y),
-                    "train_acc": round(acc, 4),
-                    "coef_norm": round(float(np.linalg.norm(w_vec)), 4),
-                    "intercept": round(bias, 4),
+                    "train_acc": acc,  # exact rational — see _make_train_pair
+                    "coef_norm": round(float(np.linalg.norm(w_vec)), 4) + 0.0,
+                    "intercept": round(bias, 4) + 0.0,
                 }
             )
         return out
@@ -314,7 +377,9 @@ def one_vs_one_shim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (no drops, no double-delivery). The iterative trainer metrics
     stay in the rows-only ``one_vs_one_shim`` entry.
     """
-    return one_vs_one_shim(spark, sf_dir).select(
+    # Routing is independent of the trainer's iteration count, so run
+    # the cheap probe depth — the projected columns are identical.
+    return one_vs_one_shim(spark, sf_dir, n_iters=PROBE_ITERS).select(
         "pair_key", "label_a", "label_b", "n_samples"
     )
 
@@ -328,3 +393,151 @@ SELECT cast(a.label AS varchar) || '_' || cast(b.label AS varchar) AS pair_key,
        cast(a.n + b.n AS bigint) AS n_samples
 FROM counts a JOIN counts b ON a.label < b.label
 """
+
+
+def one_vs_one_shim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry ``one_vs_one_shim``: the 4-hook compat program at
+    PROBE_ITERS GD steps, sharing ONE_VS_ONE_GD2_SQL with the DataFrame
+    path — one oracle certifying that init/map/multicast-shuffle/reduce
+    AND the trainer math agree with plain SQL semantics (the
+    wordcount_shim ≡ WORDCOUNT_SQL pattern). Routing-only certification
+    stays in ``one_vs_one_shim_pairs``; the production shim keeps
+    n_iters=GD_ITERS."""
+    return one_vs_one_shim(spark, sf_dir, n_iters=PROBE_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Unrolled-GD DuckDB oracles (VERDICT r6 item 2). PROBE_ITERS=2 steps
+# from zero init unroll exactly: step 1 is closed-form (sigmoid(0)=0.5
+# for every sample), step 2 exercises the real sigmoid/dot math. The
+# replay mirrors the numpy trainer op-for-op: double-cast inputs,
+# gradient = avg((p - y) * x_j), w ← w − lr·grad, clip(z, ±30) inside
+# the sigmoid, prediction = (sigmoid ≥ 0.5), metrics rounded at 4.
+# Shared by `one_vs_one_training` (DataFrame/applyInPandas path) and
+# `one_vs_one_shim` (compat multicast path) — same semantics, same SQL.
+# ---------------------------------------------------------------------------
+
+_GD2_DIMS = 64
+
+
+def _gd2_core_sql() -> str:
+    """Shared CTE prefix: pairs, per-(pair, sample) rows, two unrolled
+    GD steps producing per-pair weight list `w` and intercept `b`."""
+    sig = (
+        "1.0/(1.0 + exp(-greatest(least({z}, CAST(30 AS DOUBLE)), "
+        "CAST(-30 AS DOUBLE))))"
+    )
+    dot = "list_sum(list_transform(list_zip({x}, {w}), q -> q[1] * q[2]))"
+    z1 = dot.format(x="r.x", w="w1.w") + " + b1.b"
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+labs AS (SELECT DISTINCT label FROM e),
+pairs AS (
+  SELECT a.label AS la, b.label AS lb
+  FROM labs a JOIN labs b ON a.label < b.label
+),
+r AS (
+  SELECT p.la, p.lb, e.vec_id, e.x,
+         CASE WHEN e.label = p.lb THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM pairs p JOIN e ON e.label = p.la OR e.label = p.lb
+),
+d AS (SELECT unnest(generate_series(1, {_GD2_DIMS})) AS j),
+g1 AS (
+  SELECT la, lb, j,
+         -(CAST(0.5 AS DOUBLE) * avg((CAST(0.5 AS DOUBLE) - y) * x[j])) AS w1
+  FROM r CROSS JOIN d GROUP BY la, lb, j
+),
+w1 AS (SELECT la, lb, list(w1 ORDER BY j) AS w FROM g1 GROUP BY la, lb),
+b1 AS (
+  SELECT la, lb,
+         -(CAST(0.5 AS DOUBLE) * avg(CAST(0.5 AS DOUBLE) - y)) AS b
+  FROM r GROUP BY la, lb
+),
+s2 AS (
+  SELECT r.la, r.lb, r.vec_id, r.x, r.y, {sig.format(z=z1)} AS p
+  FROM r JOIN w1 USING (la, lb) JOIN b1 USING (la, lb)
+),
+g2 AS (
+  SELECT s2.la, s2.lb, d.j, avg((s2.p - s2.y) * s2.x[j]) AS gw
+  FROM s2 CROSS JOIN d GROUP BY s2.la, s2.lb, d.j
+),
+w2 AS (
+  SELECT g1.la, g1.lb,
+         list(g1.w1 - CAST(0.5 AS DOUBLE) * g2.gw ORDER BY g1.j) AS w
+  FROM g1 JOIN g2 ON g1.la = g2.la AND g1.lb = g2.lb AND g1.j = g2.j
+  GROUP BY g1.la, g1.lb
+),
+b2 AS (
+  SELECT s2.la, s2.lb,
+         any_value(b1.b) - CAST(0.5 AS DOUBLE) * avg(s2.p - s2.y) AS b
+  FROM s2 JOIN b1 USING (la, lb) GROUP BY s2.la, s2.lb
+),
+m AS (SELECT la, lb, w2.w AS w, b2.b AS b FROM w2 JOIN b2 USING (la, lb)),
+sc AS (
+  SELECT r.la, r.lb, r.y,
+         {sig.format(z=dot.format(x="r.x", w="m.w") + " + m.b")} AS p
+  FROM r JOIN m USING (la, lb)
+)"""
+
+
+def _one_vs_one_gd2_sql() -> str:
+    return (
+        _gd2_core_sql()
+        + """,
+acc AS (
+  SELECT la, lb, CAST(count(*) AS BIGINT) AS n_samples,
+         avg(CASE WHEN (p >= CAST(0.5 AS DOUBLE)) = (y = CAST(1.0 AS DOUBLE))
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS a
+  FROM sc GROUP BY la, lb
+)
+SELECT cast(acc.la AS VARCHAR) || '_' || cast(acc.lb AS VARCHAR) AS pair_key,
+       acc.la AS label_a, acc.lb AS label_b, acc.n_samples,
+       acc.a AS train_acc,
+       round(sqrt(list_sum(list_transform(m.w, v -> v * v))), 4) AS coef_norm,
+       round(m.b, 4) + 0.0 AS intercept
+FROM acc JOIN m ON acc.la = m.la AND acc.lb = m.lb
+"""
+    )
+
+
+def _ensemble_vote_gd2_sql() -> str:
+    sig = (
+        "1.0/(1.0 + exp(-greatest(least({z}, CAST(30 AS DOUBLE)), "
+        "CAST(-30 AS DOUBLE))))"
+    )
+    z = (
+        "list_sum(list_transform(list_zip(e.x, m.w), q -> q[1] * q[2])) + m.b"
+    )
+    return (
+        _gd2_core_sql()
+        + f""",
+votes AS (
+  SELECT e.vec_id, e.label,
+         CASE WHEN {sig.format(z=z)} >= CAST(0.5 AS DOUBLE)
+              THEN m.lb ELSE m.la END AS voted
+  FROM e CROSS JOIN m
+),
+tally AS (
+  SELECT vec_id, label, voted, count(*) AS c
+  FROM votes GROUP BY vec_id, label, voted
+),
+pred AS (
+  SELECT vec_id, label, voted AS pred FROM tally
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY c DESC, voted ASC) = 1
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_samples,
+       avg(CASE WHEN pred = label THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END) AS vote_accuracy
+FROM pred GROUP BY label
+"""
+    )
+
+
+ONE_VS_ONE_GD2_SQL = _one_vs_one_gd2_sql
+ENSEMBLE_VOTE_GD2_SQL = _ensemble_vote_gd2_sql

@@ -1496,6 +1496,41 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pca_variance_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable projection of the PCA spectrum (VERDICT r6
+    item 2): sum of eigenvalues == trace of the covariance == sum of
+    per-dimension variances — the right-hand side is plain SQL, so a
+    hash-match certifies the distributed moments pipeline
+    (`_pca_moments`: treeReduce of per-partition (n, Σx, Σxxᵀ)) end to
+    end. The eigendecomposition itself (driver-side LAPACK over the
+    64×64 covariance) stays rows-only in `pca_explained_variance`;
+    this identity pins everything distributed about it."""
+    import numpy as np
+
+    cov = _pca_moments(spark, sf_dir)
+    evals = np.linalg.eigvalsh(cov)  # unclipped: Σλ == trace exactly
+    return spark.createDataFrame(
+        [(int(_PCA_DIMS), round(float(evals.sum()), 4) + 0.0)],
+        "n_components int, eigenvalue_sum double",
+    )
+
+
+PCA_VARIANCE_IDENTITY_SQL = f"""
+WITH e AS (
+  SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+d AS (SELECT unnest(generate_series(1, {_PCA_DIMS})) AS j),
+v AS (
+  SELECT j, avg(x[j] * x[j]) - avg(x[j]) * avg(x[j]) AS var_j
+  FROM e CROSS JOIN d GROUP BY j
+)
+SELECT CAST({_PCA_DIMS} AS INTEGER) AS n_components,
+       round(sum(var_j), 4) + 0.0 AS eigenvalue_sum
+FROM v
+"""
+
+
 # ---------------------------------------------------------------------------
 # jl_distance_distortion — Johnson-Lindenstrauss random projection with
 # a DETERMINISTIC ±1 sign matrix (Achlioptas-style database-friendly

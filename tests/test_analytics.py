@@ -693,3 +693,24 @@ def test_event_subsequences_vs_bruteforce(spark, sf_dir):
                 for b in present:
                     expect[(a, b, c)] += 1
     assert got == dict(expect)
+
+
+def test_pca_variance_identity_matches_spectrum_sum(spark, sf_dir):
+    """Σλ (the oracle-certified projection) equals both trace(cov) and
+    the rounded eigenvalue column sum of the full spectrum query."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        _pca_moments,
+        pca_explained_variance,
+        pca_variance_identity,
+    )
+
+    row = pca_variance_identity(spark, sf_dir).collect()[0]
+    assert row["n_components"] == 64
+    cov = _pca_moments(spark, sf_dir)
+    assert abs(row["eigenvalue_sum"] - float(np.trace(cov))) < 1e-3
+    spectrum = sum(
+        r["eigenvalue"] for r in pca_explained_variance(spark, sf_dir).collect()
+    )
+    assert abs(row["eigenvalue_sum"] - spectrum) < 1e-2

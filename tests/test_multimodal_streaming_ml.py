@@ -887,3 +887,70 @@ def test_ppm_cnn_oracle_sql_is_lazy_and_resolves():
     assert callable(binary.PPM_CNN_EMBEDDINGS_SQL)
     sql = registry.ORACLE_SQL()["ppm_cnn_embeddings"]
     assert isinstance(sql, str) and "feat_sum" in sql
+
+
+def test_gd2_probe_shim_matches_dataframe_and_closed_form(spark, sf_dir):
+    """The PROBE_ITERS registry probes: shim path ≡ applyInPandas path,
+    and step-1 weights match the closed form -lr·avg((0.5-y)·x) that
+    the unrolled DuckDB oracle replays (sigmoid(0)=0.5 for every
+    sample at zero init)."""
+    import numpy as np
+
+    from map_reduce_engine_cdps_spark.operators.mlpipeline import (
+        GD_LR,
+        PROBE_ITERS,
+        one_vs_one_metrics,
+        one_vs_one_shim_probe,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    via_df = {r["pair_key"]: r for r in one_vs_one_metrics(spark, sf_dir).collect()}
+    via_shim = {
+        r["pair_key"]: r for r in one_vs_one_shim_probe(spark, sf_dir).collect()
+    }
+    assert set(via_df) == set(via_shim)
+    for k, d in via_df.items():
+        s = via_shim[k]
+        assert (s["n_samples"], s["train_acc"], s["coef_norm"], s["intercept"]) == (
+            d["n_samples"], d["train_acc"], d["coef_norm"], d["intercept"]
+        ), k
+    # closed-form step-1 replay for one pair (labels 0, 1)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64), r["label"])
+        for r in emb.filter(emb.label.isin(0, 1)).collect()
+    )
+    x = np.vstack([v for _, v, _ in rows])
+    y = np.array([1.0 if lab == 1 else 0.0 for _, _, lab in rows])
+    w, b = np.zeros(x.shape[1]), 0.0
+    for _ in range(PROBE_ITERS):
+        p = 1.0 / (1.0 + np.exp(-np.clip(x @ w + b, -30, 30)))
+        w -= GD_LR * (x.T @ (p - y) / len(y))
+        b -= GD_LR * float(np.mean(p - y))
+    got = via_df["0_1"]
+    assert got["n_samples"] == len(y)
+    assert abs(got["coef_norm"] - np.linalg.norm(w)) < 1e-3
+    assert abs(got["intercept"] - b) < 1e-3
+
+
+def test_ensemble_vote_probe_beats_baseline_and_is_deterministic(spark, sf_dir):
+    from map_reduce_engine_cdps_spark.operators.mlpipeline import (
+        ensemble_vote_probe,
+    )
+
+    rows = ensemble_vote_probe(spark, sf_dir).collect()
+    n_labels = len(rows)
+    assert n_labels >= 2
+    overall = sum(r["vote_accuracy"] * r["n_samples"] for r in rows) / sum(
+        r["n_samples"] for r in rows
+    )
+    # two GD steps give weak models (the probe certifies the vote
+    # MACHINERY via its DuckDB replay, not model quality — the
+    # 200-iter test above keeps the decisive 2/n bar); still must
+    # edge out the random baseline
+    assert overall > 1.0 / n_labels, overall
+    again = {
+        r["label"]: r["vote_accuracy"]
+        for r in ensemble_vote_probe(spark, sf_dir).collect()
+    }
+    assert all(again[r["label"]] == r["vote_accuracy"] for r in rows)
