@@ -49,6 +49,17 @@ QUERIES = [
     "lsh_pair_recall_eval",
     "lsh_band_tuning_eval",
     "shingle_size_sensitivity",
+    # round-7-certified families with >=2.5x sf0.1->sf1 sweep ratios
+    # (SWEEP_r07.json; VERDICT r6 item 6) — linkage memo consumers
+    # time their own work, the memo build is its own line below
+    "blocking_overlap_eval",
+    "incremental_near_dup",
+    "sorted_neighborhood_pairs",
+    "customer_golden_records",
+    "adamic_adar_links",
+    "label_propagation_communities",
+    "ktruss_edges",
+    "dbscan_clusters",
 ]
 
 SFS = {
@@ -85,6 +96,18 @@ def main() -> None:
         print(f"truth memo warm {sf}: {tmemo[sf]}s", flush=True)
     out["recall_truth_memo_build"] = {
         **tmemo, "ratio": round(tmemo["sf10"] / tmemo["sf1"], 2)
+    }
+
+    from map_reduce_engine_cdps_spark.plans.dedup import _linkage_pairs_cached
+
+    lmemo: dict[str, float] = {}
+    for sf, sf_dir in SFS.items():
+        t0 = time.perf_counter()
+        _linkage_pairs_cached(spark, sf_dir)
+        lmemo[sf] = round(time.perf_counter() - t0, 3)
+        print(f"linkage memo warm {sf}: {lmemo[sf]}s", flush=True)
+    out["linkage_pairs_memo_build"] = {
+        **lmemo, "ratio": round(lmemo["sf10"] / lmemo["sf1"], 2)
     }
 
     samples: dict[tuple[str, str], list[float]] = {
