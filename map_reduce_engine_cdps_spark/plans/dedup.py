@@ -522,51 +522,60 @@ _SIMHASH_BANKS = 4          # k+1 banks of 16/4 = 4 bits each
 
 
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r7 rework of the candidate stage, bit-identical output: (1) each
+    # distinct fingerprint converts to its integer value ONCE, so bank
+    # keys are `(sival >> shift) & 0xF` ints (not 4-char substrings)
+    # and the per-pair Hamming distance is one codegen
+    # bit_count(a XOR b) instead of 16 substring comparisons across
+    # the ~33 M-row worst-case candidate front; (2) the ≤k filter runs
+    # BEFORE the multi-bank distinct(), so the dedup exchange only
+    # ever shuffles true near-pairs, never the full bucket join.
+    # ('0'/'1'-string lexicographic order == integer order at fixed
+    # width, so `sival <` reproduces the `simhash <` pair orientation.)
     sim = _simhash_per_doc(spark, sf_dir)
-    hashes = sim.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_docs"))
+    hashes = (
+        sim.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("sival", F.conv("simhash", 2, 10).cast("long"))
+    )
     w = 16 // _SIMHASH_BANKS
     banked = hashes.select(
         "simhash",
         "n_docs",
+        "sival",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("bank"),
-                        F.substring("simhash", b * w + 1, w).alias("bits"),
+                        (
+                            F.shiftright("sival", 16 - w * (b + 1))
+                            .bitwiseAND(F.lit((1 << w) - 1))
+                        ).alias("bits"),
                     )
                     for b in range(_SIMHASH_BANKS)
                 ]
             )
         ).alias("bk"),
-    ).select("simhash", "n_docs", "bk.bank", "bk.bits")
+    ).select("simhash", "n_docs", "sival", "bk.bank", "bk.bits")
     a, b = banked.alias("a"), banked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bank") == F.col("b.bank"))
-            & (F.col("a.bits") == F.col("b.bits"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
-        )
-        .select(
-            F.col("a.simhash").alias("simhash_a"),
-            F.col("b.simhash").alias("simhash_b"),
-            F.col("a.n_docs").alias("na"),
-            F.col("b.n_docs").alias("nb"),
-        )
-        # a pair agreeing on >1 bank appears once per agreeing bank
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.bank") == F.col("b.bank"))
+        & (F.col("a.bits") == F.col("b.bits"))
+        & (F.col("a.sival") < F.col("b.sival")),
+    ).select(
+        F.col("a.simhash").alias("simhash_a"),
+        F.col("b.simhash").alias("simhash_b"),
+        F.bit_count(
+            F.col("a.sival").bitwiseXOR(F.col("b.sival"))
+        ).cast("long").alias("hamming"),
+        F.col("a.n_docs").alias("na"),
+        F.col("b.n_docs").alias("nb"),
     )
-    hamming = None
-    for i in range(16):
-        term = F.when(
-            F.substring("simhash_a", i + 1, 1) != F.substring("simhash_b", i + 1, 1),
-            1,
-        ).otherwise(0)
-        hamming = term if hamming is None else hamming + term
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        cand.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
         .select(
             "simhash_a",
             "simhash_b",
@@ -1174,8 +1183,10 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    wedges = e1.join(e2, "b")
-    tris = wedges.join(e3, ["a", "c"])
+    # memo-derived sides — shuffle_hash prevents the sf10 misestimate
+    # broadcast (SCALE.md rule 7, same as the graph.py wedge joins)
+    wedges = e1.join(e2.hint("shuffle_hash"), "b")
+    tris = wedges.join(e3.hint("shuffle_hash"), ["a", "c"])
     n_edges = edges.count()
     return tris.agg(
         F.count(F.lit(1)).alias("n_triangles"),

@@ -345,11 +345,16 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ea = e.select(F.col("src").alias("v"), F.col("dst").alias("a"))
     eb = e.select(F.col("src").alias("v2"), F.col("dst").alias("b"))
-    wed = ea.join(eb, (ea.v == eb.v2) & (F.col("a") < F.col("b"))).select(
-        "v", "a", "b"
-    )
+    # shuffle_hash on every memo-derived side: Catalyst misestimates
+    # checkpointed/persisted pair fronts and tries to BROADCAST the
+    # multi-M-row build side at sf10 (driver OOM — the r6
+    # pair_recall lesson, SCALE.md rule 7). The wedge/degree/edge
+    # tables all scale with the corpus, so none is broadcastable.
+    wed = ea.join(
+        eb.hint("shuffle_hash"), (ea.v == eb.v2) & (F.col("a") < F.col("b"))
+    ).select("v", "a", "b")
     scored = (
-        wed.join(deg.withColumnRenamed("src", "v"), "v")
+        wed.join(deg.withColumnRenamed("src", "v").hint("shuffle_hash"), "v")
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
@@ -358,7 +363,7 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.join(
-            pairs.withColumn("is_edge", F.lit(True)),
+            pairs.withColumn("is_edge", F.lit(True)).hint("shuffle_hash"),
             (scored.a == pairs.doc_a) & (scored.b == pairs.doc_b),
             "left",
         ).select(
@@ -425,7 +430,11 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    # memo-derived sides — shuffle_hash prevents the sf10 misestimate
+    # broadcast (SCALE.md rule 7, same as adamic_adar/ktruss)
+    tris = e1.join(e2.hint("shuffle_hash"), "b").join(
+        e3.hint("shuffle_hash"), ["a", "c"]
+    )
     tcnt = (
         tris.select(
             F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
@@ -520,7 +529,12 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         e.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
     for _ in range(_LPA_ROUNDS):
-        nbr = e.join(labels, e.dst == labels.v).select("src", "lbl")
+        # labels is O(V) and checkpointed — Catalyst's misestimate
+        # broadcast-OOMs at sf10 (SCALE.md rule 7); labels as the
+        # shuffle_hash build side keeps edges streaming
+        nbr = e.join(labels.hint("shuffle_hash"), e.dst == labels.v).select(
+            "src", "lbl"
+        )
         cnt = nbr.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
         labels = cnt.groupBy("src").agg(
             F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
@@ -590,51 +604,78 @@ KTRUSS_K = 3
 _KTRUSS_ROUNDS = 4
 
 
+def _edge_support(edges: DataFrame) -> DataFrame:
+    """(a, b, support) for every edge in ≥1 triangle.
+
+    support(a,b) = |N(a) ∩ N(b)| is computed by ORIENTED triangle
+    enumeration instead of the undirected wedge self-join: edges are
+    already stored (min, max), so every triangle a<b<c is found
+    exactly once via (a,b)⋈(b,c) closed by (a,c), and each triangle
+    credits its three edges through a 3-way explode. The undirected
+    formulation's wedge front is Σ deg(w)² across BOTH directions —
+    4× the rows and the sf10 heap OOM — while the ordered join
+    enumerates each candidate 2-path once and the closure join drops
+    non-triangles before any aggregation. shuffle_hash on every
+    memo-derived side (SCALE.md rule 7)."""
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select("a", F.col("b").alias("c"))
+    tri = e1.join(e2.hint("shuffle_hash"), "b").join(
+        e3.hint("shuffle_hash"), ["a", "c"]
+    )
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("b").alias("x"), F.col("c").alias("y")),
+                F.struct(F.col("a").alias("x"), F.col("c").alias("y")),
+            )
+        ).alias("s")
+    )
+    return sides.select(
+        F.col("s.x").alias("a"), F.col("s.y").alias("b")
+    ).groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+
+
 def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
 
+    # DISK_ONLY persist/rotate instead of per-round localCheckpoint:
+    # checkpoint blocks pile up in MEMORY_AND_DISK across rounds with
+    # no deterministic release (GC'd by the ContextCleaner — which is
+    # exactly what OOM'd at sf10); persist+count+unpersist frees each
+    # round's edge set the moment its successor is materialized, and
+    # 4 rounds of lineage is shallow enough that plan re-walks stay
+    # trivial (the CC persist/rotate pattern, plans/dedup.py).
     edges = (
         _lsh_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
+    n_old = edges.count()
     need = KTRUSS_K - 2
     for _ in range(_KTRUSS_ROUNDS):
-        und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-            edges.select(F.col("b"), F.col("a"))
-        )
-        # support(a,b) = |N(a) ∩ N(b)|: wedge through w — (a,w),(w,b)
-        # both present, then check (a,b) is the edge being scored
-        w1 = und.select(F.col("u").alias("a"), F.col("v").alias("w"))
-        w2 = und.select(F.col("u").alias("w"), F.col("v").alias("b"))
-        wed = w1.join(w2, "w").filter(F.col("a") < F.col("b"))
-        sup = wed.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        sup = _edge_support(edges)
         kept = (
-            edges.join(sup, ["a", "b"], "left")
+            edges.join(sup.hint("shuffle_hash"), ["a", "b"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= need)
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .persist(StorageLevel.DISK_ONLY)
         )
         n_new = kept.count()
-        n_old = edges.count()
+        edges.unpersist()
+        prev_n, n_old = n_old, n_new
         edges = kept
-        if n_new == n_old:
+        if n_new == prev_n:
             break
-    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-        edges.select(F.col("b"), F.col("a"))
-    )
-    w1 = und.select(F.col("u").alias("a"), F.col("v").alias("w"))
-    w2 = und.select(F.col("u").alias("w"), F.col("v").alias("b"))
-    sup = (
-        w1.join(w2, "w")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    return edges.join(sup, ["a", "b"]).select(
+    return edges.join(
+        _edge_support(edges).hint("shuffle_hash"), ["a", "b"]
+    ).select(
         F.col("a").alias("doc_a"),
         F.col("b").alias("doc_b"),
-        F.col("common").alias("support"),
+        F.col("support").cast("long").alias("support"),
     )
 
 

@@ -1863,7 +1863,13 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lex = bm25_scores(spark, sf_dir)
     wl = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+    # lex_r has two consumers (the seed-doc collect and the fusion
+    # join) — without the eager localCheckpoint Catalyst re-derives the
+    # whole BM25 plan per consumer (multi-consumer rule, SCALE.md r6
+    # rule 8). The frame is O(matching docs) of (id, int rank).
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).alias("r_lex")
+    ).localCheckpoint(eager=True)
     seed_id = lex_r.filter(F.col("r_lex") == 1).collect()[0]["doc_id"]
     docs = load_parallel(spark, sf_dir, "documents")
     emb = docs.select(
@@ -1989,12 +1995,24 @@ def _wand_contrib_scores(
     toks = docs.select(
         "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # One tokenize+groupBy pass feeds EVERYTHING downstream: df, cf and
+    # the query terms all derive from tf (cf == Σ tf per word — no
+    # second corpus tokenize), and tf is eager-localCheckpointed
+    # because it has three consumers (query, dfreq, contrib) that
+    # Catalyst would otherwise each re-derive from the raw text
+    # (multi-consumer rule, SCALE.md r6 rule 8). The materialized frame
+    # is the (doc, term, tf) posting list — the object an inverted
+    # index build materializes anyway.
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_docs = docs.count()
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     query = (
-        toks.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cf"))
+        tf.groupBy("word")
+        .agg(F.sum("tf").alias("cf"))
         .orderBy(F.desc("cf"), F.asc("word"))
         .limit(3)
         .select("word")
@@ -2010,6 +2028,9 @@ def _wand_contrib_scores(
                 * F.log(F.lit(float(n_docs)) / F.col("df"))
             ).alias("c"),
         )
+        # bounded: candidate docs × 3 query terms; consumed by ub,
+        # doc_ub AND scores below — checkpoint once
+        .localCheckpoint(eager=True)
     )
     scores = contrib.groupBy("doc_id").agg(F.sum("c").alias("score"))
     return contrib, scores
@@ -2020,23 +2041,26 @@ def wand_pruned_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     contrib, scores = _wand_contrib_scores(spark, sf_dir)
     wk = W.orderBy(F.desc("score"), F.asc("doc_id"))
-    kth = (
+    # one driver round-trip for both the k-th score and the top-k mass
+    # (was two separate collects each re-ranking the scores frame);
+    # score4 is rounded JVM-side so the mass matches the oracle's
+    # engine-side rounding, and the Python sum's order sensitivity is
+    # absorbed by the final F.round at 4 decimals
+    topk_rows = (
         scores.select("score", F.row_number().over(wk).alias("rn"))
-        .filter(F.col("rn") == _WAND_K)
+        .filter(F.col("rn") <= _WAND_K)
+        .select("rn", "score", F.round(F.col("score"), 4).alias("score4"))
         .collect()
     )
-    s_k = float(kth[0]["score"]) if kth else 0.0
+    s_k = next(
+        (float(r["score"]) for r in topk_rows if r["rn"] == _WAND_K), 0.0
+    )
+    topk_mass = float(sum(r["score4"] for r in topk_rows))
     ub = contrib.groupBy("word").agg(F.max("c").alias("ub"))
     doc_ub = (
         contrib.join(F.broadcast(ub), "word")
         .groupBy("doc_id")
         .agg(F.sum("ub").alias("doc_ub"))
-    )
-    topk_mass = (
-        scores.select("score", F.row_number().over(wk).alias("rn"))
-        .filter(F.col("rn") <= _WAND_K)
-        .agg(F.sum(F.round(F.col("score"), 4)))
-        .collect()[0][0]
     )
     return doc_ub.agg(
         F.count(F.lit(1)).alias("n_candidates"),
