@@ -518,6 +518,25 @@ CLUSTERING_COEFFICIENTS_SQL = _clustering_coefficients_sql
 _LPA_ROUNDS = 3
 
 
+def _lpa_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round (pre-checkpoint): adopt the most
+    frequent neighbor label, ties to minimum label. labels is O(V)
+    and checkpointed — Catalyst's misestimate broadcast-OOMs at sf10
+    (SCALE.md rule 7); labels as the shuffle_hash build side keeps
+    edges streaming. Split out so the plan gate can pin the hint
+    (tests/test_plan_quality.py — the loop checkpoints eagerly, so
+    the round's joins never surface in the final query plan)."""
+    nbr = e.join(labels.hint("shuffle_hash"), e.dst == labels.v).select(
+        "src", "lbl"
+    )
+    cnt = nbr.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        cnt.groupBy("src")
+        .agg(F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl"))
+        .select(F.col("src").alias("v"), "lbl")
+    )
+
+
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
 
@@ -529,16 +548,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         e.select(F.col("src").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
     for _ in range(_LPA_ROUNDS):
-        # labels is O(V) and checkpointed — Catalyst's misestimate
-        # broadcast-OOMs at sf10 (SCALE.md rule 7); labels as the
-        # shuffle_hash build side keeps edges streaming
-        nbr = e.join(labels.hint("shuffle_hash"), e.dst == labels.v).select(
-            "src", "lbl"
-        )
-        cnt = nbr.groupBy("src", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
-        labels = cnt.groupBy("src").agg(
-            F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl")
-        ).select(F.col("src").alias("v"), "lbl").localCheckpoint(eager=True)
+        labels = _lpa_round(e, labels).localCheckpoint(eager=True)
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("v").alias("min_member"),

@@ -460,3 +460,46 @@ def test_eval_sample_tiers_certified_rates_and_sql_parity():
             con.execute(f"CREATE TABLE documents AS SELECT * FROM range({n})")
             got = con.execute(f"SELECT {_tier_pct_sql(tiers)}").fetchone()[0]
             assert got == _tier_pct(n, tiers), (tiers, n)
+
+
+@pytest.mark.parametrize(
+    "name,n_shj",
+    [
+        ("adamic_adar_links", 3),
+        ("ktruss_edges", 3),
+        ("clustering_coefficients", 2),
+        ("dup_graph_triangles", 2),
+    ],
+)
+def test_graph_family_memo_joins_are_shuffle_hash(spark, name, n_shj):
+    """r7 sf10 regression gate: every memo-derived join side in the
+    graph family carries an explicit shuffle_hash hint — Catalyst
+    misestimates the checkpointed/persisted LSH pair front and
+    broadcast-OOMs at sf10 without them (SCALE.md rule 7; the probe
+    caught adamic/LPA/ktruss as ERRORs). Hints force ShuffledHashJoin
+    regardless of size estimates, so counting SHJ operators in the
+    executed plan fails the moment a hint is dropped."""
+    plan = _plan(spark, name)
+    got = len(re.findall(r"ShuffledHashJoin", plan))
+    assert got >= n_shj, f"{name}: expected >= {n_shj} ShuffledHashJoin, saw {got}"
+
+
+def test_lpa_round_join_is_shuffle_hash(spark):
+    """The LPA loop checkpoints each round eagerly, so its hinted join
+    never appears in the final plan — gate the round helper directly
+    (same sf10 broadcast-OOM regression as the test above)."""
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+    from map_reduce_engine_cdps_spark.plans.graph import _lpa_round
+    from pyspark.sql import functions as F
+
+    pairs = _lsh_pairs_cached(spark, SF_DIR).select("doc_a", "doc_b")
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    )
+    labels = e.select(F.col("src").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    df = _lpa_round(e, labels)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"ShuffledHashJoin", plan), plan[:2000]
