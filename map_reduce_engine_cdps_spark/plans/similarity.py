@@ -1681,11 +1681,28 @@ JL_DISTANCE_DISTORTION_SQL = _jl_sql
 DBSCAN_MIN_PTS = 3
 
 
+# embedding_near_dup's verified cosine pair front is consumed by its
+# own registry entry AND dbscan_clusters — memoized per (app, sf_dir)
+# like the text-side _lsh_pairs_cached / _linkage_pairs_cached (rule 3,
+# SCALE.md) so a batch session (driver gate, sweep) pays the LSH-bucket
+# + Arrow-dot verification pass once (~5.5 s at sf1).
+_EMB_PAIRS_CACHE: dict = {}
+
+
+def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EMB_PAIRS_CACHE.get(key)
+    if df is None:
+        df = embedding_near_dup(spark, sf_dir).localCheckpoint(eager=True)
+        _EMB_PAIRS_CACHE[key] = df
+    return df
+
+
 def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_cdps_spark.plans.dedup import connected_components
 
     pairs = (
-        embedding_near_dup(spark, sf_dir)
+        _embedding_pairs_cached(spark, sf_dir)
         .select("vec_a", "vec_b")
         .persist()
     )
