@@ -503,3 +503,15 @@ def test_lpa_round_join_is_shuffle_hash(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"ShuffledHashJoin", plan), plan[:2000]
+
+
+def test_certification_window_names_all_have_oracles():
+    """The driver gate = the first 50 registry names; a rows-only
+    (no-oracle) name in that window burns a certification slot as a
+    permanent err:no_oracle row (the r2/r3 one_vs_one_shim lesson,
+    VERDICT r6 'What's wrong' #1). Pure structural check — no Spark."""
+    from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
+
+    window = list(_REGISTRY)[:50]
+    missing = [n for n in window if _REGISTRY[n][1] is None]
+    assert not missing, f"no-oracle names in the gate window: {missing}"
