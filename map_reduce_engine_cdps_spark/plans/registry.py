@@ -470,9 +470,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         mlpipeline.one_vs_one_shim_pairs,
         mlpipeline.ONE_VS_ONE_SHIM_PAIRS_SQL,
     ),
-    # --- embedding near-dup (LSH-bucketed cosine pairs) ---
+    # --- embedding near-dup (LSH-bucketed cosine pairs); bound to the
+    # memoized variant so dbscan_clusters reuses the pair front in a
+    # batch session (ADVICE r7) ---
     "embedding_near_dup": (
-        similarity.embedding_near_dup,
+        similarity.embedding_near_dup_cached,
         similarity.EMBEDDING_NEAR_DUP_SQL,
     ),
     # --- Arrow-batched pandas-UDF batch inference (T48 stand-in);
@@ -1142,12 +1144,66 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # --- round-7 certification window (driver gate = first 50) ---
-    # 2 canaries (pricing_summary: relational agg, r6-green;
-    # doc_embeddings: Arrow pandas-UDF path, r5-green) + 48 first-time
-    # never-driver-certified oracle-backed queries (VERDICT r6 item 1:
-    # drain the backlog; all 48 were judge-replica green in r6 or are
-    # the r7 oracle upgrades of the former rows-only family).
+    # --- round-8 certification window (driver gate = first 50) ---
+    # 2 canaries (shipping_priority: TPC-H broadcast-join battery,
+    # r5-green; media_features: Arrow mapInPandas multimodal path,
+    # r5-green) + the ENTIRE remaining never-driver-certified
+    # oracle-backed backlog (48 names) — this window completes the
+    # certification drain (VERDICT r6 item 1 / r7 plan): after it,
+    # every oracle-backed registry query has a driver-green row and
+    # only pca_explained_variance (rows-only, identity-twinned by
+    # pca_variance_identity) remains uncertified.
+    "shipping_priority",
+    "media_features",
+    "reservoir_sample_per_source",
+    "customer_upsert",
+    "order_status_runs",
+    "rolling_zscore_anomalies",
+    "listagg_status_profile",
+    "try_arith_audit",
+    "holt_winters_revenue",
+    "segment_nation_mi",
+    "theil_sen_trend",
+    "ab_proportion_ztest",
+    "psi_value_shift",
+    "neyman_allocation",
+    "key_skew_profile",
+    "length_emd_by_source",
+    "ppm_shot_boundaries",
+    "quantile_normalized_quality",
+    "conformal_revenue_interval",
+    "bloom_fpr_eval",
+    "wav_silence_segments",
+    "zorder_layout_stats",
+    "copurchase_part_pairs",
+    "decayed_user_value",
+    "markov_next_event_accuracy",
+    "twap_user_value",
+    "sax_revenue_symbols",
+    "cusum_control_chart",
+    "aqp_sample_accuracy",
+    "revenue_topshare_curve",
+    "pareto_orders",
+    "mad_value_outliers",
+    "interpolated_event_values",
+    "cms_user_event_counts",
+    "event_transition_matrix",
+    "priority_price_position",
+    "monthly_revenue_yoy",
+    "event_interarrival_stats",
+    "frequent_type_pairs",
+    "top_session_paths",
+    "rolling_median_value",
+    "event_type_trigrams",
+    "order_gap_stats",
+    "pii_redaction_stats",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "nb_lang_confusion",
+    "customer_scd2_history",
+    "length_bucket_batches",
+    "kanon_release_stats",
+    # --- certified in earlier rounds (r2-r7 driver-green) ---
     "pricing_summary",
     "doc_embeddings",
     "bootstrap_revenue_ci",
@@ -1198,7 +1254,6 @@ _PRIORITY_ORDER = [
     "wand_pruned_retrieval",
     "query_expansion_pmi",
     "term_burstiness",
-    # --- certified in earlier rounds / staged for the round-8 window ---
     "minhash_lsh_pairs",
     "text_quality",
     "pyds_synthetic_stats",
@@ -1248,7 +1303,6 @@ _PRIORITY_ORDER = [
     "kmeans_lloyd",
     "bpe_merges",
     "bpe_token_compression",
-    "reservoir_sample_per_source",
     "danger_topk",
     "lsh_ann_topk",
     "streaming_user_sessions",
@@ -1256,7 +1310,6 @@ _PRIORITY_ORDER = [
     "streaming_segment_counts",
     "streaming_click_purchase_join",
     "streaming_trending_topk",
-    "shipping_priority",
     "priority_order_counts",
     "small_qty_revenue",
     "top_return_customers",
@@ -1291,13 +1344,10 @@ _PRIORITY_ORDER = [
     "tree_covariance",
     "arrow_norm_stats",
     "arrow_label_centroids",
-    "media_features",
     "image_dhash_dedup",
     "audio_window_features",
     "ppm_gradient_features",
     "click_purchase_within_1h",
-    "customer_upsert",
-    "order_status_runs",
     "salted_type_stats",
     "salted_above_type_mean",
     "json_props_extract",
@@ -1390,31 +1440,6 @@ _PRIORITY_ORDER = [
     "embedding_covariance",
     "embedding_dim_stats",
     "pca_explained_variance",
-    "rolling_zscore_anomalies",
-    "listagg_status_profile",
-    "try_arith_audit",
-    "holt_winters_revenue",
-    "segment_nation_mi",
-    "theil_sen_trend",
-    "ab_proportion_ztest",
-    "psi_value_shift",
-    "neyman_allocation",
-    "key_skew_profile",
-    "length_emd_by_source",
-    "ppm_shot_boundaries",
-    "quantile_normalized_quality",
-    "conformal_revenue_interval",
-    "bloom_fpr_eval",
-    "wav_silence_segments",
-    "zorder_layout_stats",
-    "copurchase_part_pairs",
-    "decayed_user_value",
-    "markov_next_event_accuracy",
-    "twap_user_value",
-    "sax_revenue_symbols",
-    "cusum_control_chart",
-    "aqp_sample_accuracy",
-    "revenue_topshare_curve",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (
