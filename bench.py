@@ -143,19 +143,32 @@ def main() -> None:
     # The driver's BENCH_r{N}.json keeps only the last 2000 stdout
     # chars (the visible first dict is queries_iqr, not the medians —
     # VERDICT r6 item 7), so also persist the complete JSON alongside
-    # the round artifacts. Round number = next after the newest
-    # committed BENCH_r*.json; failures here must never sink the bench.
+    # the round artifacts. Round number = explicit $SPARK_GRAFT_ROUND
+    # if set, else next after the newest GIT-TRACKED BENCH_r*.json —
+    # the driver drops its BENCH_r{N}.json into the working tree
+    # before committing, so globbing the tree mislabels a re-run
+    # within the same round (ADVICE r7). Failures here must never
+    # sink the bench.
     try:
-        import glob as _glob
         import re as _re
+        import subprocess as _sp
 
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
-        ]
-        tag = f"r{max(rounds, default=0) + 1:02d}"
+        if os.environ.get("SPARK_GRAFT_ROUND"):
+            tag = f"r{int(os.environ['SPARK_GRAFT_ROUND']):02d}"
+        else:
+            tracked = _sp.run(
+                ["git", "-C", here, "ls-files", "BENCH_r*.json"],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.split()
+            rounds = [
+                int(m.group(1))
+                for f in tracked
+                if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
+            ]
+            tag = f"r{max(rounds, default=0) + 1:02d}"
         with open(os.path.join(here, f"BENCH_full_{tag}.json"), "w") as fh:
             json.dump(out, fh, indent=1)
     except Exception as e:  # pragma: no cover

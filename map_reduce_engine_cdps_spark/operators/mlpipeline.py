@@ -81,6 +81,15 @@ def _make_train_pair(n_iters: int):
         # correct/n, bit-identical in numpy and DuckDB (integer sum +
         # one IEEE division) — rounding it would reintroduce the
         # banker's-vs-half-away tie at values like 51/96 = 0.53125.
+        # ULP-boundary assumption (ADVICE r7): "correct" itself relies
+        # on every p >= 0.5 decision agreeing between numpy's BLAS dot
+        # and DuckDB's sequential list_sum — a logit within a few ulps
+        # of 0 could flip one decision and fail the hash at some SF
+        # even though the math is the same. tests/test_oracle_harness
+        # ::test_gd2_logits_clear_decision_threshold measures the
+        # minimum |logit| at the gate SFs (certified margin >> 1e-9),
+        # so a future mismatch here means the DATA moved onto the
+        # knife edge, not that the trainer or oracle regressed.
         # + 0.0 normalizes IEEE -0.0 → 0.0 (Python round(-1e-9, 4) is
         # -0.0; the driver's value-hash stringifies the sign).
         return pd.DataFrame(
@@ -417,12 +426,31 @@ def one_vs_one_shim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `one_vs_one_shim` (compat multicast path) — same semantics, same SQL.
 # ---------------------------------------------------------------------------
 
+# The unrolled oracle replays EXACTLY two GD steps from zero init
+# (step 1 is closed-form only because sigmoid(0) = 0.5); it is not
+# parameterized over the step count, so pin the probe depth here —
+# changing PROBE_ITERS must fail loudly at import time, not surface
+# later as an unexplained driver hash mismatch.
+assert PROBE_ITERS == 2, "unrolled GD2 oracle replays exactly 2 steps"
+
+# Documentation only: the testdata embeddings are 64-wide. The SQL
+# below does NOT pin this — the dimension series is derived from the
+# data itself (max(len(embedding))), matching the numpy trainer's
+# x.shape[1], so a wider/narrower embeddings table cannot desync the
+# trainer from its oracle.
 _GD2_DIMS = 64
+_GD2_DIMS_SQL = "(SELECT CAST(max(len(embedding)) AS INTEGER) FROM embeddings)"
 
 
 def _gd2_core_sql() -> str:
     """Shared CTE prefix: pairs, per-(pair, sample) rows, two unrolled
-    GD steps producing per-pair weight list `w` and intercept `b`."""
+    GD steps producing per-pair weight list `w` and intercept `b`.
+
+    The learning rate is interpolated from the SAME ``GD_LR`` constant
+    the numpy trainers use (ADVICE r7: nothing used to tie the
+    hardcoded SQL 0.5s to GD_LR, so retuning the trainer would
+    silently desync the oracle)."""
+    lr = f"CAST({GD_LR} AS DOUBLE)"
     sig = (
         "1.0/(1.0 + exp(-greatest(least({z}, CAST(30 AS DOUBLE)), "
         "CAST(-30 AS DOUBLE))))"
@@ -446,16 +474,16 @@ r AS (
               ELSE CAST(0.0 AS DOUBLE) END AS y
   FROM pairs p JOIN e ON e.label = p.la OR e.label = p.lb
 ),
-d AS (SELECT unnest(generate_series(1, {_GD2_DIMS})) AS j),
+d AS (SELECT unnest(generate_series(1, {_GD2_DIMS_SQL})) AS j),
 g1 AS (
   SELECT la, lb, j,
-         -(CAST(0.5 AS DOUBLE) * avg((CAST(0.5 AS DOUBLE) - y) * x[j])) AS w1
+         -({lr} * avg((CAST(0.5 AS DOUBLE) - y) * x[j])) AS w1
   FROM r CROSS JOIN d GROUP BY la, lb, j
 ),
 w1 AS (SELECT la, lb, list(w1 ORDER BY j) AS w FROM g1 GROUP BY la, lb),
 b1 AS (
   SELECT la, lb,
-         -(CAST(0.5 AS DOUBLE) * avg(CAST(0.5 AS DOUBLE) - y)) AS b
+         -({lr} * avg(CAST(0.5 AS DOUBLE) - y)) AS b
   FROM r GROUP BY la, lb
 ),
 s2 AS (
@@ -468,13 +496,13 @@ g2 AS (
 ),
 w2 AS (
   SELECT g1.la, g1.lb,
-         list(g1.w1 - CAST(0.5 AS DOUBLE) * g2.gw ORDER BY g1.j) AS w
+         list(g1.w1 - {lr} * g2.gw ORDER BY g1.j) AS w
   FROM g1 JOIN g2 ON g1.la = g2.la AND g1.lb = g2.lb AND g1.j = g2.j
   GROUP BY g1.la, g1.lb
 ),
 b2 AS (
   SELECT s2.la, s2.lb,
-         any_value(b1.b) - CAST(0.5 AS DOUBLE) * avg(s2.p - s2.y) AS b
+         any_value(b1.b) - {lr} * avg(s2.p - s2.y) AS b
   FROM s2 JOIN b1 USING (la, lb) GROUP BY s2.la, s2.lb
 ),
 m AS (SELECT la, lb, w2.w AS w, b2.b AS b FROM w2 JOIN b2 USING (la, lb)),

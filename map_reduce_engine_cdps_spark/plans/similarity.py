@@ -1682,10 +1682,12 @@ DBSCAN_MIN_PTS = 3
 
 
 # embedding_near_dup's verified cosine pair front is consumed by its
-# own registry entry AND dbscan_clusters — memoized per (app, sf_dir)
-# like the text-side _lsh_pairs_cached / _linkage_pairs_cached (rule 3,
-# SCALE.md) so a batch session (driver gate, sweep) pays the LSH-bucket
-# + Arrow-dot verification pass once (~5.5 s at sf1).
+# own registry entry (bound to embedding_near_dup_cached below — ADVICE
+# r7 caught the entry still paying the uncached pass) AND
+# dbscan_clusters — memoized per (app, sf_dir) like the text-side
+# _lsh_pairs_cached / _linkage_pairs_cached (rule 3, SCALE.md) so a
+# batch session (driver gate, sweep) pays the LSH-bucket + Arrow-dot
+# verification pass once (~5.5 s at sf1).
 _EMB_PAIRS_CACHE: dict = {}
 
 
@@ -1696,6 +1698,14 @@ def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = embedding_near_dup(spark, sf_dir).localCheckpoint(eager=True)
         _EMB_PAIRS_CACHE[key] = df
     return df
+
+
+def embedding_near_dup_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding for ``embedding_near_dup``: same rows, but
+    through the per-(app, sf_dir) memo so the second consumer in a
+    batch session (dbscan_clusters) reuses the verified pair front
+    instead of re-running the LSH + Arrow verification pass."""
+    return _embedding_pairs_cached(spark, sf_dir)
 
 
 def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

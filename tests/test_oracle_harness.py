@@ -203,3 +203,50 @@ def test_integer_cents_sum_parity(spark, cents):
         " / CAST(100.0 AS DOUBLE), 2) FROM m_t"
     ).fetchone()
     assert repr(s_val) == repr(float(d_val))
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_gd2_logits_clear_decision_threshold(sf):
+    """ULP-boundary guard for the unrolled-GD accuracy oracles
+    (ADVICE r7): one_vs_one_training / one_vs_one_shim /
+    ensemble_vote_accuracy compare UNROUNDED accuracies, which assumes
+    every final p >= 0.5 decision (logit >= 0) agrees between numpy's
+    BLAS dot product and DuckDB's sequential list_sum. That holds as
+    long as no sample's final logit sits within a few ulps of 0. This
+    replays the exact 2-step trainer in numpy at both gate SFs and
+    certifies the minimum |logit| margin is astronomically larger than
+    accumulated dot-product error (~1e-13 for 64 dims) — so a future
+    driver hash mismatch on these entries means the DATA moved onto
+    the knife edge, not a trainer/oracle regression."""
+    import itertools
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from map_reduce_engine_cdps_spark.operators.mlpipeline import (
+        GD_LR,
+        PROBE_ITERS,
+        _GD2_DIMS,
+    )
+
+    t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id")
+    dims = len(t["embedding"].iloc[0])
+    assert dims == _GD2_DIMS  # testdata width the docs cite
+    min_margin = np.inf
+    for a, b in itertools.combinations(sorted(t["label"].unique()), 2):
+        sub = t[t["label"].isin([a, b])]
+        x = np.array([np.asarray(v, dtype=np.float64) for v in sub["embedding"]])
+        y = (sub["label"].to_numpy() == b).astype(np.float64)
+        w, bias = np.zeros(x.shape[1]), 0.0
+        for _ in range(PROBE_ITERS):
+            p = 1.0 / (1.0 + np.exp(-np.clip(x @ w + bias, -30, 30)))
+            w -= GD_LR * (x.T @ (p - y) / len(y))
+            bias -= GD_LR * float(np.mean(p - y))
+        min_margin = min(min_margin, float(np.min(np.abs(x @ w + bias))))
+    # measured 2.07e-6 (sf0.001) / 6.61e-6 (sf0.01): tighter than one
+    # might hope, but still ~1e7× the cross-engine summation-order
+    # error (~1e-13 for a 64-dim dot) — decisions cannot flip. The
+    # guard sits at 1e-8 so it trips only if the data genuinely
+    # approaches the knife edge, not on per-SF margin wobble.
+    assert min_margin > 1e-8, min_margin
