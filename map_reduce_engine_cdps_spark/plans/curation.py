@@ -1884,3 +1884,91 @@ SELECT c_mktsegment,
 FROM classes
 GROUP BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# temporal_split_stats — time-based train/eval holdout + leakage audit
+# (the temporal complement to the hash-based train_test_split): split
+# the event stream at the 80% point of its time RANGE and report split
+# sizes plus the user-overlap leakage a sessionized model would see
+# (users with events on both sides of the cutoff — for per-user
+# modeling those eval rows are not out-of-sample).
+#
+# The cutoff is INTEGER arithmetic on epoch microseconds
+# (min + (max-min)*4/5 with bigint division) — exact and identical in
+# both engines, no quantile interpolation knife-edge (a percentile
+# cutoff computed in doubles can land within an ulp of a real event
+# timestamp and flip its side between engines).
+#
+# Scale shape: one min/max scalar agg (broadcast as a literal), one
+# conditional-agg pass, and one groupBy(user_id) for the overlap set —
+# no global sort, no window.
+# ---------------------------------------------------------------------------
+
+TEMPORAL_SPLIT_NUM = 4  # train fraction = NUM/DEN of the time range
+TEMPORAL_SPLIT_DEN = 5
+
+
+def temporal_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"), "user_id"
+    )
+    lo, hi = ev.agg(F.min("us"), F.max("us")).collect()[0]  # 1-row scalar
+    cutoff = lo + (hi - lo) * TEMPORAL_SPLIT_NUM // TEMPORAL_SPLIT_DEN
+    tagged = ev.select("user_id", (F.col("us") <= F.lit(cutoff)).alias("tr"))
+    per_user = tagged.groupBy("user_id").agg(
+        F.max(F.col("tr").cast("int")).alias("has_train"),
+        F.max((~F.col("tr")).cast("int")).alias("has_test"),
+    )
+    sizes = tagged.agg(
+        F.sum(F.col("tr").cast("long")).alias("n_train"),
+        F.sum((~F.col("tr")).cast("long")).alias("n_test"),
+    )
+    users = per_user.agg(
+        F.sum("has_train").cast("long").alias("n_train_users"),
+        F.sum("has_test").cast("long").alias("n_test_users"),
+        F.sum(
+            ((F.col("has_train") == 1) & (F.col("has_test") == 1)).cast("long")
+        ).alias("n_overlap_users"),
+    )
+    return sizes.crossJoin(F.broadcast(users)).select(
+        "n_train",
+        "n_test",
+        "n_train_users",
+        "n_test_users",
+        "n_overlap_users",
+        F.round(
+            F.col("n_overlap_users") / F.col("n_test_users").cast("double"), 4
+        ).alias("test_user_leak_ratio"),
+    )
+
+
+TEMPORAL_SPLIT_STATS_SQL = f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), tagged AS (
+  SELECT user_id,
+         epoch_us(ts) <= b.lo + (b.hi - b.lo) * {TEMPORAL_SPLIT_NUM}
+                                 // {TEMPORAL_SPLIT_DEN} AS tr
+  FROM events, b
+), per_user AS (
+  SELECT user_id,
+         max(CASE WHEN tr THEN 1 ELSE 0 END) AS has_train,
+         max(CASE WHEN tr THEN 0 ELSE 1 END) AS has_test
+  FROM tagged GROUP BY user_id
+), sizes AS (
+  SELECT CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+  FROM tagged
+), users AS (
+  SELECT CAST(sum(has_train) AS BIGINT) AS n_train_users,
+         CAST(sum(has_test) AS BIGINT) AS n_test_users,
+         CAST(sum(CASE WHEN has_train = 1 AND has_test = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap_users
+  FROM per_user
+)
+SELECT n_train, n_test, n_train_users, n_test_users, n_overlap_users,
+       round(CAST(n_overlap_users AS DOUBLE) / n_test_users, 4)
+         AS test_user_leak_ratio
+FROM sizes, users
+"""

@@ -1110,6 +1110,216 @@ FROM ranked GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# near_dup_prune — the selection step that completes the FUZZY dedup
+# pipeline, the way dedup_keep_best completes the exact one: within
+# each near-duplicate cluster (connected component of the MinHash-LSH
+# pair graph, exactly near_dup_clusters' semantics) keep the BEST
+# document (longest text, then smallest doc_id), and report the
+# per-source kept/pruned rollup a curation run publishes.
+#
+# Scale shape: reuses the memoized LSH pair front + the checkpointed
+# CC labels (both already 100 TB-shaped); on top it costs ONE join of
+# the label table with (doc_id, source, n_chars) and one window over
+# cluster_id — cluster sizes are bounded by the dup-group structure,
+# never corpus-sized, so the window partitions stay small.
+# ---------------------------------------------------------------------------
+
+
+def near_dup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    clusters = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = clusters.join(docs, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_pruned"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+NEAR_DUP_PRUNE_SQL = (
+    "WITH clusters AS (" + NEAR_DUP_CLUSTERS_SQL + """
+), ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans_sampled — the 100 TB execution path that
+# duplicate_spans' header only DESCRIBED until now: hash-mod sampling
+# of the window-hash stream (keep a window iff its md5 starts with
+# nibble '0', an unbiased deterministic 1/16 sample under md5
+# uniformity). Because sampling keys on the hash itself, ALL copies of
+# a sampled span survive together — the shared-vs-unique split among
+# sampled windows is an unbiased estimator of the true span-dup ratio
+# at 1/16 of the shuffle volume. Rolled up per source (the grain a
+# corpus-health dashboard reads; per-doc sampled counts are sparse).
+# ---------------------------------------------------------------------------
+
+SPAN_SAMPLE_NIBBLE = "0"  # keep md5-prefix matches: 1/16 of windows
+
+
+def duplicate_spans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        "source",
+        F.explode(TX.window_hashes(TX.tokens(F.col("text")), SPAN_W)).alias(
+            "whash"
+        ),
+    ).filter(F.substring("whash", 1, 1) == SPAN_SAMPLE_NIBBLE)
+    per = wins.groupBy("whash", "source", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = per.groupBy("whash").agg(
+        F.collect_list(F.struct("source", "cnt")).alias("sc"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    ex = g.select(F.explode("sc").alias("p"), (F.col("nd") >= 2).alias("dup"))
+    return (
+        ex.groupBy(F.col("p.source").alias("source"))
+        .agg(
+            F.sum("p.cnt").cast("long").alias("n_sampled_windows"),
+            F.sum(F.when(F.col("dup"), F.col("p.cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_sampled"),
+        )
+        .select(
+            "source",
+            "n_sampled_windows",
+            "n_dup_sampled",
+            F.round(
+                F.col("n_dup_sampled") / F.col("n_sampled_windows"), 4
+            ).alias("est_dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+DUPLICATE_SPANS_SAMPLED_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, source, whash FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(
+             range(1, greatest(len(toks) - {SPAN_W - 1}, 0) + 1),
+             i -> md5(array_to_string(toks[i : i + {SPAN_W - 1}], ' ')))) AS whash
+    FROM t
+  ) WHERE substr(whash, 1, 1) = '{SPAN_SAMPLE_NIBBLE}'
+), shared AS (
+  SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sampled_windows,
+       CAST(sum(CASE WHEN shared.whash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_sampled,
+       round(CAST(sum(CASE WHEN shared.whash IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 4) AS est_dup_ratio
+FROM w LEFT JOIN shared ON w.whash = shared.whash
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_span_topk — WHAT is the boilerplate: the top-K most
+# widely shared w-token spans (by distinct-doc count, then total
+# occurrences), with their text recovered. Two-pass shape because
+# carrying span text through the global aggregation would move
+# O(corpus tokens × span bytes) through the shuffle: pass 1 aggregates
+# scalar (whash, doc_id) rows and keeps only the K winning hashes
+# (a bounded K-row collect — the documented exception to the
+# no-collect rule); pass 2 re-derives span text and filters to the K
+# broadcast hashes BEFORE any shuffle, so text for exactly K spans
+# crosses an exchange.
+# ---------------------------------------------------------------------------
+
+TOP_SPANS_K = 20
+
+
+def boilerplate_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    wins = docs.select(
+        "doc_id", F.explode(TX.window_hashes(toks, SPAN_W)).alias("whash")
+    )
+    top = (
+        wins.groupBy("whash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("whash"))
+        .limit(TOP_SPANS_K)
+        .collect()  # bounded: at most TOP_SPANS_K scalar rows
+    )
+    top_df = spark.createDataFrame(
+        [(r["whash"], r["n_docs"], r["n_occurrences"]) for r in top],
+        "whash string, n_docs long, n_occurrences long",
+    )
+    spans = (
+        docs.select(F.explode(TX.pos_ngrams(toks, SPAN_W)).alias("span"))
+        .withColumn("whash", F.md5("span"))
+        .join(F.broadcast(top_df), "whash")
+        .select("whash", "span", "n_docs", "n_occurrences")
+        .distinct()
+    )
+    return spans.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("whash")
+    )
+
+
+BOILERPLATE_SPAN_TOPK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {SPAN_W - 1}, 0) + 1),
+           i -> array_to_string(toks[i : i + {SPAN_W - 1}], ' '))) AS span
+  FROM t
+), g AS (
+  SELECT md5(span) AS whash, any_value(span) AS span,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM w GROUP BY md5(span)
+)
+SELECT whash, span, n_docs, n_occurrences
+FROM g WHERE n_docs >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, whash ASC
+LIMIT {TOP_SPANS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # cross_source_leakage — contamination audit WITHIN the corpus: NEAR-
 # duplicate pairs (the MinHash-LSH candidates with Jaccard ≥ 0.2, i.e.
 # exactly minhash_lsh_pairs' semantics) whose two documents belong to

@@ -1122,6 +1122,24 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.query_expansion_pmi,
         textops.QUERY_EXPANSION_PMI_SQL,
     ),
+    # --- round-8 additions (rationed; r9 certification candidates) ---
+    # fuzzy-dedup completion: keep-best per near-dup cluster + rollup
+    "near_dup_prune": (dedup.near_dup_prune, dedup.NEAR_DUP_PRUNE_SQL),
+    # the 100 TB hash-mod-sampled span-dedup estimator
+    "duplicate_spans_sampled": (
+        dedup.duplicate_spans_sampled,
+        dedup.DUPLICATE_SPANS_SAMPLED_SQL,
+    ),
+    # top-K most shared verbatim spans, text recovered in pass 2
+    "boilerplate_span_topk": (
+        dedup.boilerplate_span_topk,
+        dedup.BOILERPLATE_SPAN_TOPK_SQL,
+    ),
+    # time-based holdout split + user-overlap leakage audit
+    "temporal_split_stats": (
+        curation.temporal_split_stats,
+        curation.TEMPORAL_SPLIT_STATS_SQL,
+    ),
 }
 
 
@@ -1440,6 +1458,11 @@ _PRIORITY_ORDER = [
     "embedding_covariance",
     "embedding_dim_stats",
     "pca_explained_variance",
+    # --- round-8 additions: never certified yet, lead the r9 window ---
+    "near_dup_prune",
+    "duplicate_spans_sampled",
+    "boilerplate_span_topk",
+    "temporal_split_stats",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

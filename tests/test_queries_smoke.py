@@ -1348,3 +1348,83 @@ def test_l_diversity_consistent_with_kanon(spark):
         if r["released_classes"]:
             assert 1 <= r["min_l"] <= 4  # four balance tiers
             assert r["min_l"] <= r["avg_l"] <= 4.0
+
+
+# --- round-8 additions: semantic invariants beyond the oracle match ---
+
+
+def test_near_dup_prune_accounting(spark, sf_dir):
+    """Kept + pruned partitions every doc, and exactly one doc is kept
+    per near-dup cluster (the keep-best policy's defining invariant)."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        near_dup_clusters,
+        near_dup_prune,
+    )
+
+    out = near_dup_prune(spark, sf_dir).collect()
+    n_docs = sum(r["n_docs"] for r in out)
+    n_kept = sum(r["n_kept"] for r in out)
+    n_pruned = sum(r["n_pruned"] for r in out)
+    assert n_kept + n_pruned == n_docs
+    n_clusters = (
+        near_dup_clusters(spark, sf_dir).select("cluster_id").distinct().count()
+    )
+    assert n_kept == n_clusters
+
+
+def test_duplicate_spans_sampled_is_a_real_subsample(spark, sf_dir):
+    """The 1/16 hash-mod sample: sampled window count is a plausible
+    binomial draw of the full window count (loose 3x band — the bound
+    certifies the filter actually prunes and actually keeps)."""
+    from map_reduce_engine_cdps_spark.functions import text as TX
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        SPAN_W,
+        duplicate_spans_sampled,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(
+        F.explode(TX.window_hashes(TX.tokens(F.col("text")), SPAN_W))
+    ).count()
+    sampled = sum(
+        r["n_sampled_windows"]
+        for r in duplicate_spans_sampled(spark, sf_dir).collect()
+    )
+    assert 0 < sampled < total
+    assert total / 48 <= sampled <= total * 3 / 16
+
+
+def test_boilerplate_span_topk_spans_hash_back(spark, sf_dir):
+    """Pass-2 text recovery is consistent: every returned span md5s to
+    its whash, rows are shared (n_docs >= 2) and correctly ordered."""
+    import hashlib
+
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        TOP_SPANS_K,
+        boilerplate_span_topk,
+    )
+
+    rows = boilerplate_span_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TOP_SPANS_K
+    for r in rows:
+        assert hashlib.md5(r["span"].encode()).hexdigest() == r["whash"]
+        assert r["n_docs"] >= 2
+        assert r["n_occurrences"] >= r["n_docs"]
+    keys = [(-r["n_docs"], -r["n_occurrences"], r["whash"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_temporal_split_partitions_and_bounds(spark, sf_dir):
+    """Split sizes partition the event count; user overlap is bounded
+    by both side's user counts and both splits are non-empty (the
+    cutoff sits strictly inside the time range by construction)."""
+    from map_reduce_engine_cdps_spark.plans.curation import temporal_split_stats
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    (r,) = temporal_split_stats(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert r["n_train"] + r["n_test"] == total
+    assert r["n_train"] > 0 and r["n_test"] > 0
+    assert r["n_overlap_users"] <= min(r["n_train_users"], r["n_test_users"])
+    assert 0.0 <= r["test_user_leak_ratio"] <= 1.0
