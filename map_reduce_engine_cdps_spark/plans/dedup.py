@@ -872,12 +872,31 @@ def connected_components_star(
     return out
 
 
+# The CC label table is itself a multi-consumer front (near_dup_clusters'
+# own registry entry + near_dup_prune's keep-best pass), so memoize it
+# per (app, sf_dir) like the pair fronts — the labels come out of
+# connected_components already eagerly localCheckpointed, so caching the
+# DataFrame reuses that materialization instead of re-running the loop.
+_CC_LABELS_CACHE: dict = {}
+
+
+def _cc_labels_cached(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 25
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, max_rounds)
+    df = _CC_LABELS_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+        df = connected_components(docs, pairs, max_rounds=max_rounds)
+        _CC_LABELS_CACHE[key] = df
+    return df
+
+
 def near_dup_clusters(
     spark: SparkSession, sf_dir: str, max_rounds: int = 25
 ) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(docs, pairs, max_rounds=max_rounds)
+    labels = _cc_labels_cached(spark, sf_dir, max_rounds=max_rounds)
     return labels.select(
         "doc_id",
         F.col("comp").alias("cluster_id"),
