@@ -877,6 +877,12 @@ def connected_components_star(
 # per (app, sf_dir) like the pair fronts — the labels come out of
 # connected_components already eagerly localCheckpointed, so caching the
 # DataFrame reuses that materialization instead of re-running the loop.
+# WRITE-THROUGH semantics: near_dup_clusters always computes fresh and
+# refreshes the cache (it is in bench.py's frozen HEADLINE set, and a
+# read-through memo would collapse its timed passes to cache reads —
+# the artifact must keep measuring the CC loop); downstream consumers
+# (near_dup_prune) read the memo and pay only their own incremental
+# work when the labels were already built this session.
 _CC_LABELS_CACHE: dict = {}
 
 
@@ -886,17 +892,25 @@ def _cc_labels_cached(
     key = (spark.sparkContext.applicationId, sf_dir, max_rounds)
     df = _CC_LABELS_CACHE.get(key)
     if df is None:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-        df = connected_components(docs, pairs, max_rounds=max_rounds)
+        df = _cc_labels_build(spark, sf_dir, max_rounds)
         _CC_LABELS_CACHE[key] = df
     return df
+
+
+def _cc_labels_build(
+    spark: SparkSession, sf_dir: str, max_rounds: int
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(docs, pairs, max_rounds=max_rounds)
 
 
 def near_dup_clusters(
     spark: SparkSession, sf_dir: str, max_rounds: int = 25
 ) -> DataFrame:
-    labels = _cc_labels_cached(spark, sf_dir, max_rounds=max_rounds)
+    labels = _cc_labels_build(spark, sf_dir, max_rounds)
+    key = (spark.sparkContext.applicationId, sf_dir, max_rounds)
+    _CC_LABELS_CACHE[key] = labels  # write-through refresh
     return labels.select(
         "doc_id",
         F.col("comp").alias("cluster_id"),
