@@ -1428,3 +1428,27 @@ def test_temporal_split_partitions_and_bounds(spark, sf_dir):
     assert r["n_train"] > 0 and r["n_test"] > 0
     assert r["n_overlap_users"] <= min(r["n_train_users"], r["n_test_users"])
     assert 0.0 <= r["test_user_leak_ratio"] <= 1.0
+
+
+def test_cc_label_memo_semantics(spark, sf_dir):
+    """Pins the write-through rule (SCALE.md round 8): near_dup_clusters
+    must recompute (and refresh the memo) on every call — a read-through
+    memo here would collapse its bench timings to cache reads — while
+    near_dup_prune reads the memo; and distinct max_rounds keys must
+    not cross-contaminate."""
+    from map_reduce_engine_cdps_spark.plans import dedup as D
+
+    key = (spark.sparkContext.applicationId, sf_dir, 25)
+    D._CC_LABELS_CACHE.pop(key, None)
+    D.near_dup_clusters(spark, sf_dir).count()
+    first = D._CC_LABELS_CACHE.get(key)
+    assert first is not None  # write-through populated the memo
+    D.near_dup_clusters(spark, sf_dir).count()
+    second = D._CC_LABELS_CACHE.get(key)
+    assert second is not first  # recomputed + refreshed, not served from
+    # consumers read the refreshed entry
+    assert D._cc_labels_cached(spark, sf_dir) is second
+    # a different max_rounds is a different cache line
+    other = D._cc_labels_cached(spark, sf_dir, max_rounds=24)
+    assert other is not second
+    assert D._CC_LABELS_CACHE.get((key[0], key[1], 24)) is other
