@@ -169,6 +169,41 @@ SNAPSHOTS: dict[str, str] = {
         "verification projection differs, so the not-O(n²) structure "
         "is shared, not re-derived."
     ),
+    "near_dup_prune": (
+        "The fuzzy-dedup selection step rides a front that is already "
+        "materialized: the CC label table enters as a `Scan ExistingRDD` "
+        "leaf (the eager localCheckpoint — the LSH pair graph and the "
+        "CC loop are NOT re-derived in this plan) and broadcasts onto "
+        "the 3-column documents projection; the only wide operation on "
+        "corpus-sized data is the window partitioned by cluster_id — "
+        "and window partitions are dup-group-sized, never corpus-sized."
+    ),
+    "duplicate_spans_sampled": (
+        "The 1/16 hash-mod sample is applied in the SAME projection that "
+        "generates the window hashes — the filter sits between Generate "
+        "and the first exchange, so the groupBy shuffles 1/16 of the "
+        "window stream. Sampling keys on the hash itself, so every copy "
+        "of a sampled span survives together and the shared-vs-unique "
+        "split stays an unbiased estimator; at 100 TB this pre-shuffle "
+        "reduction is the knob that keeps span-dedup feasible."
+    ),
+    "boilerplate_span_topk": (
+        "Two-pass top-k; the captured plan is pass 2 (pass 1 — the "
+        "scalar-only (md5, doc_id) aggregation that collects exactly K "
+        "winning hashes — ran as its own bounded job): the span-text "
+        "explode feeds a `BroadcastHashJoin` against the K-row hash "
+        "table (`Scan ExistingRDD`), so text for only K distinct spans "
+        "ever crosses an exchange — payload bytes are O(K), not "
+        "O(corpus tokens)."
+    ),
+    "temporal_split_stats": (
+        "No global sort and no window: the cutoff is two scalar "
+        "aggregates folded into a literal (integer epoch-microsecond "
+        "arithmetic, exact in both engines), then one conditional-agg "
+        "pass and one user-grain groupBy for the overlap set — the "
+        "whole split audit is two scans and one shuffle regardless of "
+        "event count (measured flat 0.5 s from sf1 to sf10)."
+    ),
 }
 
 
