@@ -1279,6 +1279,106 @@ GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# span_sample_error_eval — the eval twin of duplicate_spans_sampled
+# (the lsh_pair_recall_eval pattern): compute the EXACT per-source span
+# dup ratio and the 1/16 hash-mod estimate from ONE window-hash pass,
+# and report the absolute estimation error — so the estimator's
+# unbiasedness is a measured artifact, not an asserted property. At
+# 100 TB you run this eval on one shard to pick the sampling nibble
+# width, then run only the sampled path on the corpus.
+# ---------------------------------------------------------------------------
+
+
+def span_sample_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    wins = docs.select(
+        "doc_id",
+        "source",
+        F.explode(TX.window_hashes(TX.tokens(F.col("text")), SPAN_W)).alias(
+            "whash"
+        ),
+    )
+    per = wins.groupBy("whash", "source", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = per.groupBy("whash").agg(
+        F.collect_list(F.struct("source", "cnt")).alias("sc"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    ex = g.select(
+        F.explode("sc").alias("p"),
+        (F.col("nd") >= 2).alias("dup"),
+        (F.substring("whash", 1, 1) == SPAN_SAMPLE_NIBBLE).alias("samp"),
+    )
+    agg = ex.groupBy(F.col("p.source").alias("source")).agg(
+        F.sum("p.cnt").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("dup"), F.col("p.cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup"),
+        F.sum(F.when(F.col("samp"), F.col("p.cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_sampled"),
+        F.sum(
+            F.when(F.col("dup") & F.col("samp"), F.col("p.cnt")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_dup_sampled"),
+    )
+    exact = F.round(F.col("n_dup") / F.col("n_windows"), 4)
+    est = F.round(F.col("n_dup_sampled") / F.col("n_sampled"), 4)
+    return agg.select(
+        "source",
+        "n_windows",
+        "n_sampled",
+        exact.alias("exact_dup_ratio"),
+        est.alias("est_dup_ratio"),
+        # difference of two already-rounded doubles, then one final
+        # quantize — identical inputs ⇒ identical result across engines
+        F.round(F.abs(exact - est), 4).alias("abs_error"),
+    ).orderBy("source")
+
+
+SPAN_SAMPLE_ERROR_EVAL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {SPAN_W - 1}, 0) + 1),
+           i -> md5(array_to_string(toks[i : i + {SPAN_W - 1}], ' ')))) AS whash
+  FROM t
+), shared AS (
+  SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+), tagged AS (
+  SELECT w.source,
+         (shared.whash IS NOT NULL) AS dup,
+         (substr(w.whash, 1, 1) = '{SPAN_SAMPLE_NIBBLE}') AS samp
+  FROM w LEFT JOIN shared ON w.whash = shared.whash
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(sum(CASE WHEN samp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         CAST(sum(CASE WHEN dup AND samp THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_sampled
+  FROM tagged GROUP BY source
+)
+SELECT source, n_windows, n_sampled,
+       round(CAST(n_dup AS DOUBLE) / n_windows, 4) AS exact_dup_ratio,
+       round(CAST(n_dup_sampled AS DOUBLE) / n_sampled, 4) AS est_dup_ratio,
+       round(abs(round(CAST(n_dup AS DOUBLE) / n_windows, 4)
+               - round(CAST(n_dup_sampled AS DOUBLE) / n_sampled, 4)), 4)
+         AS abs_error
+FROM agg ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # boilerplate_span_topk — WHAT is the boilerplate: the top-K most
 # widely shared w-token spans (by distinct-doc count, then total
 # occurrences), with their text recovered. Two-pass shape because

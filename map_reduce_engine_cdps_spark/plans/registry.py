@@ -1140,6 +1140,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         curation.temporal_split_stats,
         curation.TEMPORAL_SPLIT_STATS_SQL,
     ),
+    # eval twin of duplicate_spans_sampled: measured estimator error
+    "span_sample_error_eval": (
+        dedup.span_sample_error_eval,
+        dedup.SPAN_SAMPLE_ERROR_EVAL_SQL,
+    ),
 }
 
 
@@ -1463,6 +1468,7 @@ _PRIORITY_ORDER = [
     "duplicate_spans_sampled",
     "boilerplate_span_topk",
     "temporal_split_stats",
+    "span_sample_error_eval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

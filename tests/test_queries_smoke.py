@@ -1452,3 +1452,21 @@ def test_cc_label_memo_semantics(spark, sf_dir):
     other = D._cc_labels_cached(spark, sf_dir, max_rounds=24)
     assert other is not second
     assert D._CC_LABELS_CACHE.get((key[0], key[1], 24)) is other
+
+
+def test_span_sample_error_within_binomial_noise(spark, sf_dir):
+    """The 1/16 hash-mod estimator's per-source error stays within a
+    5-sigma binomial band of the exact ratio (sigma = sqrt(p(1-p)/n)
+    at the sampled window count) — the measured-unbiasedness claim the
+    eval twin exists to certify. At sf0.1: mean abs error 0.008 vs
+    sigma ~0.011 at ~700 sampled windows/source."""
+    import math
+
+    from map_reduce_engine_cdps_spark.plans.dedup import span_sample_error_eval
+
+    rows = span_sample_error_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        p = r["exact_dup_ratio"]
+        sigma = math.sqrt(max(p * (1 - p), 1e-6) / max(r["n_sampled"], 1))
+        assert r["abs_error"] <= 5 * sigma + 1e-4, (r, sigma)
