@@ -3356,41 +3356,79 @@ MIN_PAIR_SUPPORT = 2
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    # Single-action rework (round 8 continuation): the first version
+    # recomputed the 2-column distinct of lineitem THREE times
+    # (n_orders driver count, freq agg, pruned join) — three 6M-row
+    # shuffles at sf1, 8.2 s. Now n_orders rides along as a broadcast
+    # 1-row frame instead of a collect, so ONE action sees all three
+    # consumers of the identical distinct subplan and Spark's
+    # ReuseExchange dedupes them (checkpointing instead was measured
+    # SLOWER — materializing 6M rows costs more than the reuse saves).
+    # The global top-15 window now runs AFTER a
+    # TakeOrderedAndProject(15) on the identical total-order key, so
+    # the one-partition sort sees 15 rows, never the pair set.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= MIN_PART_SUPPORT)
     )
     pruned = li.join(freq, "l_partkey").select("l_orderkey", "l_partkey", "sup")
-    a = pruned.select(
-        "l_orderkey", F.col("l_partkey").alias("pa"), F.col("sup").alias("sa")
+    # Basket-local pair expansion (the _recall_truth_pairs shape from
+    # plans/dedup.py): collect each order's pruned parts once, expand
+    # ordered pairs inside the basket array — no sort-merge self-join,
+    # and only pa < pb pairs are ever emitted (the join formulation
+    # streamed both orientations and filtered half away). sort_array on
+    # struct(pk, sup) orders by part key, so slice-based expansion
+    # yields exactly the pa < pb set.
+    baskets = (
+        pruned.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("l_partkey").alias("pk"), "sup"))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
     )
-    b = pruned.select(
-        "l_orderkey", F.col("l_partkey").alias("pb"), F.col("sup").alias("sb")
+    pair_expr = F.expr(
+        """
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members)), n ->
+            struct(m.pk AS pa, n.pk AS pb, m.sup AS sa, n.sup AS sb))))
+        """
     )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb", "sa", "sb")
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(
+            F.col("p.pa").alias("pa"),
+            F.col("p.pb").alias("pb"),
+            F.col("p.sa").alias("sa"),
+            F.col("p.sb").alias("sb"),
+        )
         .agg(F.count(F.lit(1)).alias("pair_sup"))
         .filter(F.col("pair_sup") >= MIN_PAIR_SUPPORT)
     )
     lift = (
         F.col("pair_sup").cast("double")
-        * n_orders
+        * F.col("n_orders")
         / (F.col("sa") * F.col("sb"))
     )
-    w = W.orderBy(
+    order_cols = [
         F.desc("lift"), F.desc("pair_sup"), F.asc("pa"), F.asc("pb")
+    ]
+    top = (
+        pairs.crossJoin(F.broadcast(n))
+        .withColumn("lift", F.round(lift, 4))
+        .orderBy(*order_cols)
+        .limit(15)
     )
     return (
-        pairs.withColumn("lift", F.round(lift, 4))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 15)
+        top.withColumn("rn", F.row_number().over(W.orderBy(*order_cols)))
         .select("pa", "pb", "pair_sup", "lift", "rn")
     )
 

@@ -2629,62 +2629,92 @@ def _bloom_positions(col, prefix: int):
 
 
 def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    # Single-action rework (round 8 continuation): the first version ran
+    # FIVE driver count() jobs (n_keys / n_true / n_pass / n_fp / bits)
+    # with the orders-distinct and md5-probe subtrees recomputed per job
+    # — 8.2 s at sf1 and 4.8 s even at sf0.1, pure fixed job overhead ×
+    # recompute. Now: the distinct order-key set and the ≤ 2^16-row bit
+    # set are checkpointed once (two tiny jobs), every per-customer flag
+    # (own positions, hit positions, true membership, pass) is computed
+    # in ONE plan, and all five counts plus both FPRs come out of a
+    # single 1-row aggregate — driver-side math moved into the frame
+    # (F.exp/F.pow), so nothing is collected to recompose. At 100 TB
+    # this is the difference between five full probe-table scans and
+    # one.
+    ok = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     bits = None
     for j in range(_BLOOM_K):
-        p = orders.select(_bloom_positions(F.col("o_custkey"), j).alias("pos"))
+        p = ok.select(_bloom_positions(F.col("o_custkey"), j).alias("pos"))
         bits = p if bits is None else bits.union(p)
-    bits = bits.distinct()
+    # ≤ 2^16 rows; used twice below (probe join + n_bits_set count)
+    bits = bits.distinct().localCheckpoint(eager=True)
     probe = None
     for j in range(_BLOOM_K):
         p = cust.select(
             "c_custkey", _bloom_positions(F.col("c_custkey"), j).alias("pos")
         )
         probe = p if probe is None else probe.union(p)
-    hits = (
-        probe.join(F.broadcast(bits), "pos")
-        .groupBy("c_custkey")
-        .agg(F.countDistinct("pos").alias("k_hit"))
-    )
     # distinct positions per key may be < k on self-collision: pass =
-    # every one of ITS OWN distinct positions present → recompute own
-    # distinct position count
-    own = (
-        probe.groupBy("c_custkey").agg(F.countDistinct("pos").alias("k_own"))
+    # every one of ITS OWN distinct positions present, so both distinct
+    # counts come from the same grouped pass
+    per_key = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.countDistinct("pos").alias("k_own"),
+            F.countDistinct(
+                F.when(F.col("hit").isNotNull(), F.col("pos"))
+            ).alias("k_hit"),
+        )
     )
-    passed = (
-        own.join(hits, "c_custkey", "left")
-        .filter(F.coalesce("k_hit", F.lit(0)) == F.col("k_own"))
-        .select("c_custkey")
+    flagged = per_key.join(
+        ok.select(F.col("o_custkey").alias("c_custkey")).withColumn(
+            "is_true", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
     )
-    truth = cust.join(
-        load_table(spark, sf_dir, "orders").select("o_custkey").distinct(),
-        cust.c_custkey == F.col("o_custkey"),
-        "left_semi",
+    is_pass = F.col("k_hit") == F.col("k_own")
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("is_true").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(F.when(is_pass, 1).otherwise(0)).cast("long").alias("n_passed"),
+        F.sum(F.when(is_pass & F.col("is_true").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
     )
-    n_keys = cust.count()
-    n_true = truth.count()
-    n_pass = passed.count()
-    n_fp = passed.join(truth, "c_custkey", "left_anti").count()
-    n_bits_set = bits.count()
-    import math
-
-    theory = (1.0 - math.exp(-_BLOOM_K * n_true / _BLOOM_BITS)) ** _BLOOM_K
-    return spark.createDataFrame(
-        [
-            (
-                n_keys,
-                n_true,
-                n_pass,
-                n_fp,
-                n_bits_set,
-                round(n_fp / max(n_keys - n_true, 1), 6),
-                round(theory, 6),
-            )
-        ],
-        "n_probe_keys long, n_true_members long, n_passed long, n_false_pos long,"
-        " n_bits_set long, measured_fpr double, theoretical_fpr double",
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    theory = F.pow(
+        F.lit(1.0)
+        - F.exp(
+            F.lit(-float(_BLOOM_K))
+            * F.col("n_true_members")
+            / F.lit(float(_BLOOM_BITS))
+        ),
+        F.lit(float(_BLOOM_K)),
+    )
+    return counts.crossJoin(F.broadcast(n_bits)).select(
+        "n_probe_keys",
+        "n_true_members",
+        "n_passed",
+        "n_false_pos",
+        "n_bits_set",
+        F.round(
+            F.col("n_false_pos")
+            / F.greatest(
+                F.col("n_probe_keys") - F.col("n_true_members"), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("measured_fpr"),
+        F.round(theory, 6).alias("theoretical_fpr"),
     )
 
 
