@@ -303,15 +303,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_parallel(spark, sf_dir, "embeddings")
     planes = _near_dup_planes(emb.count())
     d = emb.withColumn("bucket", V.lsh_bucket_arrow(planes)(F.col("embedding")))
-    d = d.withColumn("nrm", V.norm_arrow()(F.col("embedding")))
+    # NULL bucket = NULL embedding; the former join-on-bucket shape
+    # could never pair them (NULL != NULL), so the grouped shape must
+    # exclude them before the NULL group forms.
+    d = d.filter(F.col("bucket").isNotNull())
     # Bucket cap computed ON the pairing partitioning: the rank window
-    # partitions by bucket — exactly the layout the self-join below
-    # needs — so Window + Filter preserve it and the join adds NO new
-    # exchange. Embeddings cross a shuffle exactly once (plan-gated at
-    # bound 1). This rank exchange carries the corpus x1, not the
-    # K-multiplied payload the scalar-rank ANN gate exists for, which
-    # is why that gate records this query as its one exemption (a
-    # semi-join cap shape was measured at 3 array crossings vs 1 here).
+    # partitions by bucket — exactly the layout the grouped kernel
+    # below needs — so Window + Filter preserve it and applyInPandas
+    # adds NO new exchange. Embeddings cross a shuffle exactly once
+    # (plan-gated at bound 1 + load_parallel's local-mode repartition).
+    # This rank exchange carries the corpus x1, not the K-multiplied
+    # payload the scalar-rank ANN gate exists for, which is why that
+    # gate records this query as its one exemption.
     d = (
         d.withColumn(
             "rn",
@@ -320,29 +323,29 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= EMB_BUCKET_CAP)
         .drop("rn")
     )
-    a = d.alias("a")
-    b = d.alias("b")
     # Verification runs on EVERY candidate pair — on a near-dup-dense
-    # corpus that's millions of pairs, where the interpreted fold costs
-    # ~15 µs each. dot_arrow is the bit-identical Arrow-vectorized twin
-    # (3.4× at sf1); rounding stays JVM-side.
-    dot_pd = V.dot_arrow()
+    # corpus that's millions of pairs. Round 8 continuation: the pair
+    # join + dot_arrow formulation materialized each candidate as a
+    # 2×64-double Arrow row (~4 GB of Arrow traffic at sf1, 5.8 s);
+    # the bucket-local kernel expands pairs in numpy with the SAME
+    # left-to-right cumsum fold (bit-identical — 0 differing rows over
+    # every sf1 pair) and only 3-scalar rows come back, 2.6 s. The raw
+    # pre-filter margin is 1e-6: JVM rounding to 6 decimals can raise
+    # a value by at most 5e-7, so no pair that could pass the exact
+    # rounded threshold is dropped; the authoritative filter below
+    # stays on the JVM-rounded column.
+    pairs = (
+        d.select("bucket", "vec_id", "embedding")
+        .groupBy("bucket")
+        .applyInPandas(
+            V.bucket_pair_cos_kernel(NEAR_DUP_COS - 1e-6),
+            "vec_a long, vec_b long, cos_raw double",
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                dot_pd(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= NEAR_DUP_COS)
+        pairs.select(
+            "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim")
+        ).filter(F.col("cos_sim") >= NEAR_DUP_COS)
     )
 
 
