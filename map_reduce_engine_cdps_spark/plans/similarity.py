@@ -1712,7 +1712,9 @@ def embedding_near_dup_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from map_reduce_engine_cdps_spark.plans.dedup import connected_components
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        connected_components_star,
+    )
 
     pairs = (
         _embedding_pairs_cached(spark, sf_dir)
@@ -1740,7 +1742,14 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         .localCheckpoint(eager=True)
     )
-    comp = connected_components(
+    # Star CC, not min-label propagation: the embedding core graph
+    # chains (replica ladders of near-identical vectors link A~B~C
+    # without A~C), so component DIAMETER — which propagation pays
+    # round-for-round — is long where LSH text clusters are shallow.
+    # Same decision rule as customer_golden_records; measured at
+    # derived sf1 on this graph (19 966 core verts / 165 119 edges):
+    # 13.6 s propagation vs 7.2 s star, 0 differing labels.
+    comp = connected_components_star(
         core.select(F.col("v").alias("doc_id")), ce
     ).select(F.col("doc_id").alias("cv"), F.col("comp").alias("ccomp"))
     border = (
