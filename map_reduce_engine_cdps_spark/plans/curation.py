@@ -1972,3 +1972,103 @@ SELECT n_train, n_test, n_train_users, n_test_users, n_overlap_users,
          AS test_user_leak_ratio
 FROM sizes, users
 """
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit — the distribution-skew audit that closes the
+# k-anonymity → l-diversity → t-closeness privacy ladder (Li, Li &
+# Venkatasubramanian, "t-Closeness", ICDE 2007): an equivalence class
+# can be k-anonymous AND l-diverse yet still leak if its sensitive-
+# attribute DISTRIBUTION differs sharply from the table-wide one
+# (e.g. a class that is 90% 'debt' where the corpus is 5%). For each
+# released QI class (same quasi-identifiers and release rule as
+# kanon_release_stats: mktsegment × nation, n ≥ KANON_K), t = the Earth
+# Mover's Distance between the class's balance-tier distribution and
+# the global one over the ORDERED tiers debt < low < mid < high:
+# EMD = (1/(m-1)) · Σ_{i<m-1} |cumP_i − cumQ_i|.
+#
+# Cross-engine determinism: the cumulative counts are exact integers
+# (conditional sums over the fixed 4-tier CASE), so each |cumP−cumQ|
+# term is one bigint-ratio subtraction in doubles, summed in a fixed
+# written order — no window, no float accumulation ambiguity.
+#
+# Scale shape: one conditional-agg pass over customer (partial
+# combine, O(classes) shuffle rows), the global distribution as a
+# broadcast 1-row frame — the audit costs one scan, same as the
+# release it audits.
+# ---------------------------------------------------------------------------
+
+T_CLOSENESS_T = 0.2  # release threshold on EMD
+
+_TIER_IDX = (
+    "CASE WHEN c_acctbal < 0 THEN 0 WHEN c_acctbal < 3000 THEN 1 "
+    "WHEN c_acctbal < 7000 THEN 2 ELSE 3 END"
+)
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "tier", F.expr(_TIER_IDX)
+    )
+
+    def _cums(df, keys):
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum((F.col("tier") <= i).cast("long")).alias(f"c{i}")
+            for i in range(3)
+        ]
+        return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    cls = _cums(cust, ["c_mktsegment", "c_nationkey"])
+    glob = _cums(cust, []).select(
+        F.col("n").alias("gn"), *[F.col(f"c{i}").alias(f"g{i}") for i in range(3)]
+    )
+    term = lambda i: F.abs(
+        F.col(f"c{i}").cast("double") / F.col("n")
+        - F.col(f"g{i}").cast("double") / F.col("gn")
+    )
+    return (
+        cls.filter(F.col("n") >= KANON_K)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.col("n").cast("long").alias("n_members"),
+            F.round((term(0) + term(1) + term(2)) / F.lit(3.0), 4).alias(
+                "t_emd"
+            ),
+            (
+                F.round((term(0) + term(1) + term(2)) / F.lit(3.0), 4)
+                > T_CLOSENESS_T
+            ).alias("breaches_t"),
+        )
+    )
+
+
+T_CLOSENESS_AUDIT_SQL = f"""
+WITH t AS (
+  SELECT c_mktsegment, c_nationkey, {_TIER_IDX} AS tier FROM customer
+), cls AS (
+  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+         sum(CASE WHEN tier <= 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN tier <= 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN tier <= 2 THEN 1 ELSE 0 END) AS c2
+  FROM t GROUP BY c_mktsegment, c_nationkey
+), gl AS (
+  SELECT count(*) AS gn,
+         sum(CASE WHEN tier <= 0 THEN 1 ELSE 0 END) AS g0,
+         sum(CASE WHEN tier <= 1 THEN 1 ELSE 0 END) AS g1,
+         sum(CASE WHEN tier <= 2 THEN 1 ELSE 0 END) AS g2
+  FROM t
+)
+SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n_members,
+       round((abs(CAST(c0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
+            + abs(CAST(c1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn)
+            + abs(CAST(c2 AS DOUBLE) / n - CAST(g2 AS DOUBLE) / gn)) / 3.0, 4)
+         AS t_emd,
+       round((abs(CAST(c0 AS DOUBLE) / n - CAST(g0 AS DOUBLE) / gn)
+            + abs(CAST(c1 AS DOUBLE) / n - CAST(g1 AS DOUBLE) / gn)
+            + abs(CAST(c2 AS DOUBLE) / n - CAST(g2 AS DOUBLE) / gn)) / 3.0, 4)
+         > {T_CLOSENESS_T} AS breaches_t
+FROM cls CROSS JOIN gl
+WHERE n >= {KANON_K}
+"""

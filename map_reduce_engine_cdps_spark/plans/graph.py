@@ -808,3 +808,114 @@ FROM m
 
 
 DEGREE_ASSORTATIVITY_SQL = _assortativity_sql
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops — multi-source breadth-first shortest hops over the near-dup
+# candidate graph: distance from the BFS_SEEDS lowest-id vertices to
+# every vertex, reported as a hop histogram (hops → vertex count, -1 =
+# unreachable within BFS_MAX_HOPS). The one graph primitive the family
+# still lacked: CC answers "same component?", LPA "which community?",
+# BFS answers "how FAR?" — in a dedup pipeline, hop distance from a
+# seed set of known-bad documents is the standard contamination-blast-
+# radius query (how much of the corpus is within k dup-links of a
+# poisoned page).
+#
+# Spark shape: Bellman-Ford layer relaxation — exactly BFS_MAX_HOPS
+# rounds of [edges ⋈ labels → min(d)+1 → least(old, new)], the same
+# shuffle-hash join + O(|V|) label state as connected_components
+# (labels eager-checkpointed per round — see the loop note). After
+# k rounds every label is exact for true distance ≤ k, and any vertex
+# with true distance > k provably has NO label (every discovered path
+# has length ≤ rounds) — so the fixed round count needs no convergence
+# probe and the hop cap is a semantic bound, not a heuristic. The
+# DuckDB twin is a depth-guarded recursive CTE over the same edges.
+# ---------------------------------------------------------------------------
+
+BFS_SEEDS = 10
+BFS_MAX_HOPS = 8
+
+
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+    from pyspark import StorageLevel
+
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    e = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = e.select(F.col("src").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    seeds = verts.orderBy("v").limit(BFS_SEEDS)
+    labels = seeds.select("v", F.lit(0).cast("long").alias("d")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(BFS_MAX_HOPS):
+        nbr = (
+            e.join(labels.hint("shuffle_hash"), e.src == labels.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        # Eager localCheckpoint EVERY round, not persist/rotate: a BFS
+        # round stacks a join + full-outer join on the previous round's
+        # plan, and persist caches rows while Catalyst still re-walks
+        # the whole logical tree — measured 1.2 → 14.3 s/round growth
+        # by round 8 at sf0.001 with persist-only rotation, flat
+        # ~0.5 s/round checkpointed (the dbscan/star-loop plan-growth
+        # rule; state is O(reached vertices), so pinning 8 checkpoints
+        # is noise).
+        labels = (
+            labels.withColumnRenamed("d", "od")
+            .join(nbr.hint("shuffle_hash"), "v", "full_outer")
+            .select("v", F.least(
+                F.coalesce("od", F.lit(BFS_MAX_HOPS + 1)),
+                F.coalesce("nd", F.lit(BFS_MAX_HOPS + 1)),
+            ).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    hist = (
+        verts.join(labels.hint("shuffle_hash"), "v", "left")
+        .select(F.coalesce("d", F.lit(-1)).alias("hops"))
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    out = hist.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def _bfs_hops_sql() -> str:
+    from map_reduce_engine_cdps_spark.plans.dedup import MINHASH_LSH_PAIRS_SQL
+
+    return (
+        "WITH RECURSIVE pairs AS MATERIALIZED ("
+        + MINHASH_LSH_PAIRS_SQL
+        + f"""),
+e AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), verts AS MATERIALIZED (
+  SELECT DISTINCT src AS v FROM e
+), seeds AS (
+  SELECT v FROM verts ORDER BY v LIMIT {BFS_SEEDS}
+), reach(v, d) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT e.dst, reach.d + 1 FROM reach JOIN e ON e.src = reach.v
+  WHERE reach.d < {BFS_MAX_HOPS}
+), dist AS (
+  SELECT v, min(d) AS d FROM reach GROUP BY v
+)
+SELECT coalesce(dist.d, -1) AS hops,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM verts LEFT JOIN dist USING (v)
+GROUP BY 1
+"""
+    )
+
+
+BFS_HOPS_SQL = _bfs_hops_sql

@@ -1025,6 +1025,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         graph.degree_assortativity,
         graph.DEGREE_ASSORTATIVITY_SQL,
     ),
+    # --- multi-source BFS hop histogram over the near-dup graph ---
+    "bfs_hops": (graph.bfs_hops, graph.BFS_HOPS_SQL),
     # --- LSH candidate recall vs exact-Jaccard ground truth (sampled) ---
     "lsh_pair_recall_eval": (
         dedup.lsh_pair_recall_eval,
@@ -1144,6 +1146,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "span_sample_error_eval": (
         dedup.span_sample_error_eval,
         dedup.SPAN_SAMPLE_ERROR_EVAL_SQL,
+    ),
+    # t-closeness EMD audit — completes the k-anon/l-div privacy ladder
+    "t_closeness_audit": (
+        curation.t_closeness_audit,
+        curation.T_CLOSENESS_AUDIT_SQL,
+    ),
+    # graded-relevance nDCG@10 of the BM25 ranker
+    "retrieval_ndcg_eval": (
+        textops.retrieval_ndcg_eval,
+        textops.RETRIEVAL_NDCG_EVAL_SQL,
     ),
 }
 
@@ -1469,6 +1481,9 @@ _PRIORITY_ORDER = [
     "boilerplate_span_topk",
     "temporal_split_stats",
     "span_sample_error_eval",
+    "t_closeness_audit",
+    "bfs_hops",
+    "retrieval_ndcg_eval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

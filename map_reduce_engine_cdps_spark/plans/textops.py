@@ -2548,3 +2548,143 @@ SELECT count(*) AS n_docs,
              ELSE 0.0 END, 4) AS mcnemar_chi2
 FROM oks
 """
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg_eval — graded-relevance ranking quality (nDCG@10,
+# Järvelin & Kekäläinen 2002) of the BM25 ranker: the eval metric the
+# retrieval stack (tfidf → bm25 → wand → rrf) still lacked — AUC grades
+# a binary classifier, MRR a single-relevant ranking; nDCG grades a
+# GRADED ranking. Relevance labels are deterministic pseudo-relevance
+# independent of the ranker's scores: rel(doc) = number of distinct
+# query terms present (1..3 over the same 3-term max-cf query bm25
+# uses), gain = 2^rel − 1. nDCG@10 = DCG/IDCG where IDCG re-ranks the
+# same candidate universe by rel itself.
+#
+# Cross-engine determinism: ranking is on the ROUNDED bm25 (6 dp —
+# the exact values bm25_scores already certifies), ties by doc_id;
+# each rank's gain/ln(rank+1) term is quantized to integer micros
+# before summing (one round() of one double per term, then exact
+# bigint sums — the integer-cents rule), so DCG/IDCG never ride a
+# float accumulation. The ln-vs-log2 discount base cancels in the
+# DCG/IDCG ratio, leaving standard nDCG.
+#
+# Scale shape: identical to bm25_scores (broadcast query/df/avgdl, one
+# (doc_id, word) agg) plus two TakeOrdered(10)s — the rank windows see
+# 10 rows each, never the corpus.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+    query = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("word"))
+        .limit(3)
+        .select("word")
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / (F.col("tf") + norm)
+    scored = (
+        tf.join(F.broadcast(query), "word")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(dfreq.join(F.broadcast(query), "word")), "word")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("rel"),
+        )
+    )
+    gain = F.expr("shiftleft(1, cast(rel AS int))") - 1
+
+    def _dcg_micros(ranked_by, alias):
+        top = scored.orderBy(*ranked_by).limit(_NDCG_K)
+        rn = F.row_number().over(W.orderBy(*ranked_by))
+        return (
+            top.withColumn("rn", rn)
+            .select(
+                F.round(
+                    gain.cast("double") / F.log(F.col("rn") + 1.0) * 1e6
+                ).cast("long").alias("tm")
+            )
+            .agg(F.sum("tm").alias(alias))
+        )
+
+    dcg = _dcg_micros([F.desc("bm25"), F.asc("doc_id")], "dcg_micros")
+    idcg = _dcg_micros([F.desc("rel"), F.asc("doc_id")], "idcg_micros")
+    nr = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "n_candidates",
+            "dcg_micros",
+            "idcg_micros",
+            F.round(
+                F.col("dcg_micros") / F.col("idcg_micros").cast("double"), 6
+            ).alias("ndcg_at_10"),
+        )
+    )
+
+
+RETRIEVAL_NDCG_EVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_replace(t.tok, '[^a-z0-9]', '', 'g') AS word
+  FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), toks2 AS (SELECT doc_id, word FROM toks WHERE length(word) > 0),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM doclen),
+query AS (
+  SELECT word FROM toks2 GROUP BY word
+  ORDER BY count(*) DESC, word ASC LIMIT 3
+), scored AS (
+  SELECT doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ({_BM25_K1} + 1.0)
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))), 6)
+           AS bm25,
+         count(*) AS rel
+  FROM tf JOIN query USING (word) JOIN doclen USING (doc_id)
+       JOIN dfreq USING (word) CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY doc_id
+), dcg AS (
+  SELECT CAST(sum(CAST(round((2 ** rel - 1) / ln(rn + 1.0) * 1e6) AS BIGINT))
+              AS BIGINT) AS dcg_micros
+  FROM (
+    SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+    FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {_NDCG_K}
+  )
+), idcg AS (
+  SELECT CAST(sum(CAST(round((2 ** rel - 1) / ln(rn + 1.0) * 1e6) AS BIGINT))
+              AS BIGINT) AS idcg_micros
+  FROM (
+    SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM scored ORDER BY rel DESC, doc_id ASC LIMIT {_NDCG_K}
+  )
+), nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM scored
+)
+SELECT n_candidates, dcg_micros, idcg_micros,
+       round(CAST(dcg_micros AS DOUBLE) / idcg_micros, 6) AS ndcg_at_10
+FROM dcg CROSS JOIN idcg CROSS JOIN nr
+"""

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from map_reduce_engine_cdps_spark.functions import expressions as X
 from map_reduce_engine_cdps_spark.plans.registry import _REGISTRY
 
-EXPECT_EMPTY_OK = {"customers_without_orders"}
+# t_closeness_audit only reports classes that clear the k-anonymity
+# release bar (n >= KANON_K); at sf0.001 no class does.
+EXPECT_EMPTY_OK = {"customers_without_orders", "t_closeness_audit"}
 
 
 @pytest.mark.parametrize("name", sorted(_REGISTRY))
@@ -1470,3 +1472,63 @@ def test_span_sample_error_within_binomial_noise(spark, sf_dir):
         p = r["exact_dup_ratio"]
         sigma = math.sqrt(max(p * (1 - p), 1e-6) / max(r["n_sampled"], 1))
         assert r["abs_error"] <= 5 * sigma + 1e-4, (r, sigma)
+
+
+def test_t_closeness_audit_invariants(spark, sf_dir):
+    """EMD is in [0, 1]; every reported class satisfies the k-anonymity
+    release rule; the breach flag is exactly (t_emd > T)."""
+    from map_reduce_engine_cdps_spark.plans.curation import (
+        KANON_K,
+        T_CLOSENESS_T,
+        t_closeness_audit,
+    )
+
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = t_closeness_audit(spark, sf_dir).collect()
+    n_releasable = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .count()
+        .filter(F.col("count") >= KANON_K)
+        .count()
+    )
+    assert len(rows) == n_releasable
+    for r in rows:
+        assert r["n_members"] >= KANON_K
+        assert 0.0 <= r["t_emd"] <= 1.0
+        assert r["breaches_t"] == (r["t_emd"] > T_CLOSENESS_T)
+
+
+def test_bfs_hops_histogram_invariants(spark, sf_dir):
+    """Seeds all sit at hop 0; hop values stay within the cap (or -1);
+    the histogram covers the whole pair-graph vertex set."""
+    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+    from map_reduce_engine_cdps_spark.plans.graph import (
+        BFS_MAX_HOPS,
+        BFS_SEEDS,
+        bfs_hops,
+    )
+
+    rows = {r["hops"]: r["n_docs"] for r in bfs_hops(spark, sf_dir).collect()}
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    n_verts = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+        .count()
+    )
+    assert sum(rows.values()) == n_verts
+    assert rows.get(0) == min(BFS_SEEDS, n_verts)
+    assert all(h == -1 or 0 <= h <= BFS_MAX_HOPS for h in rows)
+
+
+def test_retrieval_ndcg_eval_bounds(spark, sf_dir):
+    """nDCG is in (0, 1]; DCG never exceeds IDCG; the candidate
+    universe is every doc hitting at least one query term."""
+    from map_reduce_engine_cdps_spark.plans.textops import retrieval_ndcg_eval
+
+    r = retrieval_ndcg_eval(spark, sf_dir).collect()[0]
+    assert r["n_candidates"] > 0
+    assert 0 < r["dcg_micros"] <= r["idcg_micros"]
+    assert 0.0 < r["ndcg_at_10"] <= 1.0
