@@ -204,6 +204,33 @@ SNAPSHOTS: dict[str, str] = {
         "whole split audit is two scans and one shuffle regardless of "
         "event count (measured flat 0.5 s from sf1 to sf10)."
     ),
+    "t_closeness_audit": (
+        "One conditional-aggregate pass over customer (partial "
+        "`HashAggregate` before the exchange — shuffle rows are "
+        "O(QI classes), not O(customers)); the global tier "
+        "distribution rides as a `BroadcastExchange` of ONE row, so "
+        "the per-class EMD is a map-side expression. The audit costs "
+        "exactly one scan more than the k-anonymity release it "
+        "audits."
+    ),
+    "bfs_hops": (
+        "The captured plan is the final hop histogram (the 8 "
+        "Bellman-Ford layer rounds each ran as their own bounded job "
+        "over the eager-checkpointed edge list — `Scan ExistingRDD`): "
+        "label state is O(reached vertices) per round, the edge list "
+        "is partitioned by src ONCE and never re-shuffled, and every "
+        "labels-side join is pinned `ShuffledHashJoin` — a "
+        "corpus-sized label table must never ride a broadcast, "
+        "however small the toy SF makes it look."
+    ),
+    "retrieval_ndcg_eval": (
+        "Identical scale spine to bm25_scores: the only wide exchange "
+        "is the (doc_id, word) tf aggregate; query terms, document "
+        "frequencies, avgdl, and N all `BroadcastExchange`. The two "
+        "rank windows run AFTER `TakeOrderedAndProject(10)` on the "
+        "rounded score, so the single-partition `Window` sees 10 "
+        "rows, never the candidate universe."
+    ),
 }
 
 
