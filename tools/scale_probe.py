@@ -60,6 +60,10 @@ QUERIES = [
     "label_propagation_communities",
     "ktruss_edges",
     "dbscan_clusters",
+    # round-8 continuation additions (graph distance, IR eval, privacy)
+    "bfs_hops",
+    "retrieval_ndcg_eval",
+    "t_closeness_audit",
 ]
 
 SFS = {
