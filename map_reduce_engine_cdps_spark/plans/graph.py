@@ -836,6 +836,46 @@ BFS_SEEDS = 10
 BFS_MAX_HOPS = 8
 
 
+def bfs_layers(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Bellman-Ford layer relaxation: min hop distance from ``seeds``
+    (column ``v``) over directed ``edges`` (columns ``src, dst``),
+    exactly ``max_hops`` rounds. Returns (v, d) for every vertex with
+    true distance <= max_hops; deeper vertices provably get NO row
+    (every discovered path's length is bounded by the round count).
+    Factored out of bfs_hops so convergence semantics are
+    unit-testable on hand-built graphs (paths, cycles, disconnected
+    pieces) — the connected_components treatment."""
+    labels = seeds.select("v", F.lit(0).cast("long").alias("d")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_hops):
+        nbr = (
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg((F.min("d") + 1).alias("nd"))
+        )
+        # Eager localCheckpoint EVERY round, not persist/rotate: a BFS
+        # round stacks a join + full-outer join on the previous round's
+        # plan, and persist caches rows while Catalyst still re-walks
+        # the whole logical tree — measured 1.2 → 14.3 s/round growth
+        # by round 8 at sf0.001 with persist-only rotation, flat
+        # ~0.5 s/round checkpointed (the dbscan/star-loop plan-growth
+        # rule; state is O(reached vertices), so pinning the round
+        # checkpoints is noise).
+        labels = (
+            labels.withColumnRenamed("d", "od")
+            .join(nbr.hint("shuffle_hash"), "v", "full_outer")
+            .select("v", F.least(
+                F.coalesce("od", F.lit(max_hops + 1)),
+                F.coalesce("nd", F.lit(max_hops + 1)),
+            ).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
     from pyspark import StorageLevel
@@ -851,32 +891,7 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     seeds = verts.orderBy("v").limit(BFS_SEEDS)
-    labels = seeds.select("v", F.lit(0).cast("long").alias("d")).localCheckpoint(
-        eager=True
-    )
-    for _ in range(BFS_MAX_HOPS):
-        nbr = (
-            e.join(labels.hint("shuffle_hash"), e.src == labels.v)
-            .groupBy(F.col("dst").alias("v"))
-            .agg((F.min("d") + 1).alias("nd"))
-        )
-        # Eager localCheckpoint EVERY round, not persist/rotate: a BFS
-        # round stacks a join + full-outer join on the previous round's
-        # plan, and persist caches rows while Catalyst still re-walks
-        # the whole logical tree — measured 1.2 → 14.3 s/round growth
-        # by round 8 at sf0.001 with persist-only rotation, flat
-        # ~0.5 s/round checkpointed (the dbscan/star-loop plan-growth
-        # rule; state is O(reached vertices), so pinning 8 checkpoints
-        # is noise).
-        labels = (
-            labels.withColumnRenamed("d", "od")
-            .join(nbr.hint("shuffle_hash"), "v", "full_outer")
-            .select("v", F.least(
-                F.coalesce("od", F.lit(BFS_MAX_HOPS + 1)),
-                F.coalesce("nd", F.lit(BFS_MAX_HOPS + 1)),
-            ).alias("d"))
-            .localCheckpoint(eager=True)
-        )
+    labels = bfs_layers(e, seeds, BFS_MAX_HOPS)
     hist = (
         verts.join(labels.hint("shuffle_hash"), "v", "left")
         .select(F.coalesce("d", F.lit(-1)).alias("hops"))

@@ -1532,3 +1532,32 @@ def test_retrieval_ndcg_eval_bounds(spark, sf_dir):
     assert r["n_candidates"] > 0
     assert 0 < r["dcg_micros"] <= r["idcg_micros"]
     assert 0.0 < r["ndcg_at_10"] <= 1.0
+
+
+def test_bfs_layers_hand_graph(spark):
+    """Path 0-1-2-3-4, cycle 10-11-12-10, isolated 20, and a vertex 30
+    one hop past the cap: exact min distances from seeds {0, 10}; the
+    over-cap vertex gets NO row; cycle distances take the short way."""
+    from map_reduce_engine_cdps_spark.plans.graph import bfs_layers
+
+    undirected = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
+    # chain 4-5-6-7 hangs off the path so vertex 7 is 7 hops from 0
+    undirected += [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(
+        undirected + [(b, a) for a, b in undirected], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (10,)], "v long")
+    got = {
+        r["v"]: r["d"] for r in bfs_layers(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: 3,          # path truncated at the cap
+        10: 0, 11: 1, 12: 1,             # cycle: both directions, min wins
+    }
+    # 4 (distance 4) and everything past it: provably no label at cap 3
+    assert 4 not in got and 7 not in got and 20 not in got
+    # at a cap covering the whole graph, all reachable distances exact
+    got8 = {
+        r["v"]: r["d"] for r in bfs_layers(edges, seeds, max_hops=8).collect()
+    }
+    assert got8[7] == 7 and got8[4] == 4 and 20 not in got8
