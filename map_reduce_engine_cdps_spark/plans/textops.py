@@ -2198,9 +2198,16 @@ def query_expansion_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_parallel(spark, sf_dir, "documents")
     n_docs = docs.count()
-    dt = docs.select(
-        "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
-    ).distinct()
+    # Eager-checkpoint the distinct doc-term frame: FOUR consumers
+    # (dfreq, the query-term probe, and both sides of the co-occurrence
+    # join) otherwise re-plan the tokenize+distinct subtree each.
+    dt = (
+        docs.select(
+            "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dfreq = dt.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     query = (
         docs.select(F.explode(TX.clean_tokens(F.col("text"))).alias("word"))
