@@ -1561,3 +1561,54 @@ def test_bfs_layers_hand_graph(spark):
         r["v"]: r["d"] for r in bfs_layers(edges, seeds, max_hops=8).collect()
     }
     assert got8[7] == 7 and got8[4] == 4 and 20 not in got8
+
+
+def test_bfs_layers_matches_python_bfs_on_random_graphs(spark):
+    """Property: on random small graphs, bfs_layers agrees exactly with
+    a pure-Python multi-source BFS — every vertex within the cap gets
+    its true min distance, every deeper vertex gets no row."""
+    from collections import deque
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_engine_cdps_spark.plans.graph import bfs_layers
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 14), st.integers(0, 14)),
+            min_size=1, max_size=25,
+        ),
+        st.integers(1, 4),
+    )
+    def check(edge_list, max_hops):
+        undirected = [(a, b) for a, b in edge_list if a != b]
+        if not undirected:
+            return
+        sym = undirected + [(b, a) for a, b in undirected]
+        verts = sorted({v for e in sym for v in e})
+        seed_ids = verts[:2]
+        # reference: multi-source BFS in plain Python
+        adj: dict = {}
+        for a, b in sym:
+            adj.setdefault(a, set()).add(b)
+        dist = {s: 0 for s in seed_ids}
+        q = deque(seed_ids)
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):  # noqa: B023
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        expect = {v: d for v, d in dist.items() if d <= max_hops}
+        edges = spark.createDataFrame(sym, "src long, dst long")
+        seeds = spark.createDataFrame([(s,) for s in seed_ids], "v long")
+        got = {
+            r["v"]: r["d"]
+            for r in bfs_layers(edges, seeds, max_hops=max_hops).collect()
+        }
+        assert got == expect, (sorted(sym), seed_ids, max_hops)
+
+    check()
