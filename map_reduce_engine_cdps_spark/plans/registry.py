@@ -1476,6 +1476,16 @@ _PRIORITY_ORDER = [
     "embedding_dim_stats",
     "pca_explained_variance",
     # --- round-8 additions: never certified yet, lead the r9 window ---
+    # Round-9 rotation plan (apply at r9 start, AFTER the r8 gate has
+    # run): move these 8 names into window positions 1-8 (they are the
+    # entire oracle-backed never-certified set — certifying them makes
+    # every oracle-backed registry query driver-green), then fill 9-50
+    # with canaries rotated for family coverage: the TPC-H battery
+    # head, one query per memo family (lsh pairs, truth, linkage, CC
+    # labels, embedding pairs), the streaming twins, the multimodal
+    # decode paths, and the compat shims. Keep rows-only
+    # pca_explained_variance OUT of the first 50 (its identity twin
+    # pca_variance_identity is the certifiable projection).
     "near_dup_prune",
     "duplicate_spans_sampled",
     "boilerplate_span_topk",
