@@ -134,7 +134,21 @@ def main() -> None:
         "runs": runs,
         "methodology": "median+IQR over interleaved passes, warm-up pass excluded",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Provenance (VERDICT r8 item 8): builder runs export
+        # SPARK_GRAFT_BENCH_CONTEXT=builder-quiet; the round driver sets
+        # nothing, so an unlabeled artifact is a driver-window run.
+        "context": os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "driver-window"),
     }
+    try:
+        import subprocess as _sp0
+
+        out["tree_commit"] = _sp0.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:  # pragma: no cover
+        out["tree_commit"] = "unknown"
     if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         sf1, sf1_iqr = run_suite(spark, SF1_DIR, runs=runs)
         out["sf1_queries"] = sf1

@@ -2072,3 +2072,73 @@ SELECT c_mktsegment, c_nationkey, CAST(n AS BIGINT) AS n_members,
 FROM cls CROSS JOIN gl
 WHERE n >= {KANON_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# group_holdout_split — leakage-safe GROUP-level train/val/test split
+# (round 9): every event of a user lands in exactly one split, decided
+# by a content-independent hash of the GROUP key (user_id), not the
+# row. The complement of temporal_split_stats: row-wise or time-range
+# splits put one user's behaviour on both sides, so any per-user model
+# evaluates on users it trained on; hashing the group key makes the
+# holdout users truly unseen. train_test_split (plans/relational.py)
+# is the row-rank variant; this is the grouped variant a training-data
+# pipeline needs for user-level modeling.
+#
+# Split rule: first hex char of md5(user_id) — '0'-'b' train (12/16),
+# 'c'-'d' val (2/16), 'e'-'f' test (2/16). md5 of the decimal string
+# is engine-identical (proven by negative_sampling_pairs), needs no
+# RNG, and is stable under re-runs and incremental appends (a new
+# user's split never depends on what else arrived).
+#
+# Scale shape: one projection (hash is per-row, no pre-agg on user
+# needed — the split is a pure function of user_id) and one 3-group
+# aggregate; count_distinct(user_id) is the only shuffle-heavy part
+# and shuffles (split, user_id) pairs only. The event-share divide is
+# integers-into-double once per output row (3 rows), not a per-row
+# float path.
+# ---------------------------------------------------------------------------
+
+
+def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    h = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+    split = (
+        F.when(h.between("0", "b"), "train")
+        .when(h.between("c", "d"), "val")
+        .otherwise("test")
+    )
+    agg = ev.select(split.alias("split"), "user_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    total = F.sum("n_events").over(W.partitionBy())
+    return agg.select(
+        "split",
+        "n_events",
+        "n_users",
+        F.round(F.col("n_events").cast("double") / total, 6).alias("event_share"),
+    )
+
+
+GROUP_HOLDOUT_SPLIT_SQL = """
+WITH tagged AS (
+  SELECT event_id, user_id,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   BETWEEN '0' AND 'b' THEN 'train'
+              WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   BETWEEN 'c' AND 'd' THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+), agg AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM tagged GROUP BY split
+)
+SELECT split, n_events, n_users,
+       round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (), 6)
+         AS event_share
+FROM agg
+"""

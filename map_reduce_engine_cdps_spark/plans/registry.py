@@ -1157,6 +1157,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.retrieval_ndcg_eval,
         textops.RETRIEVAL_NDCG_EVAL_SQL,
     ),
+    # --- round-9 rationed additions (2; window positions 9-10) ---
+    # leakage-safe GROUP-level split: every user in exactly one split
+    "group_holdout_split": (
+        curation.group_holdout_split,
+        curation.GROUP_HOLDOUT_SPLIT_SQL,
+    ),
+    # similarity-ranked negatives inside the tiered md5 buckets
+    "hard_negative_mining": (
+        similarity.hard_negative_mining,
+        similarity.HARD_NEGATIVE_MINING_SQL,
+    ),
 }
 
 
@@ -1179,17 +1190,74 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # --- round-8 certification window (driver gate = first 50) ---
-    # 2 canaries (shipping_priority: TPC-H broadcast-join battery,
-    # r5-green; media_features: Arrow mapInPandas multimodal path,
-    # r5-green) + the ENTIRE remaining never-driver-certified
-    # oracle-backed backlog (48 names) — this window completes the
-    # certification drain (VERDICT r6 item 1 / r7 plan): after it,
-    # every oracle-backed registry query has a driver-green row and
-    # only pca_explained_variance (rows-only, identity-twinned by
-    # pca_variance_identity) remains uncertified.
+    # --- round-9 certification window (driver gate = first 50) ---
+    # Positions 1-8: the ENTIRE oracle-backed never-driver-certified
+    # set (the 8 round-8 additions, all judge-replica green in the r8
+    # VERDICT) -- certifying them makes every oracle-backed registry
+    # query driver-green; only rows-only pca_explained_variance
+    # (identity-twinned by driver-green pca_variance_identity) stays
+    # outside the gate. Positions 9-50: family-coverage canaries per
+    # the staged r9 rotation plan -- TPC-H battery head, one query per
+    # memo family (truth / linkage / CC labels / embedding pairs /
+    # lsh pairs), the streaming twins, the multimodal decode paths,
+    # the compat shims, and one slice of each big family (dedup, ANN,
+    # text, curation, graph). lsh_ann_topk is deliberately in-window:
+    # its r8 driver sf1 reading doubled on an unchanged path and this
+    # round carries the isolated-vs-interleaved A/B receipt (VERDICT
+    # r8 item 2).
+    "near_dup_prune",
+    "duplicate_spans_sampled",
+    "boilerplate_span_topk",
+    "temporal_split_stats",
+    "span_sample_error_eval",
+    "t_closeness_audit",
+    "bfs_hops",
+    "retrieval_ndcg_eval",
+    # positions 9-10: the round-9 rationed additions (certify same round
+    # so the never-certified set stays empty after the r9 gate)
+    "group_holdout_split",
+    "hard_negative_mining",
+    "pricing_summary",
     "shipping_priority",
+    "danger_topk",
+    "lsh_pair_recall_eval",
+    "customer_record_linkage",
+    "near_dup_clusters",
+    "embedding_near_dup",
+    "minhash_lsh_pairs",
+    "streaming_window_counts",
+    "streaming_user_sessions",
+    "streaming_trending_topk",
+    "streaming_click_purchase_join",
+    "ppm_image_features",
+    "ppm_cnn_embeddings",
+    "wav_audio_windows",
     "media_features",
+    "image_dhash_dedup",
+    "wordcount_shim",
+    "danger_shim",
+    "one_vs_one_shim_pairs",
+    "dedup_exact",
+    "dedup_keep_best",
+    "duplicate_spans",
+    "simhash_buckets",
+    "minhash_signatures",
+    "knn_bruteforce",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ann_recall_eval",
+    "kmeans_lloyd",
+    "dbscan_clusters",
+    "wordcount",
+    "bm25_scores",
+    "tfidf_top_terms",
+    "lang_id_accuracy",
+    "quality_filter_flags",
+    "decontamination",
+    "token_budget_sample",
+    "kanon_release_stats",
+    "dup_graph_triangles",
+    # --- certified in earlier rounds (r2-r8 driver-green) ---
     "reservoir_sample_per_source",
     "customer_upsert",
     "order_status_runs",
@@ -1237,9 +1305,6 @@ _PRIORITY_ORDER = [
     "nb_lang_confusion",
     "customer_scd2_history",
     "length_bucket_batches",
-    "kanon_release_stats",
-    # --- certified in earlier rounds (r2-r7 driver-green) ---
-    "pricing_summary",
     "doc_embeddings",
     "bootstrap_revenue_ci",
     "rolling_revenue_qty_corr",
@@ -1256,7 +1321,6 @@ _PRIORITY_ORDER = [
     "one_vs_one_shim",
     "ensemble_vote_accuracy",
     "pca_variance_identity",
-    "lsh_pair_recall_eval",
     "lsh_band_tuning_eval",
     "shingle_size_sensitivity",
     "dup_length_bias",
@@ -1264,8 +1328,6 @@ _PRIORITY_ORDER = [
     "blocking_overlap_eval",
     "incremental_near_dup",
     "minhash_containment",
-    "dup_graph_triangles",
-    "customer_record_linkage",
     "customer_golden_records",
     "sorted_neighborhood_pairs",
     "simhash_hamming_pairs",
@@ -1277,7 +1339,6 @@ _PRIORITY_ORDER = [
     "kcore_membership",
     "degree_assortativity",
     "jl_distance_distortion",
-    "dbscan_clusters",
     "kcenter_seeds",
     "submodular_coverage_sample",
     "semdedup_prune",
@@ -1289,7 +1350,6 @@ _PRIORITY_ORDER = [
     "wand_pruned_retrieval",
     "query_expansion_pmi",
     "term_burstiness",
-    "minhash_lsh_pairs",
     "text_quality",
     "pyds_synthetic_stats",
     "multi_resolution_rollup",
@@ -1335,16 +1395,10 @@ _PRIORITY_ORDER = [
     "bigram_logprob_scores",
     "seasonal_decompose_revenue",
     "kfold_assignments",
-    "kmeans_lloyd",
     "bpe_merges",
     "bpe_token_compression",
-    "danger_topk",
-    "lsh_ann_topk",
-    "streaming_user_sessions",
     "streaming_dedup_events",
     "streaming_segment_counts",
-    "streaming_click_purchase_join",
-    "streaming_trending_topk",
     "priority_order_counts",
     "small_qty_revenue",
     "top_return_customers",
@@ -1379,21 +1433,13 @@ _PRIORITY_ORDER = [
     "tree_covariance",
     "arrow_norm_stats",
     "arrow_label_centroids",
-    "image_dhash_dedup",
     "audio_window_features",
     "ppm_gradient_features",
     "click_purchase_within_1h",
     "salted_type_stats",
     "salted_above_type_mean",
     "json_props_extract",
-    "wordcount_shim",
-    "danger_shim",
-    "one_vs_one_shim_pairs",
-    "lang_id_accuracy",
-    "token_stats",
     "doc_fingerprints",
-    "tfidf_top_terms",
-    "bm25_scores",
     "inverted_index_stats",
     "top_bigrams",
     "doc_repetition_stats",
@@ -1403,9 +1449,6 @@ _PRIORITY_ORDER = [
     "zipf_fit",
     "vocab_growth_heaps",
     "kwic_snippets",
-    "quality_filter_flags",
-    "decontamination",
-    "token_budget_sample",
     "source_mixing_weights",
     "doc_chunks",
     "pack_chunks_bins",
@@ -1425,14 +1468,8 @@ _PRIORITY_ORDER = [
     "window_ranks",
     "click_asof_purchase",
     "click_asof_cogroup",
-    "streaming_window_counts",
     "streaming_sliding_distinct",
-    "ppm_image_features",
-    "ppm_cnn_embeddings",
     "ppm_video_frame_samples",
-    "wav_audio_windows",
-    "wordcount",
-    "revenue_by_nation",
     "customers_with_orders",
     "customers_without_orders",
     "distinct_segments",
@@ -1457,43 +1494,14 @@ _PRIORITY_ORDER = [
     "file_provenance_stats",
     "stable_row_ids",
     "bucketed_join_stats",
-    "dedup_exact",
-    "dedup_keep_best",
     "incremental_dedup",
-    "minhash_signatures",
-    "simhash_buckets",
     "ngram_jaccard_topk",
-    "near_dup_clusters",
-    "duplicate_spans",
     "edit_distance_pairs",
     "cross_source_leakage",
-    "knn_bruteforce",
     "lsh_bucket_stats",
-    "ivf_ann_topk",
-    "ann_recall_eval",
-    "embedding_near_dup",
     "embedding_covariance",
     "embedding_dim_stats",
     "pca_explained_variance",
-    # --- round-8 additions: never certified yet, lead the r9 window ---
-    # Round-9 rotation plan (apply at r9 start, AFTER the r8 gate has
-    # run): move these 8 names into window positions 1-8 (they are the
-    # entire oracle-backed never-certified set — certifying them makes
-    # every oracle-backed registry query driver-green), then fill 9-50
-    # with canaries rotated for family coverage: the TPC-H battery
-    # head, one query per memo family (lsh pairs, truth, linkage, CC
-    # labels, embedding pairs), the streaming twins, the multimodal
-    # decode paths, and the compat shims. Keep rows-only
-    # pca_explained_variance OUT of the first 50 (its identity twin
-    # pca_variance_identity is the certifiable projection).
-    "near_dup_prune",
-    "duplicate_spans_sampled",
-    "boilerplate_span_topk",
-    "temporal_split_stats",
-    "span_sample_error_eval",
-    "t_closeness_audit",
-    "bfs_hops",
-    "retrieval_ndcg_eval",
 ]
 
 assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (

@@ -2041,3 +2041,98 @@ SELECT {HUB_QUERIES} AS n_queries, {HUB_K} AS k, n AS n_corpus,
              ELSE 0.0 END, 4) AS indeg_skewness
 FROM (SELECT mo.*, nn.n, s1 / CAST(nn.n AS DOUBLE) AS mu FROM mo, nn), hub
 """
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining — contrastive-training pair mining (round 9):
+# for each anchor vector, the _HN_K MOST-SIMILAR candidates with a
+# DIFFERENT label inside the anchor's hash bucket. The similarity-
+# ranked complement of negative_sampling_pairs (which picks hash-order
+# "random" negatives): hard negatives near the decision boundary are
+# what contrastive and reranker training actually wants.
+#
+# Scale shape: the identical tiered md5 bucketing as
+# negative_sampling_pairs (_neg_bucket_chars — bucket count grows with
+# the corpus, so the bucket self-join stays O(n x bucket_size), never
+# the O(n^2) all-pairs cross join a naive hard-negative miner does),
+# norms precomputed per ROW below the pair join (knn pattern), cosine
+# through the Arrow kernel, rounded JVM-side, per-anchor top-k via a
+# bucket-partitionable window. At 100 TB the bucket key doubles as the
+# shuffle key: pairs never leave their bucket until the final top-k.
+# ---------------------------------------------------------------------------
+
+_HN_K = 2
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    chars = _neg_bucket_chars(emb.count())
+    norm_pd = V.norm_arrow()
+    bucket = F.substring(F.md5(F.col("vec_id").cast("string")), 1, chars)
+    base = emb.select(
+        "vec_id", "label", "embedding", bucket.alias("bucket"),
+        norm_pd(F.col("embedding")).alias("nrm"),
+    )
+    anchors = base.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_n"),
+        "bucket",
+    )
+    cands = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_n"),
+        "bucket",
+    )
+    pairs = (
+        anchors.join(cands, "bucket")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                _cos_pre_arrow(
+                    F.col("a_emb"), F.col("c_emb"), F.col("a_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label",
+                "cos_sim", "rank")
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+e AS (
+  SELECT vec_id, label, embedding,
+         substr(md5(CAST(vec_id AS VARCHAR)), 1,
+                CASE WHEN nn.n <= {_NEG_BUCKET_TIERS[0][0]} THEN {_NEG_BUCKET_TIERS[0][1]}
+                     WHEN nn.n <= {_NEG_BUCKET_TIERS[1][0]} THEN {_NEG_BUCKET_TIERS[1][1]}
+                     ELSE {_NEG_MAX_CHARS} END) AS bucket
+  FROM embeddings CROSS JOIN nn
+),
+pairs AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         {_DUCK_COS} AS cos_sim
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.label != c.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos_sim DESC, neg_id ASC) AS rank
+  FROM pairs
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rank
+FROM ranked WHERE rank <= {_HN_K}
+"""

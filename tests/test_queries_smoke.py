@@ -1612,3 +1612,53 @@ def test_bfs_layers_matches_python_bfs_on_random_graphs(spark):
         assert got == expect, (sorted(sym), seed_ids, max_hops)
 
     check()
+
+
+def test_group_holdout_split_invariants(spark, sf_dir):
+    """Splits partition the event stream exactly (no row lost or
+    double-counted), user counts partition the user set (the leakage
+    guarantee: a user appears in exactly one split), and shares sum
+    to ~1."""
+    from map_reduce_engine_cdps_spark.plans.curation import group_holdout_split
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = {r["split"]: r for r in group_holdout_split(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows.values()) == ev.count()
+    assert sum(r["n_users"] for r in rows.values()) == (
+        ev.select("user_id").distinct().count()
+    )
+    assert abs(sum(r["event_share"] for r in rows.values()) - 1.0) < 1e-5
+    assert set(rows) <= {"train", "val", "test"}
+    # the split is a pure function of user_id — re-running must give
+    # byte-identical assignments (no RNG, no run-order dependence).
+    # (12/16 of the hash space is train, but with ~15 users at sf0.001
+    # the realized split can deviate arbitrarily — no dominance check.)
+    rows2 = {r["split"]: r for r in group_holdout_split(spark, sf_dir).collect()}
+    assert rows == rows2
+
+
+def test_hard_negative_mining_invariants(spark, sf_dir):
+    """Every mined negative has a different label than its anchor,
+    at most _HN_K per anchor, ranks are 1..k dense, and similarities
+    are non-increasing within an anchor (the 'hard' ordering)."""
+    import collections
+
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        _HN_K,
+        hard_negative_mining,
+    )
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    assert rows
+    per_anchor = collections.defaultdict(list)
+    for r in rows:
+        assert r["anchor_label"] != r["neg_label"]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+        per_anchor[r["anchor_id"]].append(r)
+    for rs in per_anchor.values():
+        assert len(rs) <= _HN_K
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
