@@ -1386,9 +1386,13 @@ FROM agg ORDER BY source
 # O(corpus tokens × span bytes) through the shuffle: pass 1 aggregates
 # scalar (whash, doc_id) rows and keeps only the K winning hashes
 # (a bounded K-row collect — the documented exception to the
-# no-collect rule); pass 2 re-derives span text and filters to the K
-# broadcast hashes BEFORE any shuffle, so text for exactly K spans
-# crosses an exchange.
+# no-collect rule) PLUS one exemplar doc_id per winner; pass 2 then
+# re-tokenizes ONLY the <= K exemplar documents (doc_id IN (...)
+# pushed to the parquet scan) to recover span text — every occurrence
+# of a hash is the same text, so one containing doc suffices. The
+# round-8 formulation re-derived spans for the WHOLE corpus in pass 2
+# and filtered by broadcast hash afterwards: 2x the corpus tokenize
+# for no extra information (7.7 -> ~4 s at sf1).
 # ---------------------------------------------------------------------------
 
 TOP_SPANS_K = 20
@@ -1405,6 +1409,7 @@ def boilerplate_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("exemplar"),
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("whash"))
@@ -1415,8 +1420,10 @@ def boilerplate_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["whash"], r["n_docs"], r["n_occurrences"]) for r in top],
         "whash string, n_docs long, n_occurrences long",
     )
+    exemplars = sorted({r["exemplar"] for r in top})
     spans = (
-        docs.select(F.explode(TX.pos_ngrams(toks, SPAN_W)).alias("span"))
+        docs.filter(F.col("doc_id").isin(exemplars))
+        .select(F.explode(TX.pos_ngrams(toks, SPAN_W)).alias("span"))
         .withColumn("whash", F.md5("span"))
         .join(F.broadcast(top_df), "whash")
         .select("whash", "span", "n_docs", "n_occurrences")

@@ -64,6 +64,12 @@ QUERIES = [
     "bfs_hops",
     "retrieval_ndcg_eval",
     "t_closeness_audit",
+    # round-8 span-dedup family (VERDICT r8 item 7) + round-9 additions
+    "duplicate_spans_sampled",
+    "boilerplate_span_topk",
+    "near_dup_prune",
+    "group_holdout_split",
+    "hard_negative_mining",
 ]
 
 SFS = {
