@@ -108,17 +108,58 @@ def main() -> None:
             rec["ratio"] = round(rec["large"] / rec["small"], 2)
         out[name] = rec
         print(f"{name}: {rec}", file=sys.stderr)
+    # Warm-median hygiene (VERDICT r8 item 3): a first-touch cold run
+    # can read 5-7x the query's true wall (incremental_near_dup's
+    # 19.8 s line in SWEEP_r08 was 2.8-3.8 s warm) and a committed
+    # artifact then carries a misleading main-line number. Re-run
+    # every expensive large-SF line once more inside the SAME session
+    # (everything is warm by now — the whole registry has executed):
+    # the MAIN `large` becomes the warm re-run, the cold first touch
+    # moves to `large_cold`, and the ratio is recomputed from the warm
+    # number. Cheap lines (<3 s) keep their single reading — re-running
+    # 300+ queries would double the sweep for sub-noise deltas.
+    for name, (fn, _) in _REGISTRY.items():
+        rec = out[name]
+        if rec.get("large", 0) >= 3.0:
+            t0 = time.perf_counter()
+            try:
+                fn(spark, large).count()
+                warm = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"sweep rewarm error {name}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                continue
+            rec["large_cold"] = rec["large"]
+            rec["large"] = warm
+            if rec.get("small", 0) > 0:
+                rec["ratio"] = round(warm / rec["small"], 2)
+            print(f"rewarm {name}: cold={rec['large_cold']} warm={warm}",
+                  file=sys.stderr)
     flagged = sorted(
         (n for n, r in out.items()
          if r.get("large", 0) >= 1.0 and r.get("ratio", 0) > 4.0),
         key=lambda n: -out[n]["ratio"],
     )
+    try:
+        import subprocess as _sp
+
+        commit = _sp.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:  # pragma: no cover
+        commit = "unknown"
     print(json.dumps({
         "queries": out,
         "flagged": flagged,
         "annotations": {n: ANNOTATIONS[n] for n in flagged if n in ANNOTATIONS},
         "small": small,
         "large": large,
+        "context": os.environ.get("SPARK_GRAFT_BENCH_CONTEXT", "builder-quiet"),
+        "tree_commit": commit,
+        "main_line_policy": "large>=3s lines re-run warm in-session; "
+                            "cold first touch preserved in large_cold",
     }))
 
 
