@@ -2551,19 +2551,25 @@ def lsh_band_tuning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("cfg", "doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    n_cand = {
-        r_["cfg"]: r_["n"]
-        for r_ in cand.groupBy("cfg").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n_caught = {
-        r_["cfg"]: r_["n"]
-        for r_ in cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+    # One action for BOTH counts (round 9; was checkpoint + two
+    # collects): tag each candidate with truth membership via a left
+    # join and aggregate count + sum(tag) per config in a single job —
+    # the candidate front is computed once and never materialized.
+    stats = {
+        r_["cfg"]: (r_["n"], r_["caught"])
+        for r_ in cand.join(
+            truth.withColumn("is_true", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
         .groupBy("cfg")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("is_true", F.lit(0))).alias("caught"),
+        )
         .collect()
     }
+    n_cand = {cfg: n for cfg, (n, _) in stats.items()}
+    n_caught = {cfg: c for cfg, (_, c) in stats.items()}
     out = []
     for ci, (nb, r) in enumerate(_TUNE_CONFIGS):
         caught = n_caught.get(ci, 0)
