@@ -591,25 +591,29 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.col("is_late")).alias("is_late"))
     )
-    late = pairs.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
-    others = pairs.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    )
-    late_others = late.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    # "Lonely late" without self-joins (round 9): the semi-join
+    # (some OTHER supplier exists) and anti-join (no OTHER supplier is
+    # late) over the pairs frame are equivalent to two per-order
+    # scalars — a late supplier qualifies iff its order has >1
+    # distinct supplier and exactly 1 late one. One groupBy replaces
+    # two non-equi self-joins (which Catalyst planned as broadcast
+    # nested loops over the pair frame), and the shuffle key
+    # (l_orderkey) is a prefix of the pairs frame's grouping key, so
+    # the aggregate is map-side-partial on co-located data.
+    ord_stats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("is_late").cast("int")).alias("n_late"),
     )
     lonely_late = (
-        late.join(
-            others,
-            (late.l_orderkey == others.o_key) & (late.l_suppkey != others.o_supp),
+        pairs.filter(F.col("is_late"))
+        .join(
+            ord_stats.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
             "left_semi",
         )
-        .join(
-            late_others,
-            (late.l_orderkey == late_others.o_key)
-            & (late.l_suppkey != late_others.o_supp),
-            "left_anti",
-        )
+        .select("l_orderkey", "l_suppkey")
     )
     return (
         lonely_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
