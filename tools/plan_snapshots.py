@@ -98,11 +98,13 @@ SNAPSHOTS: dict[str, str] = {
     ),
     "waiting_suppliers": (
         "TPC-H Q21 shape: the fact collapses to distinct (orderkey, "
-        "suppkey, late) pairs FIRST, so the EXISTS (left_semi) and NOT "
-        "EXISTS (left_anti) self-joins run over the reduced projection, "
-        "all three legs hash-partitioned on l_orderkey — AQE reuses one "
-        "shuffle layout. The O(lines²-per-order) blowup of a naive "
-        "self-join never happens."
+        "suppkey, late) pairs FIRST; then — round-9 rework — the EXISTS/"
+        "NOT-EXISTS pair is computed as two per-order scalars (n_supp > "
+        "1 AND n_late == 1) by one groupBy on l_orderkey (a prefix of "
+        "the pairs grouping key, so the partial agg is co-located) plus "
+        "one equi left_semi join. The non-equi self-joins Catalyst had "
+        "to plan as BroadcastNestedLoopJoin are gone; no nested loop "
+        "touches a fact-derived frame."
     ),
     "large_volume_customers": (
         "TPC-H Q18 shape: GROUP BY + HAVING reduces lineitem to the "
@@ -194,7 +196,28 @@ SNAPSHOTS: dict[str, str] = {
         "explode feeds a `BroadcastHashJoin` against the K-row hash "
         "table (`Scan ExistingRDD`), so text for only K distinct spans "
         "ever crosses an exchange — payload bytes are O(K), not "
-        "O(corpus tokens)."
+        "O(corpus tokens). Round 9: pass 2 additionally filters to the "
+        "<= K exemplar doc_ids kept by pass 1 (doc_id IN (...) pushed "
+        "to the parquet scan), so the second tokenize touches K "
+        "documents, not the corpus."
+    ),
+    "group_holdout_split": (
+        "Leakage-safe group split: the split is a pure per-row function "
+        "of md5(user_id) — no pre-aggregation on the group key, no RNG "
+        "state — so the only exchange is the final 3-group aggregate, "
+        "and count_distinct(user_id) shuffles (split, user_id) scalar "
+        "pairs only. The unpartitioned window for event_share runs over "
+        "the 3-row aggregate, not data."
+    ),
+    "hard_negative_mining": (
+        "Bucketed hard-negative mining: the pair join is equi on the "
+        "tiered md5 bucket (bucket count grows with the corpus — "
+        "O(n x bucket_size), never a cross join), norms are computed "
+        "once per ROW below the join via the Arrow kernel, and the "
+        "per-anchor top-k window partitions on anchor_id. At 100 TB "
+        "the naive formulation (every anchor vs every cross-label "
+        "candidate) is quadratic; this plan's candidate set is bounded "
+        "by bucket occupancy."
     ),
     "temporal_split_stats": (
         "No global sort and no window: the cutoff is two scalar "
