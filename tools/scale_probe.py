@@ -19,6 +19,7 @@ Defaults: 3 runs, /root/repo/SCALE_PROBE_sf10.json. Expects
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -171,7 +172,14 @@ def main() -> None:
 
     payload = {
         "probe": "sf1->sf10 (10x data)", "runs_per_point": runs,
-        "interleaved": True, "queries": out,
+        "interleaved": True,
+        # The shared local-mode JVM needs a cluster-executor-sized heap
+        # for the sf10 shuffles: at 16g the adamic_adar_links@sf10 line
+        # heap-OOMs and poisons every later line in the session (seen
+        # round 9). Record what this run used so a -1.0 artifact line
+        # is attributable.
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "queries": out,
         "superlinear": sorted(
             (q for q in QUERIES
              if out[q]["ratio"] > 10.0
