@@ -169,6 +169,28 @@ def main() -> None:
 # at-most-linear work; it trips the flag only because the sf0.1 point
 # is fixed-overhead-dominated for these queries.
 ANNOTATIONS = {
+    "linkage_pairs_memo_build": (
+        "once-per-session blocked-join + gated-levenshtein front shared "
+        "by the linkage family; ~6x for 10x data = sublinear, and the "
+        "cost amortizes across all consumers"
+    ),
+    "recall_truth_memo_build": (
+        "once-per-session exact-Jaccard truth front on the fixed-budget "
+        "sample, shared by the eval family; ~4x for 10x data = sublinear"
+    ),
+    "sorted_neighborhood_pairs": (
+        "window-pass over the sorted key; <10x for 10x data = "
+        "at-most-linear — the sf0.1 point is sort fixed-overhead-dominated"
+    ),
+    "blocking_overlap_eval": (
+        "blocked candidate fronts at two block widths; ~4x for 10x data "
+        "= sublinear"
+    ),
+    "group_holdout_split": (
+        "one projection + 3-group aggregate; ~4x for 10x data on a "
+        "sub-2-second line = at-most-linear, sf0.1 point is "
+        "fixed-overhead-dominated"
+    ),
     "ppm_image_features": (
         "decode work scales with document count; 4-5x for 10x data is "
         "sublinear — the sf0.1 point is JVM/Arrow fixed-overhead-dominated"
