@@ -265,3 +265,71 @@ def lsh_bucket_arrow(n_planes: int = 8) -> "object":
         return pd.Series(out, dtype="object")
 
     return _bucket
+
+
+def bucket_hard_negative_kernel(k: int, margin: float = 1e-6):
+    """Bucket-local hard-negative miner for ``applyInPandas`` — the
+    grouped sibling of :func:`bucket_pair_cos_kernel` for
+    ``hard_negative_mining``.
+
+    Given one bucket's members (columns ``vec_id``, ``label``,
+    ``embedding``), computes the raw cosine of every CROSS-label
+    ordered pair in numpy (same bit-exact left-to-right ``np.cumsum``
+    fold as :func:`dot_arrow`) and returns, per anchor, every candidate
+    whose raw cosine is within ``margin`` of the anchor's k-th largest
+    raw cosine. That superset provably contains the top-k by the
+    JVM-ROUNDED value: rounding moves a value by at most ``margin/2``,
+    so any candidate below ``kth_raw - margin`` has at least k
+    candidates whose rounded value is strictly greater and can never
+    rank top-k regardless of tie-breaks. The caller applies the
+    authoritative ``F.round`` + rank window on the returned rows (keep
+    rounding JVM-side — ``np.round`` ties half-to-even).
+
+    Why grouped instead of join+dot: the join formulation materializes
+    every cross-label candidate pair as a 2 x dim-double Arrow row
+    (sf1: ~1.5 M pairs); here each vector crosses into Python once and
+    only ~(k+ties) rows per anchor come back.
+    """
+
+    def _mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "anchor_id": pd.Series([], dtype="int64"),
+                "anchor_label": pd.Series([], dtype="int32"),
+                "neg_id": pd.Series([], dtype="int64"),
+                "neg_label": pd.Series([], dtype="int32"),
+                "cos_raw": pd.Series([], dtype="float64"),
+            }
+        )
+        pdf = pdf[pdf["embedding"].notna()]
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        nrm = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        ii, jj = np.nonzero(labels[:, None] != labels[None, :])
+        if len(ii) == 0:
+            return empty
+        dots = np.cumsum(M[ii] * M[jj], axis=1)[:, -1]
+        cos = dots / (nrm[ii] * nrm[jj])
+        keep = np.zeros(len(ii), dtype=bool)
+        order = np.lexsort((-cos, ii))  # anchor asc, cos desc
+        anchors, starts = np.unique(ii[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = order[s:e]
+            kth = cos[seg[min(k, len(seg)) - 1]]
+            keep[seg[cos[seg] >= kth - margin]] = True
+        return pd.DataFrame(
+            {
+                "anchor_id": ids[ii[keep]],
+                "anchor_label": labels[ii[keep]],
+                "neg_id": ids[jj[keep]],
+                "neg_label": labels[jj[keep]],
+                "cos_raw": cos[keep],
+            }
+        )
+
+    return _mine
