@@ -1662,3 +1662,58 @@ def test_hard_negative_mining_invariants(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_bucket_hard_negative_kernel_superset_property():
+    """The kernel's raw-cosine cutoff (kth_raw - margin) must return a
+    superset of the top-k by the ROUNDED cosine for every bucket — the
+    correctness contract hard_negative_mining's JVM rank relies on.
+    Checked against a brute-force python miner on random buckets,
+    including adversarial near-tie values via tiny vector perturbations."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_engine_cdps_spark.functions.vectors import (
+        bucket_hard_negative_kernel,
+    )
+
+    K = 2
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def check(data):
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+        n = data.draw(st.integers(2, 24))
+        dim = data.draw(st.sampled_from([4, 8]))
+        n_labels = data.draw(st.integers(1, 4))
+        base = rng.normal(size=(n, dim))
+        # adversarial near-ties: clone some rows with ~1e-9 jitter so
+        # raw cosines collide within the rounding window
+        for i in range(0, n - 1, 3):
+            base[i + 1] = base[i] + rng.normal(scale=1e-9, size=dim)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype="int64"),
+                "label": rng.integers(0, n_labels, n).astype("int32"),
+                "embedding": [row for row in base],
+            }
+        )
+        out = bucket_hard_negative_kernel(K)(pdf)
+        returned = set(zip(out["anchor_id"], out["neg_id"]))
+        # brute-force rounded top-k per anchor (the query's semantics)
+        labels = pdf["label"].to_numpy()
+        nrm = np.sqrt(np.cumsum(base * base, axis=1)[:, -1])
+        for a in range(n):
+            cands = []
+            for c in range(n):
+                if labels[c] == labels[a]:
+                    continue
+                dot = np.cumsum(base[a] * base[c])[-1]
+                cands.append((round(dot / (nrm[a] * nrm[c]), 6), c))
+            cands.sort(key=lambda t: (-t[0], t[1]))
+            for _, c in cands[:K]:
+                assert (a, c) in returned, (a, c, cands[:4])
+
+    check()
