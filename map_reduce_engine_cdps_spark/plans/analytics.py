@@ -1488,15 +1488,33 @@ FROM scored GROUP BY 1
 
 
 def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer-cents daily totals (round 9): the plain double sum is
+    # partial-order-dependent in the last ULP, and the derived-sf1
+    # battery caught three consumers (rolling_zscore_anomalies,
+    # revenue_changepoint, volume-class rounding) flipping a rounded
+    # digit on a boundary. r_cents is exact and associative; r is the
+    # single-IEEE-op projection every existing consumer keeps using —
+    # identical doubles in both engines by construction.
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.to_date("o_orderdate").alias("day")
-    ).agg(F.sum("o_totalprice").alias("r"))
+    return (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "r_cents"
+            )
+        )
+        .select("day", "r_cents", (F.col("r_cents") / 100.0).alias("r"))
+    )
 
 
 _DAILY_SQL = """
-  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS r
-  FROM orders GROUP BY 1
+  SELECT day, r_cents, CAST(r_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS r
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS r_cents
+    FROM orders GROUP BY 1
+  )
 """
 
 
@@ -1510,20 +1528,25 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _daily_revenue(spark, sf_dir)
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    # prefix sums in exact cents (round 9): double prefix sums differ
+    # between engines in the last ULP (running accumulation vs segment
+    # tree) and flipped the 4-dp statistic at derived sf1.
     tot = d.agg(
-        F.sum("r").alias("grand"), F.count(F.lit(1)).alias("n")
+        F.sum("r_cents").alias("grand_c"), F.count(F.lit(1)).alias("n")
     )
     pre = (
         d.select(
             "day",
-            F.sum("r").over(w).alias("pre_sum"),
+            F.sum("r_cents").over(w).alias("pre_c"),
             F.row_number().over(W.orderBy("day")).alias("k"),
         )
         .crossJoin(F.broadcast(tot))
         .filter((F.col("k") >= 7) & (F.col("k") <= F.col("n") - 7))
     )
-    mean_l = F.col("pre_sum") / F.col("k")
-    mean_r = (F.col("grand") - F.col("pre_sum")) / (F.col("n") - F.col("k"))
+    mean_l = (F.col("pre_c") / 100.0) / F.col("k")
+    mean_r = ((F.col("grand_c") - F.col("pre_c")) / 100.0) / (
+        F.col("n") - F.col("k")
+    )
     stat = F.abs(mean_l - mean_r) * F.sqrt(
         F.col("k") * (F.col("n") - F.col("k")) / F.col("n")
     )
@@ -1541,19 +1564,23 @@ def revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_CHANGEPOINT_SQL = f"""
 WITH d AS ({_DAILY_SQL}),
-tot AS (SELECT sum(r) AS grand, count(*) AS n FROM d),
+tot AS (SELECT CAST(sum(r_cents) AS BIGINT) AS grand_c, count(*) AS n FROM d),
 pre AS (
   SELECT day,
-         sum(r) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-                      AND CURRENT ROW) AS pre_sum,
+         CAST(sum(r_cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS pre_c,
          row_number() OVER (ORDER BY day) AS k
   FROM d
 )
 SELECT strftime(day, '%Y-%m-%d') AS split_day,
-       round(abs(pre_sum / k - (grand - pre_sum) / (n - k))
+       round(abs((CAST(pre_c AS DOUBLE) / CAST(100.0 AS DOUBLE)) / k
+               - (CAST(grand_c - pre_c AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 / (n - k))
              * sqrt(k * (n - k) / CAST(n AS DOUBLE)), 4) AS shift_stat,
-       round(pre_sum / k, 2) AS mean_before,
-       round((grand - pre_sum) / (n - k), 2) AS mean_after
+       round((CAST(pre_c AS DOUBLE) / CAST(100.0 AS DOUBLE)) / k, 2)
+         AS mean_before,
+       round((CAST(grand_c - pre_c AS DOUBLE) / CAST(100.0 AS DOUBLE))
+             / (n - k), 2) AS mean_after
 FROM pre, tot
 WHERE k >= 7 AND k <= n - 7
 ORDER BY shift_stat DESC, split_day ASC LIMIT 1
@@ -2578,11 +2605,15 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _daily_revenue(spark, sf_dir)
     w = W.orderBy("day").rowsBetween(-ROLL_ZS_WINDOW, -1)
+    # s1 in exact cents (round 9): the windowed double sum is
+    # accumulation-order-dependent across engines and flipped
+    # trail_mean's cent digit at derived sf1. s2 stays double — it
+    # feeds only the 4-dp z through a subtraction and sqrt.
     s = d.select(
         "day",
         "r",
         F.count("r").over(w).alias("n"),
-        F.sum("r").over(w).alias("s1"),
+        (F.sum("r_cents").over(w) / 100.0).alias("s1"),
         F.sum(F.col("r") * F.col("r")).over(w).alias("s2"),
     ).filter(F.col("n") >= ROLL_ZS_MIN_N)
     mu = F.col("s1") / F.col("n")
@@ -2607,7 +2638,7 @@ WITH d AS ({_DAILY_SQL}),
 s AS (
   SELECT day, r,
          count(r) OVER w AS n,
-         sum(r) OVER w AS s1,
+         CAST(sum(r_cents) OVER w AS DOUBLE) / CAST(100.0 AS DOUBLE) AS s1,
          sum(r * r) OVER w AS s2
   FROM d
   WINDOW w AS (ORDER BY day
@@ -4091,8 +4122,15 @@ def rolling_revenue_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
+    # x from exact cents (round 9): round(double-sum) flipped by one on
+    # a .5 boundary at derived sf1; round(cents/100.0) is deterministic
+    # because the input double is identical in both engines.
     d = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
-        F.round(F.sum("l_extendedprice")).cast("long").alias("x"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0
+        )
+        .cast("long")
+        .alias("x"),
         F.sum("l_quantity").cast("long").alias("y"),
     )
     w = W.orderBy("day").rowsBetween(-(_ROLL_CORR_W - 1), 0)
@@ -4121,7 +4159,8 @@ def rolling_revenue_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_REVENUE_QTY_CORR_SQL = f"""
 WITH d AS (
   SELECT CAST(l_shipdate AS DATE) AS day,
-         CAST(round(sum(l_extendedprice)) AS BIGINT) AS x,
+         CAST(round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS BIGINT) AS x,
          CAST(sum(l_quantity) AS BIGINT) AS y
   FROM lineitem GROUP BY 1
 ), s AS (

@@ -262,9 +262,18 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
+        # integer-cents sum (the product_type_profit pattern): the
+        # double sum is order-dependent in the last ULP and a
+        # derived-sf1 group landed on a half-cent boundary (round 9).
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -274,7 +283,9 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOLUME_SHIPPING_SQL = f"""
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue, count(*) AS n_lines
+       round(CAST(sum(CAST(round(volume * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(100.0 AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
 FROM (
   SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -833,9 +844,16 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
+        # integer-cents sum: derived-sf1 hit a half-cent boundary (r9)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"))
@@ -844,7 +862,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LOCAL_SUPPLIER_VOLUME_SQL = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1056,25 +1075,32 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # integer-cents sum + cents-domain threshold: the double sum is
+    # order-dependent in the last ULP and derived-sf1 groups landed on
+    # half-cent boundaries (round 9); summing exact cents makes both
+    # the reported value and the mean-multiple membership test
+    # partial-order-free in both engines.
     per_part = (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "raw_value"
-            )
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("raw_cents")
         )
     )
     per_part = per_part.persist()
     total = per_part.agg(
-        (F.avg("raw_value") * F.lit(Q11_MEAN_MULT)).alias("threshold")
+        (F.avg("raw_cents") * F.lit(Q11_MEAN_MULT)).alias("threshold_cents")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("threshold"))
+        .filter(F.col("raw_cents") > F.col("threshold_cents"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round("raw_value", 2).alias("part_value"),
+            F.round(F.col("raw_cents") / 100.0, 2).alias("part_value"),
         )
         .orderBy(F.desc("part_value"), "partkey")
     )
@@ -1083,16 +1109,19 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMPORTANT_PART_VALUE_SQL = f"""
 WITH pv AS (
   SELECT l_partkey AS partkey,
-         sum(l_extendedprice * (1 - l_discount)) AS raw_value
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS raw_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey AND r_name = '{Q11_REGION}'
   GROUP BY 1
 )
-SELECT partkey, round(raw_value, 2) AS part_value
+SELECT partkey,
+       round(CAST(raw_cents AS DOUBLE) / CAST(100.0 AS DOUBLE), 2) AS part_value
 FROM pv
-WHERE raw_value > (SELECT avg(raw_value) * {Q11_MEAN_MULT} FROM pv)
+WHERE CAST(raw_cents AS DOUBLE)
+      > (SELECT avg(CAST(raw_cents AS DOUBLE)) * {Q11_MEAN_MULT} FROM pv)
 ORDER BY part_value DESC, partkey
 """
 
