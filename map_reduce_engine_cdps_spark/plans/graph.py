@@ -54,7 +54,15 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp.s_nationkey == F.col("sk"),
         )
         .groupBy("src", "dst")
-        .agg(F.sum("rev").alias("w"))
+        # exact integer-cents edge weights (round 9): the double sum is
+        # partial-order-dependent and flipped trade_graph_degrees'
+        # rounded cent digit INTERMITTENTLY at derived sf1 (run-to-run
+        # task order changes the merge order). w stays the single-op
+        # double projection for ratio consumers.
+        .agg(
+            F.sum(F.round(F.col("rev") * 100).cast("long")).alias("w_cents")
+        )
+        .select("src", "dst", "w_cents", (F.col("w_cents") / 100.0).alias("w"))
     )
 
 
@@ -100,15 +108,20 @@ def _pagerank_sql() -> str:
     recursive CTE would need aggregation in the recursive term)."""
     base = """
 WITH edges AS (
-  SELECT cn.n_name AS src, sn.n_name AS dst,
-         SUM(l_extendedprice * (1 - l_discount)) AS w
-  FROM lineitem
-  JOIN orders   ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation cn ON c_nationkey = cn.n_nationkey
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation sn ON s_nationkey = sn.n_nationkey
-  GROUP BY 1, 2
+  SELECT src, dst,
+         CAST(w_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS w
+  FROM (
+    SELECT cn.n_name AS src, sn.n_name AS dst,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS w_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+  )
 ),
 ep AS (SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges),
 nodes AS (SELECT DISTINCT src AS n_name FROM edges),
@@ -141,17 +154,19 @@ def trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-trade share. All compute after the edge aggregate is O(|V|²);
     the two marginal aggregates and the self-edge join reuse it."""
     edges = _trade_edges(spark, sf_dir).persist()
+    # marginal strengths summed in exact cents — the per-nation sum of
+    # ~25 1e10-magnitude doubles was the intermittent knife edge.
     out = edges.groupBy(F.col("src").alias("n_name")).agg(
         F.count(F.lit(1)).alias("out_degree"),
-        F.sum("w").alias("out_strength"),
+        F.sum("w_cents").alias("out_c"),
     )
     inn = edges.groupBy(F.col("dst").alias("n_name")).agg(
         F.count(F.lit(1)).alias("in_degree"),
-        F.sum("w").alias("in_strength"),
+        F.sum("w_cents").alias("in_c"),
     )
     self_w = (
         edges.filter(F.col("src") == F.col("dst"))
-        .select(F.col("src").alias("n_name"), F.col("w").alias("self_w"))
+        .select(F.col("src").alias("n_name"), F.col("w_cents").alias("self_c"))
     )
     return (
         out.join(inn, "n_name", "full")
@@ -160,10 +175,16 @@ def trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-            F.round(F.coalesce("out_strength", F.lit(0.0)), 2).alias("out_strength"),
-            F.round(F.coalesce("in_strength", F.lit(0.0)), 2).alias("in_strength"),
+            F.round(F.coalesce("out_c", F.lit(0)) / 100.0, 2).alias(
+                "out_strength"
+            ),
+            F.round(F.coalesce("in_c", F.lit(0)) / 100.0, 2).alias(
+                "in_strength"
+            ),
             F.round(
-                F.coalesce("self_w", F.lit(0.0)) / F.col("out_strength"), 6
+                F.coalesce("self_c", F.lit(0)).cast("double")
+                / F.col("out_c").cast("double"),
+                6,
             ).alias("self_share"),
         )
     )
@@ -172,7 +193,8 @@ def trade_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRADE_GRAPH_DEGREES_SQL = """
 WITH edges AS (
   SELECT cn.n_name AS src, sn.n_name AS dst,
-         SUM(l_extendedprice * (1 - l_discount)) AS w
+         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS w_cents
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -181,17 +203,22 @@ WITH edges AS (
   JOIN nation sn ON s_nationkey = sn.n_nationkey
   GROUP BY 1, 2
 ),
-outm AS (SELECT src AS n_name, count(*) AS out_degree, sum(w) AS out_strength
+outm AS (SELECT src AS n_name, count(*) AS out_degree,
+                CAST(sum(w_cents) AS BIGINT) AS out_c
          FROM edges GROUP BY 1),
-inm  AS (SELECT dst AS n_name, count(*) AS in_degree, sum(w) AS in_strength
+inm  AS (SELECT dst AS n_name, count(*) AS in_degree,
+                CAST(sum(w_cents) AS BIGINT) AS in_c
          FROM edges GROUP BY 1),
-selfm AS (SELECT src AS n_name, w AS self_w FROM edges WHERE src = dst)
+selfm AS (SELECT src AS n_name, w_cents AS self_c FROM edges WHERE src = dst)
 SELECT n_name,
        COALESCE(out_degree, 0) AS out_degree,
        COALESCE(in_degree, 0) AS in_degree,
-       round(COALESCE(out_strength, 0), 2) AS out_strength,
-       round(COALESCE(in_strength, 0), 2) AS in_strength,
-       round(COALESCE(self_w, 0) / out_strength, 6) AS self_share
+       round(CAST(COALESCE(out_c, 0) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+         AS out_strength,
+       round(CAST(COALESCE(in_c, 0) AS DOUBLE) / CAST(100.0 AS DOUBLE), 2)
+         AS in_strength,
+       round(CAST(COALESCE(self_c, 0) AS DOUBLE) / CAST(out_c AS DOUBLE), 6)
+         AS self_share
 FROM outm
 FULL JOIN inm USING (n_name)
 LEFT JOIN selfm USING (n_name)
