@@ -163,6 +163,7 @@ def main() -> None:
     # before committing, so globbing the tree mislabels a re-run
     # within the same round (ADVICE r7). Failures here must never
     # sink the bench.
+    full_name = None
     try:
         import re as _re
         import subprocess as _sp
@@ -183,11 +184,25 @@ def main() -> None:
                 if (m := _re.search(r"BENCH_r(\d+)\.json$", f))
             ]
             tag = f"r{max(rounds, default=0) + 1:02d}"
-        with open(os.path.join(here, f"BENCH_full_{tag}.json"), "w") as fh:
+        full_name = f"BENCH_full_{tag}.json"
+        with open(os.path.join(here, full_name), "w") as fh:
             json.dump(out, fh, indent=1)
     except Exception as e:  # pragma: no cover
         print(f"bench full-artifact write skipped: {e}", file=sys.stderr)
-    print(json.dumps(out))
+    # The driver keeps only the last 2000 stdout chars and json-parses
+    # the tail; the full dict (IQRs + sf1 detail) is ~3.3k chars, so
+    # printing it whole truncated the line and left BENCH_r{8,9}.json
+    # with "parsed": null (VERDICT r9 item 3). Print a compact line
+    # (<1k chars) as the LAST stdout line — medians + totals only,
+    # with a pointer to the complete committed artifact.
+    compact = {
+        k: v
+        for k, v in out.items()
+        if k not in ("queries_iqr", "sf1_queries", "sf1_queries_iqr")
+    }
+    if full_name:
+        compact["full"] = full_name
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
