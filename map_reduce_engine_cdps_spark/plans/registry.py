@@ -1258,6 +1258,8 @@ _PRIORITY_ORDER = [
     "kanon_release_stats",
     "dup_graph_triangles",
     # --- certified in earlier rounds (r2-r8 driver-green) ---
+    "revenue_by_nation",
+    "token_stats",
     "reservoir_sample_per_source",
     "customer_upsert",
     "order_status_runs",
@@ -1502,11 +1504,39 @@ _PRIORITY_ORDER = [
     "embedding_covariance",
     "embedding_dim_stats",
     "pca_explained_variance",
+    # Previously reached only via the registry-tail fallback merge;
+    # listed explicitly now that the assert demands set equality.
+    "running_order_totals",
+    "balance_deciles",
+    "cohort_retention",
+    "count_distinct_parts",
+    "cube_counts",
+    "data_quality_audit",
+    "dense_event_timeline",
+    "geo_mean_price",
+    "grouping_sets_counts",
+    "quantity_percentiles",
+    "quantity_price_corr",
+    "rolling_1h_user_value",
+    "rollup_counts",
+    "segment_set_ops",
+    "status_pivot",
+    "status_pivot_multi",
+    "status_unpivot",
+    "user_funnel",
+    "value_histogram",
 ]
 
-assert set(_PRIORITY_ORDER) <= set(_REGISTRY), (
-    sorted(set(_PRIORITY_ORDER) - set(_REGISTRY))
-)
+# Set EQUALITY, not subset: round 9 silently dropped revenue_by_nation
+# and token_stats from this list during a reshuffle and the subset-only
+# assert could not notice (ADVICE r9). Every registry entry must appear
+# exactly once here so reorderings can never lose a name.
+assert set(_PRIORITY_ORDER) == set(_REGISTRY) and len(_PRIORITY_ORDER) == len(
+    set(_PRIORITY_ORDER)
+), {
+    "missing_from_order": sorted(set(_REGISTRY) - set(_PRIORITY_ORDER)),
+    "unknown_in_order": sorted(set(_PRIORITY_ORDER) - set(_REGISTRY)),
+}
 _REGISTRY = {
     name: _REGISTRY[name]
     for name in (

@@ -2104,6 +2104,11 @@ e AS (
                      WHEN nn.n <= {_NEG_BUCKET_TIERS[1][0]} THEN {_NEG_BUCKET_TIERS[1][1]}
                      ELSE {_NEG_MAX_CHARS} END) AS bucket
   FROM embeddings CROSS JOIN nn
+  -- mirror the Spark twin's isNotNull filter (tier choice still uses
+  -- the unfiltered count(*), same as _neg_bucket_chars(emb.count()));
+  -- without this a null embedding would rank NULL cos_sim rows here
+  -- while Spark silently drops them (ADVICE r9)
+  WHERE embedding IS NOT NULL
 ),
 pairs AS (
   SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
