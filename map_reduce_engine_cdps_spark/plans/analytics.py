@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_engine_cdps_spark.functions import exact as EX
 from map_reduce_engine_cdps_spark.sources.readers import load_table
 
 
@@ -485,8 +486,11 @@ HAVING count(*) >= 0.15 * (SELECT count(*) FROM events)
 
 def order_status_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders")
+    # exact-cents group sum (functions/exact.py): rev feeds BOTH the
+    # map_filter boundary (> 150000.00, a value a cent-grid sum CAN hit
+    # exactly) and the rounded output
     per_status = od.groupBy("o_custkey", "o_orderstatus").agg(
-        F.sum("o_totalprice").alias("rev")
+        (F.sum(EX.cents("o_totalprice")) / 100.0).alias("rev")
     )
     mapped = per_status.groupBy("o_custkey").agg(
         F.map_from_entries(
@@ -507,10 +511,12 @@ def order_status_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDER_STATUS_MAP_ROUNDTRIP_SQL = """
 SELECT o_custkey, o_orderstatus AS status,
-       round(sum(o_totalprice), 2) AS revenue
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS revenue
 FROM orders
 GROUP BY o_custkey, o_orderstatus
-HAVING sum(o_totalprice) > 150000.0
+HAVING CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       / 100.0 > 150000.0
 """
 
 
@@ -1099,10 +1105,13 @@ def mv_revenue_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
 
+    # exact-cents partials (functions/exact.py): the two-level merge
+    # (partial agg + re-agg) is exactly the partial-order surface the
+    # cents convention removes
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("month").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("revenue"),
+            F.sum(EX.cents("o_totalprice")).alias("rev_cents"),
         )
 
     base = partials(orders.filter(F.col("o_orderdate") < _MV_CUTOFF))
@@ -1110,15 +1119,23 @@ def mv_revenue_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         base.unionByName(delta)
         .groupBy("month")
-        .agg(F.sum("n_orders").alias("n_orders"), F.sum("revenue").alias("revenue"))
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
     )
-    return merged.select("month", "n_orders", F.round("revenue", 2).alias("revenue"))
+    return merged.select(
+        "month",
+        "n_orders",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+    )
 
 
 MV_REVENUE_MAINTENANCE_SQL = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS revenue
 FROM orders
 GROUP BY 1
 """
@@ -1427,7 +1444,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # exact-cents sum (functions/exact.py): monetary also keys
+            # an ntile ordering, so tie/boundary values must be stable
+            EX.sum_money("o_totalprice").alias("monetary"),
         )
         .crossJoin(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("maxd", "last_order"))
@@ -1460,7 +1479,8 @@ WITH per_cust AS (
          date_diff('day', CAST(max(o_orderdate) AS DATE),
                    CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS recency_days,
          count(*) AS frequency,
-         round(sum(o_totalprice), 2) AS monetary
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0, 2) AS monetary
   FROM orders GROUP BY o_custkey
 ), scored AS (
   SELECT o_custkey, recency_days, frequency, monetary,
@@ -2024,7 +2044,12 @@ def price_qty_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(px.alias("price_bin"), qx.alias("qty_bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            # exact-cents avg (functions/exact.py)
+            F.round(
+                F.sum(EX.cents("l_extendedprice"))
+                / (100.0 * F.count(F.lit(1))),
+                2,
+            ).alias("avg_price"),
         )
     )
 
@@ -2033,7 +2058,8 @@ PRICE_QTY_HEATMAP_SQL = """
 SELECT least(CAST(floor(l_extendedprice / 10000.0) AS INT), 10) AS price_bin,
        least(CAST(floor(l_quantity / 5.0) AS INT), 9) AS qty_bin,
        count(*) AS n,
-       round(avg(l_extendedprice), 2) AS avg_price
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 2) AS avg_price
 FROM lineitem
 GROUP BY 1, 2
 """
@@ -2369,30 +2395,41 @@ def ltv_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # exact-cents running sums and averages (functions/exact.py): cum
+    # stays an exact long; avg is one deterministic division; median
+    # over exact values never sits off-grid
     seq = orders.select(
         F.row_number().over(w).alias("k"),
-        F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum(EX.cents("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum_cents"),
     ).filter(F.col("k") <= 10)
     return seq.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("cum"), 2).alias("avg_cum_spend"),
-        F.round(F.median("cum"), 2).alias("med_cum_spend"),
+        F.round(
+            F.sum("cum_cents") / (100.0 * F.count(F.lit(1))), 2
+        ).alias("avg_cum_spend"),
+        # median over the exact longs (interpolated midpoints are
+        # k+0.5 cents — exactly representable), ONE division after
+        F.round(F.median("cum_cents") / 100.0, 2).alias("med_cum_spend"),
     )
 
 
 LTV_BY_ORDER_INDEX_SQL = """
 WITH seq AS (
   SELECT row_number() OVER w AS k,
-         sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderdate, o_orderkey
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW) AS cum
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) AS BIGINT) AS cum_cents
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 )
 SELECT k, count(*) AS n_customers,
-       round(avg(cum), 2) AS avg_cum_spend,
-       round(median(cum), 2) AS med_cum_spend
+       round(CAST(sum(cum_cents) AS BIGINT) / (100.0 * count(*)), 2)
+         AS avg_cum_spend,
+       round(median(cum_cents) / 100.0, 2) AS med_cum_spend
 FROM seq WHERE k <= 10 GROUP BY k
 """
 
@@ -2534,9 +2571,13 @@ def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     orders = load_table(spark, sf_dir, "orders")
+    # stage-1 exact-cents aggregate (functions/exact.py): the corpus-
+    # sized sum is the real knife-edge surface; the downstream window/
+    # moy math runs over the O(months) series, where double error is
+    # bounded by ~sqrt(13)·ulp — far below the 2-dp rounding grid
     m = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    ).agg(F.sum("o_totalprice").alias("r"))
+    ).agg((F.sum(EX.cents("o_totalprice")) / 100.0).alias("r"))
     w13 = W.orderBy("month").rowsBetween(-6, 6)
     t = (
         m.withColumn("n_win", F.count(F.lit(1)).over(w13))
@@ -2561,7 +2602,9 @@ def seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEASONAL_DECOMPOSE_REVENUE_SQL = """
 WITH m AS (
-  SELECT strftime(o_orderdate, '%Y-%m') AS month, sum(o_totalprice) AS r
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS r
   FROM orders GROUP BY 1
 ), t AS (
   SELECT month, r,
@@ -2605,16 +2648,23 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _daily_revenue(spark, sf_dir)
     w = W.orderBy("day").rowsBetween(-ROLL_ZS_WINDOW, -1)
-    # s1 in exact cents (round 9): the windowed double sum is
-    # accumulation-order-dependent across engines and flipped
-    # trail_mean's cent digit at derived sf1. s2 stays double — it
-    # feeds only the 4-dp z through a subtraction and sqrt.
+    # Both window sums in exact integer arithmetic (rounds 9-10): the
+    # double sums are accumulation-order-dependent across engines and
+    # flipped rounded digits at derived sf1 (s1's trail_mean cent in
+    # r9; s2 feeds the 4-dp z through the s2/n - mu^2 cancellation —
+    # same knife-edge class, flagged by ADVICE r9). r_cents^2 is up to
+    # ~1e20 at derived sf1, past int64, so s2 accumulates in
+    # decimal(38,0) (DuckDB: HUGEINT) — exact and associative — with
+    # ONE deterministic round-to-nearest cast to double at the end.
+    cents2 = (
+        F.col("r_cents").cast("decimal(19,0)") * F.col("r_cents")
+    ).cast("decimal(38,0)")
     s = d.select(
         "day",
         "r",
         F.count("r").over(w).alias("n"),
         (F.sum("r_cents").over(w) / 100.0).alias("s1"),
-        F.sum(F.col("r") * F.col("r")).over(w).alias("s2"),
+        (F.sum(cents2).over(w).cast("double") / 10000.0).alias("s2"),
     ).filter(F.col("n") >= ROLL_ZS_MIN_N)
     mu = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
@@ -2639,7 +2689,8 @@ s AS (
   SELECT day, r,
          count(r) OVER w AS n,
          CAST(sum(r_cents) OVER w AS DOUBLE) / CAST(100.0 AS DOUBLE) AS s1,
-         sum(r * r) OVER w AS s2
+         CAST(sum(CAST(r_cents AS HUGEINT) * r_cents) OVER w AS DOUBLE)
+           / CAST(10000.0 AS DOUBLE) AS s2
   FROM d
   WINDOW w AS (ORDER BY day
                ROWS BETWEEN {ROLL_ZS_WINDOW} PRECEDING AND 1 PRECEDING)

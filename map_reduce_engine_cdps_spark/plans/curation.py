@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_engine_cdps_spark.functions import exact as EX
 from map_reduce_engine_cdps_spark.functions import text as TX
 from map_reduce_engine_cdps_spark.sources.readers import load_parallel, load_table
 
@@ -593,7 +594,8 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        # exact-cents sum (functions/exact.py)
+        EX.sum_money("o_totalprice").alias("total_price"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
@@ -601,7 +603,8 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORC_ROUNDTRIP_STATS_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS total_price,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
@@ -657,9 +660,8 @@ def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            # exact 1e-4-dollar units (functions/exact.py)
+            EX.sum_disc_price().alias("revenue"),
         )
         .orderBy("o_orderstatus")
     )
@@ -667,7 +669,9 @@ def bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BUCKETED_JOIN_STATS_SQL = """
 SELECT o_orderstatus, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) / 10000.0, 2) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from map_reduce_engine_cdps_spark.functions import exact as EX
 from map_reduce_engine_cdps_spark.functions import expressions as X
 from map_reduce_engine_cdps_spark.sources.readers import load_table
 
@@ -27,16 +28,29 @@ from map_reduce_engine_cdps_spark.sources.readers import load_table
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact integer accumulation for the money sums (round-10 census of
+    # the r9 knife-edge class): double sums are partial-order-dependent
+    # in the last ULP, so a rounded cent digit can flip run-to-run /
+    # engine-to-engine when a group sum lands on a half-cent boundary.
+    # price cents ≤ 1.1e7/row, ×(100−disc) ≤ 1.1e9/row → a long holds
+    # >1e9 rows per group before overflow. l_quantity is INTEGRAL
+    # (1..50), so its double sum is already exact — every partial is an
+    # integer < 2^53 — and stays as-is.
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(cents) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(cents * (100 - d100)) / 10000.0, 2).alias(
+                "sum_disc_price"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(d100) / (100.0 * F.count(F.lit(1))), 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -45,10 +59,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2)                         AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) / 10000.0, 2)                       AS sum_disc_price,
        round(avg(l_quantity), 4)                            AS avg_qty,
-       round(avg(l_discount), 4)                            AS avg_disc,
+       round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 4)                       AS avg_disc,
        count(*)                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -134,7 +152,6 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -142,15 +159,17 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            # exact 1e-4-dollar integer accumulation (round-10 census —
+            # see functions/exact.py for the knife-edge rationale)
+            EX.sum_disc_price().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-REVENUE_BY_NATION_SQL = """
+REVENUE_BY_NATION_SQL = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {EX.SQL_SUM_DISC_PRICE.format(p='l_extendedprice', d='l_discount', dp=2)} AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -512,16 +531,19 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("tod", tod)
         .cube("event_type", "tod")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        # exact-cents sum: the grand-total cell aggregates the WHOLE
+        # corpus — the widest knife-edge surface (functions/exact.py)
+        .agg(F.count(F.lit(1)).alias("n"), EX.sum_money("value").alias("sum_value"))
     )
 
 
-CUBE_COUNTS_SQL = """
+CUBE_COUNTS_SQL = f"""
 WITH t AS (
   SELECT event_type, CASE WHEN hour(ts) < 12 THEN 'AM' ELSE 'PM' END AS tod, value
   FROM events
 )
-SELECT event_type, tod, count(*) AS n, round(sum(value),2) AS sum_value
+SELECT event_type, tod, count(*) AS n,
+       {EX.SQL_SUM_MONEY.format(c='value', dp=2)} AS sum_value
 FROM t GROUP BY CUBE (event_type, tod)
 """
 
@@ -539,7 +561,16 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("order_seq", F.row_number().over(w))
         .withColumn(
             "running_total",
-            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2),
+            # exact-cents running sum (functions/exact.py): windowed
+            # double sums differ by accumulation scheme (incremental vs
+            # segment tree) across engines
+            F.round(
+                F.sum(EX.cents("o_totalprice")).over(
+                    w.rowsBetween(W.unboundedPreceding, 0)
+                )
+                / 100.0,
+                2,
+            ),
         )
         .select("o_custkey", "o_orderkey", "order_seq", "running_total")
     )
@@ -548,9 +579,11 @@ def running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 RUNNING_ORDER_TOTALS_SQL = """
 SELECT o_custkey, o_orderkey,
        row_number() OVER w AS order_seq,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / 100.0, 2) AS running_total
 FROM orders WHERE o_custkey < 30
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -955,24 +988,37 @@ def salted_above_type_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_engine_cdps_spark.operators.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events")
-    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_mean"))
+    # exact-cents mean (functions/exact.py): type_mean is a FILTER
+    # boundary over corpus-sized groups, and avg_above a rounded
+    # quotient — both of the r9 knife-edge class
+    dim = ev.groupBy("event_type").agg(
+        (F.sum(EX.cents("value")) / (100.0 * F.count(F.lit(1)))).alias(
+            "type_mean"
+        )
+    )
     joined = salted_join(ev.select("event_type", "value"), dim, on="event_type")
     return (
         joined.filter(F.col("value") > F.col("type_mean"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_above"),
-            F.round(F.avg("value"), 4).alias("avg_above"),
+            F.round(
+                F.sum(EX.cents("value")) / (100.0 * F.count(F.lit(1))), 4
+            ).alias("avg_above"),
         )
     )
 
 
 SALTED_ABOVE_TYPE_MEAN_SQL = """
 WITH dim AS (
-  SELECT event_type, avg(value) AS type_mean FROM events GROUP BY event_type
+  SELECT event_type,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           / (100.0 * count(*)) AS type_mean
+  FROM events GROUP BY event_type
 )
 SELECT e.event_type, count(*) AS n_above,
-       round(avg(e.value), 4) AS avg_above
+       round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 4) AS avg_above
 FROM events e JOIN dim d USING (event_type)
 WHERE e.value > d.type_mean
 GROUP BY e.event_type
@@ -1267,7 +1313,10 @@ def balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            # exact-cents avg (functions/exact.py)
+            F.round(
+                F.sum(EX.cents("c_acctbal")) / (100.0 * F.count(F.lit(1))), 2
+            ).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
@@ -1282,7 +1331,8 @@ WITH cuts AS (
 )
 SELECT 1 + len(list_filter(cuts.cuts, x -> x < c_acctbal)) AS decile,
        count(*) AS n_customers,
-       round(avg(c_acctbal), 2) AS avg_bal,
+       round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 2) AS avg_bal,
        round(min(c_acctbal), 2) AS min_bal,
        round(max(c_acctbal), 2) AS max_bal
 FROM customer, cuts
@@ -1357,8 +1407,12 @@ FROM lineitem GROUP BY l_returnflag
 def geo_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
+        # geo mean stays log-space double: exp/ln have no integer
+        # restatement; its ULP wobble is documented in SCALE.md census
         F.round(F.exp(F.avg(F.log("p_retailprice"))), 2).alias("geo_mean_price"),
-        F.round(F.avg("p_retailprice"), 2).alias("arith_mean_price"),
+        F.round(
+            F.sum(EX.cents("p_retailprice")) / (100.0 * F.count(F.lit(1))), 2
+        ).alias("arith_mean_price"),
         F.count(F.lit(1)).alias("n_parts"),
     )
 
@@ -1366,7 +1420,8 @@ def geo_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 GEO_MEAN_PRICE_SQL = """
 SELECT p_brand,
        round(exp(avg(ln(p_retailprice))), 2) AS geo_mean_price,
-       round(avg(p_retailprice), 2) AS arith_mean_price,
+       round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 2) AS arith_mean_price,
        count(*) AS n_parts
 FROM part GROUP BY p_brand
 """
@@ -1933,7 +1988,10 @@ def monthly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        # exact-cents monthly sum (functions/exact.py); the lag/YoY
+        # math downstream operates on these already-deterministic
+        # doubles, so it inherits exactness
+        EX.sum_money("o_totalprice").alias("revenue"),
     )
     w = Window.orderBy("month")
     prev = F.lag("revenue", 12).over(w)
@@ -1949,7 +2007,8 @@ MONTHLY_REVENUE_YOY_SQL = """
 WITH monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
          count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS revenue
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0, 2) AS revenue
   FROM orders GROUP BY 1
 )
 SELECT month, n_orders, revenue,
@@ -2431,7 +2490,8 @@ def status_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["F", "O"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            # exact-cents sum (functions/exact.py)
+            F.round(F.sum(EX.cents("l_extendedprice")) / 100.0, 2).alias("rev"),
         )
         .withColumnsRenamed(
             {"F_n": "n_f", "F_rev": "rev_f", "O_n": "n_o", "O_rev": "rev_o"}
@@ -2442,9 +2502,13 @@ def status_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATUS_PIVOT_MULTI_SQL = """
 SELECT l_returnflag,
        count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS rev_f,
+       round(CAST(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+             AS BIGINT) / 100.0, 2) AS rev_f,
        count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS rev_o
+       round(CAST(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+             AS BIGINT) / 100.0, 2) AS rev_o
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -2539,8 +2603,11 @@ def kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            # exact-cents sum/avg (functions/exact.py)
+            EX.sum_money("o_totalprice").alias("sum_price"),
+            F.round(
+                F.sum(EX.cents("o_totalprice")) / (100.0 * F.count(F.lit(1))), 4
+            ).alias("avg_price"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
         )
@@ -2551,8 +2618,9 @@ KFOLD_ASSIGNMENTS_SQL = f"""
 SELECT (o_orderkey * {_KNUTH_MULT}) % 4294967296 % {KFOLDS} AS fold,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
-       round(sum(o_totalprice), 2) AS sum_price,
-       round(avg(o_totalprice), 4) AS avg_price,
+       {EX.SQL_SUM_MONEY.format(c='o_totalprice', dp=2)} AS sum_price,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 4) AS avg_price,
        min(o_orderkey) AS min_key,
        max(o_orderkey) AS max_key
 FROM orders

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from map_reduce_engine_cdps_spark.functions import exact as EX
 from map_reduce_engine_cdps_spark.sources.readers import load_table
 
 
@@ -47,11 +48,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        # exact 1e-4-dollar units (functions/exact.py): the 4-dp product
+        # sum can land exactly on a half-cent rounding midpoint, and the
+        # revenue ordering feeds a top-k cutoff
+        .agg(EX.sum_disc_price().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -59,7 +59,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIPPING_PRIORITY_SQL = f"""
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {EX.SQL_SUM_DISC_PRICE.format(p='l_extendedprice', d='l_discount', dp=2)} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -129,15 +129,22 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(avg_qty), "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        # exact-cents numerator (functions/exact.py): the /7.0 quotient
+        # can sit on a rounding midpoint, where a 1-ULP sum difference
+        # flips the 2-dp digit. (The avg_qty filter boundary is safe:
+        # l_quantity is integral, so its sums/averages are exact.)
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(EX.cents("l_extendedprice")) / 700.0, 2).alias(
+                "avg_yearly"
+            ),
             F.count(F.lit(1)).alias("n_small_lines"),
         )
     )
 
 
 SMALL_QTY_REVENUE_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 700.0, 2) AS avg_yearly,
        count(*) AS n_small_lines
 FROM lineitem l
 JOIN (
@@ -164,19 +171,17 @@ def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        # exact 1e-4-dollar units (functions/exact.py) — revenue also
+        # drives the top-k cutoff
+        .agg(EX.sum_disc_price().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
 
 
-TOP_RETURN_CUSTOMERS_SQL = """
+TOP_RETURN_CUSTOMERS_SQL = f"""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {EX.SQL_SUM_DISC_PRICE.format(p='l_extendedprice', d='l_discount', dp=2)} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -334,7 +339,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    units = EX.disc_units()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -342,10 +347,17 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
+        # exact 1e-4-dollar units in BOTH ratio legs (functions/
+        # exact.py): numerator and denominator are exact longs, the
+        # quotient is one deterministic double division
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == SHARE_NATION, vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == SHARE_NATION, units
+                    ).otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / F.sum(units).cast("double"),
                 6,
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -354,12 +366,17 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DISC_UNITS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
 NATION_MARKET_SHARE_SQL = f"""
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN sn.n_name = '{SHARE_NATION}'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(CAST(sum(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                      THEN {_DISC_UNITS_SQL}
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_DISC_UNITS_SQL}) AS DOUBLE), 6) AS mkt_share,
        count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -445,15 +462,20 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    units = EX.disc_units()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.month("l_shipdate").alias("ship_month"))
+        # exact 1e-4-dollar units in both ratio legs (functions/exact.py)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", units).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).cast("double")
+                / F.sum(units).cast("double"),
                 4,
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -462,12 +484,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PROMO_REVENUE_SHARE_SQL = """
+PROMO_REVENUE_SHARE_SQL = f"""
 SELECT month(l_shipdate) AS ship_month,
-       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN {_DISC_UNITS_SQL}
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_DISC_UNITS_SQL}) AS DOUBLE), 4) AS promo_pct,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -556,15 +578,14 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return j.filter(arm1 | arm2 | arm3).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        # exact 1e-4-dollar units (functions/exact.py)
+        EX.sum_disc_price().alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
-DISJUNCTIVE_PART_REVENUE_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+DISJUNCTIVE_PART_REVENUE_SQL = f"""
+SELECT round(CAST(sum({_DISC_UNITS_SQL}) AS BIGINT) / 10000.0, 2) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
@@ -579,11 +600,16 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15
 # ---------------------------------------------------------------------------
 # waiting_suppliers — Q21 shape adapted (no receipt/commit dates →
 # "late" = shipped >90 days after order date): suppliers who were the
-# ONLY late supplier in a multi-supplier order. EXISTS → left_semi,
-# NOT EXISTS → left_anti, both on (orderkey, suppkey≠) conditions.
-# Scale: the distinct (orderkey, suppkey) projections shrink the fact
-# before the self-joins; all joins are key-partitioned on l_orderkey so
-# AQE can co-locate the three legs on one shuffle layout.
+# ONLY late supplier in a multi-supplier order. Q21's EXISTS/NOT EXISTS
+# pair is folded into per-order scalars: groupBy(l_orderkey) counting
+# (n_supp, n_late) over the distinct (orderkey, suppkey, is_late) pair
+# frame, then ONE left_semi of the late pairs against qualifying orders
+# (n_supp > 1 AND n_late == 1). Round 9 rework — replaces the two
+# broadcast-nested-loop non-equi self-joins the semi/anti formulation
+# planned to (4.5 → 3.5 s at sf1).
+# Scale: the pair frame shrinks the fact first; the per-order aggregate
+# key (l_orderkey) is a prefix of the pair frame's grouping key, so the
+# scalar pass is map-side-partial on already co-located data.
 # ---------------------------------------------------------------------------
 
 def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,8 +707,12 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp")
     )
+    # exact-cents average (functions/exact.py): avg_bal is a FILTER
+    # boundary — a 1-ULP engine difference moves customers in/out
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(EX.cents("c_acctbal")) / (100.0 * F.count(F.lit(1)))).alias(
+            "avg_bal"
+        )
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -691,7 +721,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            EX.sum_money("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -699,10 +729,13 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IDLE_RICH_CUSTOMERS_SQL = f"""
 SELECT c_mktsegment, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
-  SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         / (100.0 * count(*))
+  FROM customer WHERE c_acctbal > 0
 )
 AND NOT EXISTS (
   SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -735,16 +768,16 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
+        # exact 1e-4-dollar units: p*d is on the same 4-dp grid as
+        # p*(1-d), so its rounded sum has real midpoints (functions/exact.py)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
+            F.round(F.sum(EX.rebate_units()) / 10000.0, 2).alias("revenue")
         )
     )
 
 
 FORECAST_REVENUE_SQL = f"""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT {EX.SQL_SUM_REBATE.format(p='l_extendedprice', d='l_discount', dp=2)} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR_START} 00:00:00'
   AND l_shipdate <  TIMESTAMP '{FORECAST_YEAR_END} 00:00:00'
@@ -774,11 +807,9 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit(QUARTER_END).cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
-        )
+        # exact 1e-4-dollar units (functions/exact.py) — total_revenue
+        # also drives the ties-preserving max comparison
+        .agg(EX.sum_disc_price().alias("total_revenue"))
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -793,7 +824,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_REVENUE_SUPPLIER_SQL = f"""
 WITH revenue AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         round(CAST(sum({_DISC_UNITS_SQL}) AS BIGINT) / 10000.0, 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{QUARTER_START} 00:00:00'
     AND l_shipdate <  TIMESTAMP '{QUARTER_END} 00:00:00'
