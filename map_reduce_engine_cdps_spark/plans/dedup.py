@@ -299,9 +299,26 @@ def _lsh_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The RAW scored candidate front gets its own memo (round 10): it is
+# now consumed both by minhash_lsh_pairs (jaccard >= 0.2 filter -> the
+# pair memo) and by lsh_pair_precision_eval (unfiltered histogram), and
+# a fresh instantiation re-pays the whole signature/banding codegen +
+# scan. Same keying/checkpoint discipline as _LSH_PAIRS_CACHE.
+_SCORED_PAIRS_CACHE: dict = {}
+
+
+def _lsh_scored_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SCORED_PAIRS_CACHE.get(key)
+    if df is None:
+        df = _lsh_scored_pairs(spark, sf_dir).localCheckpoint(eager=True)
+        _SCORED_PAIRS_CACHE[key] = df
+    return df
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard verification over the shared LSH candidate set."""
-    cand = _lsh_scored_pairs(spark, sf_dir)
+    cand = _lsh_scored_pairs_cached(spark, sf_dir)
     union = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (
         cand.withColumn(
@@ -389,7 +406,7 @@ CONTAINMENT_MIN = 0.5
 
 
 def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _lsh_scored_pairs(spark, sf_dir)
+    cand = _lsh_scored_pairs_cached(spark, sf_dir)
     inter = F.col("inter").cast("double")
     smaller = F.least("n_a", "n_b").cast("double")
     union = (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
@@ -2929,3 +2946,151 @@ FROM p{n}"""
 
 
 SHINGLE_SIZE_SENSITIVITY_SQL = _shingle_sensitivity_sql
+
+
+# ---------------------------------------------------------------------------
+# lsh_pair_precision_eval — round 10: the PRECISION side of the LSH
+# eval pair (lsh_pair_recall_eval measures what the index misses; this
+# measures what it wastes). Every bucket-cojoined candidate pair the
+# production 2x4 banding generates is bucketed by its true Jaccard:
+# the sub-threshold buckets are verification compute the index owner
+# pays for nothing — at 100 TB the candidate-verification stage is the
+# dominant dedup cost, and this table is exactly its cost model.
+#
+# Scale shape: pure reuse of the shared scored-candidate front
+# (_lsh_scored_pairs — one signature pass, one (band_idx, band)
+# exchange, bucket-local scalar scoring, BUCKET_CAP-bounded); the eval
+# itself adds one O(pairs) projection and a 5-row aggregate. No new
+# memo, no extra corpus scan.
+# ---------------------------------------------------------------------------
+
+
+def lsh_pair_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    cand = _lsh_scored_pairs_cached(spark, sf_dir)
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    j = F.round(F.col("inter").cast("double") / union.cast("double"), 4)
+    # Bucket edges follow the S-curve reality of the production 2x4
+    # banding (measured: candidates concentrate above 0.9): two coarse
+    # waste buckets below the 0.5 dedup threshold, fine resolution in
+    # the mass region.
+    jb = (
+        F.when(j < 0.5, "0.0-0.5")
+        .when(j < 0.8, "0.5-0.8")
+        .when(j < 0.9, "0.8-0.9")
+        .when(j < 0.95, "0.9-0.95")
+        .when(j < 0.99, "0.95-0.99")
+        .otherwise("0.99-1.0")
+    )
+    per = (
+        cand.filter(union > 0)
+        .groupBy(jb.alias("j_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    total = W.partitionBy()  # 5-row post-agg frame — driver-sized
+    return per.select(
+        "j_bucket",
+        "n_cand",
+        F.round(
+            F.col("n_cand").cast("double")
+            / F.sum("n_cand").over(total).cast("double"),
+            4,
+        ).alias("frac_cands"),
+    )
+
+
+def _lsh_pair_precision_sql() -> str:
+    return (
+        _duck_bands_cte()
+        + _DUCK_SCORED_CAND
+        + """
+, j AS (
+  SELECT round(inter::DOUBLE / (n_a + n_b - inter)::DOUBLE, 4) AS j
+  FROM cand WHERE (n_a + n_b - inter) > 0
+), per AS (
+  SELECT CASE WHEN j < 0.5 THEN '0.0-0.5'
+              WHEN j < 0.8 THEN '0.5-0.8'
+              WHEN j < 0.9 THEN '0.8-0.9'
+              WHEN j < 0.95 THEN '0.9-0.95'
+              WHEN j < 0.99 THEN '0.95-0.99'
+              ELSE '0.99-1.0' END AS j_bucket,
+         count(*) AS n_cand
+  FROM j GROUP BY 1
+)
+SELECT j_bucket, n_cand,
+       round(n_cand::DOUBLE
+             / (SELECT sum(n_cand) FROM per)::DOUBLE, 4) AS frac_cands
+FROM per
+"""
+    )
+
+
+LSH_PAIR_PRECISION_EVAL_SQL = _lsh_pair_precision_sql
+
+
+# ---------------------------------------------------------------------------
+# cross_dup_source_matrix — round 10: near-duplicate flow BETWEEN
+# sources. cross_source_leakage counts EXACT-hash collisions across
+# sources; this is its fuzzy sibling — verified near-dup pairs
+# (jaccard >= 0.2, the shared memo) joined to each side's source,
+# reported as an unordered source-pair matrix with mean overlap
+# strength. The table a corpus owner reads to decide which source to
+# drop when two scrape the same upstream — per-pair dedup says "these
+# two docs collide"; this says "these two SOURCES collide, this
+# often, this hard".
+#
+# Scale shape: the pair memo is bucket-bounded (never O(n^2)); the two
+# source lookups are broadcast joins of a 2-column dimension
+# projection against the O(pairs) list; the matrix aggregate is
+# |sources|^2-bounded. Jaccard means accumulate exact 1e-4 integer
+# units (the functions/exact.py convention — j is a 4-dp round, so
+# j*10000 is an exact integer per pair).
+# ---------------------------------------------------------------------------
+
+
+def cross_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _lsh_pairs_cached(spark, sf_dir)
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_of_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_of_b")
+    )
+    with_src = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("src_of_a", "src_of_b").alias("src_lo"),
+            F.greatest("src_of_a", "src_of_b").alias("src_hi"),
+            F.round(F.col("jaccard") * 10000).cast("long").alias("j_units"),
+        )
+    )
+    return with_src.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("j_units") / (10000.0 * F.count(F.lit(1))), 4
+        ).alias("mean_jaccard"),
+    )
+
+
+def _cross_dup_source_matrix_sql() -> str:
+    return (
+        "WITH pairs AS MATERIALIZED ("
+        + MINHASH_LSH_PAIRS_SQL
+        + """)
+SELECT least(a.source, b.source) AS src_lo,
+       greatest(a.source, b.source) AS src_hi,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(round(p.jaccard * 10000) AS BIGINT)) AS BIGINT)
+             / (10000.0 * count(*)), 4) AS mean_jaccard
+FROM pairs p
+JOIN documents a ON p.doc_a = a.doc_id
+JOIN documents b ON p.doc_b = b.doc_id
+GROUP BY 1, 2
+"""
+    )
+
+
+CROSS_DUP_SOURCE_MATRIX_SQL = _cross_dup_source_matrix_sql

@@ -1168,6 +1168,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.hard_negative_mining,
         similarity.HARD_NEGATIVE_MINING_SQL,
     ),
+    # --- round-10 rationed additions (2; window positions 1-2) ---
+    # the PRECISION side of the LSH eval pair: true-Jaccard histogram
+    # of the raw candidate front = the verification-cost model
+    "lsh_pair_precision_eval": (
+        dedup.lsh_pair_precision_eval,
+        dedup.LSH_PAIR_PRECISION_EVAL_SQL,
+    ),
+    # fuzzy sibling of cross_source_leakage: near-dup pair counts +
+    # mean overlap strength between source pairs
+    "cross_dup_source_matrix": (
+        dedup.cross_dup_source_matrix,
+        dedup.CROSS_DUP_SOURCE_MATRIX_SQL,
+    ),
 }
 
 
@@ -1190,80 +1203,103 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # --- round-9 certification window (driver gate = first 50) ---
-    # Positions 1-8: the ENTIRE oracle-backed never-driver-certified
-    # set (the 8 round-8 additions, all judge-replica green in the r8
-    # VERDICT) -- certifying them makes every oracle-backed registry
-    # query driver-green; only rows-only pca_explained_variance
-    # (identity-twinned by driver-green pca_variance_identity) stays
-    # outside the gate. Positions 9-50: family-coverage canaries per
-    # the staged r9 rotation plan -- TPC-H battery head, one query per
-    # memo family (truth / linkage / CC labels / embedding pairs /
-    # lsh pairs), the streaming twins, the multimodal decode paths,
-    # the compat shims, and one slice of each big family (dedup, ANN,
-    # text, curation, graph). lsh_ann_topk is deliberately in-window:
-    # its r8 driver sf1 reading doubled on an unchanged path and this
-    # round carries the isolated-vs-interleaved A/B receipt (VERDICT
-    # r8 item 2).
+    # --- round-10 certification window (driver gate = first 50) ---
+    # Positions 1-2: the round-10 rationed additions (certify same
+    # round, keeping the never-certified set empty after the r10 gate).
+    # Positions 3-32: every query this round's integer-money census
+    # flipped (commit a09f16c) — all previously driver-green, all
+    # oracle-re-matched locally at sf0.01/0.1/derived-sf1; driver
+    # re-certification is the external regression receipt for the
+    # flips. Positions 33-50: one canary per family (streaming,
+    # multimodal decode, compat shims, dedup, ANN, text, curation,
+    # graph — the r9 rotation's coverage set).
+    "lsh_pair_precision_eval",
+    "cross_dup_source_matrix",
+    # round-10 integer-money flips
+    "pricing_summary",
+    "revenue_by_nation",
+    "cube_counts",
+    "running_order_totals",
+    "monthly_revenue_yoy",
+    "status_pivot_multi",
+    "kfold_assignments",
+    "shipping_priority",
+    "small_qty_revenue",
+    "top_return_customers",
+    "nation_market_share",
+    "promo_revenue_share",
+    "disjunctive_part_revenue",
+    "forecast_revenue",
+    "top_revenue_supplier",
+    "idle_rich_customers",
+    "waiting_suppliers",
+    "order_status_map_roundtrip",
+    "mv_revenue_maintenance",
+    "rfm_segments",
+    "ltv_by_order_index",
+    "seasonal_decompose_revenue",
+    "rolling_zscore_anomalies",
+    "salted_above_type_mean",
+    "balance_deciles",
+    "geo_mean_price",
+    "price_qty_heatmap",
+    "orc_roundtrip_stats",
+    "bucketed_join_stats",
+    "hard_negative_mining",
+    # family canaries (r9 coverage set)
+    "danger_topk",
+    "wordcount_shim",
+    "danger_shim",
+    "one_vs_one_shim_pairs",
+    "streaming_window_counts",
+    "streaming_click_purchase_join",
+    "ppm_image_features",
+    "media_features",
+    "dedup_exact",
+    "minhash_lsh_pairs",
     "near_dup_prune",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ann_recall_eval",
+    "wordcount",
+    "tfidf_top_terms",
+    "decontamination",
+    "bfs_hops",
+    # --- round-9 window members not re-staged above (certified r9) ---
     "duplicate_spans_sampled",
     "boilerplate_span_topk",
     "temporal_split_stats",
     "span_sample_error_eval",
     "t_closeness_audit",
-    "bfs_hops",
     "retrieval_ndcg_eval",
-    # positions 9-10: the round-9 rationed additions (certify same round
-    # so the never-certified set stays empty after the r9 gate)
     "group_holdout_split",
-    "hard_negative_mining",
-    "pricing_summary",
-    "shipping_priority",
-    "danger_topk",
     "lsh_pair_recall_eval",
     "customer_record_linkage",
     "near_dup_clusters",
     "embedding_near_dup",
-    "minhash_lsh_pairs",
-    "streaming_window_counts",
     "streaming_user_sessions",
     "streaming_trending_topk",
-    "streaming_click_purchase_join",
-    "ppm_image_features",
     "ppm_cnn_embeddings",
     "wav_audio_windows",
-    "media_features",
     "image_dhash_dedup",
-    "wordcount_shim",
-    "danger_shim",
-    "one_vs_one_shim_pairs",
-    "dedup_exact",
     "dedup_keep_best",
     "duplicate_spans",
     "simhash_buckets",
     "minhash_signatures",
     "knn_bruteforce",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "ann_recall_eval",
     "kmeans_lloyd",
     "dbscan_clusters",
-    "wordcount",
     "bm25_scores",
-    "tfidf_top_terms",
     "lang_id_accuracy",
     "quality_filter_flags",
-    "decontamination",
     "token_budget_sample",
     "kanon_release_stats",
     "dup_graph_triangles",
     # --- certified in earlier rounds (r2-r8 driver-green) ---
-    "revenue_by_nation",
     "token_stats",
     "reservoir_sample_per_source",
     "customer_upsert",
     "order_status_runs",
-    "rolling_zscore_anomalies",
     "listagg_status_profile",
     "try_arith_audit",
     "holt_winters_revenue",
@@ -1294,7 +1330,6 @@ _PRIORITY_ORDER = [
     "cms_user_event_counts",
     "event_transition_matrix",
     "priority_price_position",
-    "monthly_revenue_yoy",
     "event_interarrival_stats",
     "frequent_type_pairs",
     "top_session_paths",
@@ -1364,24 +1399,19 @@ _PRIORITY_ORDER = [
     "locf_event_values",
     "lateral_top_orders",
     "freq_items_check",
-    "order_status_map_roundtrip",
     "nation_trade_pagerank",
     "trade_graph_degrees",
     "brand_nation_chi2",
     "lineitem_profile",
-    "mv_revenue_maintenance",
     "decile_value_calibration",
-    "rfm_segments",
     "table_diff",
     "status_as_of",
     "ks_two_sample",
-    "price_qty_heatmap",
     "revenue_gini",
     "type_pair_lift",
     "linear_attribution",
     "active_user_metrics",
     "weighted_median_price",
-    "ltv_by_order_index",
     "customer_survival_km",
     "benford_first_digit",
     "mannwhitney_u",
@@ -1395,26 +1425,15 @@ _PRIORITY_ORDER = [
     "near_dup_clusters_star",
     "doc_shingle_cosine_pairs",
     "bigram_logprob_scores",
-    "seasonal_decompose_revenue",
-    "kfold_assignments",
     "bpe_merges",
     "bpe_token_compression",
     "streaming_dedup_events",
     "streaming_segment_counts",
     "priority_order_counts",
-    "small_qty_revenue",
-    "top_return_customers",
     "brand_supplier_counts",
     "volume_shipping",
-    "nation_market_share",
     "product_type_profit",
-    "promo_revenue_share",
     "large_volume_customers",
-    "disjunctive_part_revenue",
-    "waiting_suppliers",
-    "forecast_revenue",
-    "top_revenue_supplier",
-    "idle_rich_customers",
     "min_cost_supplier",
     "important_part_value",
     "dominant_part_suppliers",
@@ -1439,7 +1458,6 @@ _PRIORITY_ORDER = [
     "ppm_gradient_features",
     "click_purchase_within_1h",
     "salted_type_stats",
-    "salted_above_type_mean",
     "json_props_extract",
     "doc_fingerprints",
     "inverted_index_stats",
@@ -1489,13 +1507,11 @@ _PRIORITY_ORDER = [
     "csv_roundtrip_counts",
     "jsonl_roundtrip_stats",
     "partitioned_pruned_stats",
-    "orc_roundtrip_stats",
     "xml_roundtrip_stats",
     "multi_format_union",
     "schema_drift_union",
     "file_provenance_stats",
     "stable_row_ids",
-    "bucketed_join_stats",
     "incremental_dedup",
     "ngram_jaccard_topk",
     "edit_distance_pairs",
@@ -1506,14 +1522,10 @@ _PRIORITY_ORDER = [
     "pca_explained_variance",
     # Previously reached only via the registry-tail fallback merge;
     # listed explicitly now that the assert demands set equality.
-    "running_order_totals",
-    "balance_deciles",
     "cohort_retention",
     "count_distinct_parts",
-    "cube_counts",
     "data_quality_audit",
     "dense_event_timeline",
-    "geo_mean_price",
     "grouping_sets_counts",
     "quantity_percentiles",
     "quantity_price_corr",
@@ -1521,7 +1533,6 @@ _PRIORITY_ORDER = [
     "rollup_counts",
     "segment_set_ops",
     "status_pivot",
-    "status_pivot_multi",
     "status_unpivot",
     "user_funnel",
     "value_histogram",

@@ -1717,3 +1717,60 @@ def test_bucket_hard_negative_kernel_superset_property():
                 assert (a, c) in returned, (a, c, cands[:4])
 
     check()
+
+
+def test_lsh_precision_eval_sound(spark, sf_dir):
+    """Fractions are true ratios summing to 1; bucket counts cover the
+    whole raw candidate front; the production banding's precision@0.5
+    (share of candidates at/above the dedup threshold) is well-defined."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _lsh_scored_pairs_cached,
+        lsh_pair_precision_eval,
+    )
+
+    rows = lsh_pair_precision_eval(spark, sf_dir).collect()
+    assert rows
+    buckets = {
+        "0.0-0.5", "0.5-0.8", "0.8-0.9", "0.9-0.95", "0.95-0.99", "0.99-1.0"
+    }
+    total = sum(r["n_cand"] for r in rows)
+    n_front = _lsh_scored_pairs_cached(spark, sf_dir).count()
+    assert total == n_front  # no candidate dropped (union>0 holds here)
+    assert abs(sum(r["frac_cands"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["j_bucket"] in buckets
+        assert abs(r["frac_cands"] - round(r["n_cand"] / total, 4)) < 1e-12
+
+
+def test_cross_dup_source_matrix_sound(spark, sf_dir):
+    """Pair counts conserve the verified pair memo; source pairs are
+    canonically ordered; mean jaccard stays within the memo's [0.2, 1]
+    verification band."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _lsh_pairs_cached,
+        cross_dup_source_matrix,
+    )
+
+    rows = cross_dup_source_matrix(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_pairs"] for r in rows) == _lsh_pairs_cached(
+        spark, sf_dir
+    ).count()
+    for r in rows:
+        assert r["src_lo"] <= r["src_hi"]
+        assert 0.2 <= r["mean_jaccard"] <= 1.0
+
+
+def test_scored_pair_memo_shared(spark, sf_dir):
+    """minhash_lsh_pairs and the precision eval resolve to the SAME
+    checkpointed scored front (one signature pass per app+sf)."""
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _SCORED_PAIRS_CACHE,
+        _lsh_scored_pairs_cached,
+        minhash_lsh_pairs,
+    )
+
+    minhash_lsh_pairs(spark, sf_dir).count()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _SCORED_PAIRS_CACHE
+    assert _lsh_scored_pairs_cached(spark, sf_dir) is _SCORED_PAIRS_CACHE[key]
