@@ -71,6 +71,10 @@ QUERIES = [
     "near_dup_prune",
     "group_holdout_split",
     "hard_negative_mining",
+    # round-10 ratchet (VERDICT r9 item 7): the two round-9 perf
+    # reworks that had only been measured at sf1
+    "waiting_suppliers",
+    "lsh_band_tuning_eval",
 ]
 
 SFS = {
@@ -82,6 +86,13 @@ SFS = {
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/SCALE_PROBE_sf10.json"
+    # Optional query subset: probe only these names and MERGE their
+    # entries into the existing artifact (ratchet additions shouldn't
+    # force a full multi-hour re-probe).
+    subset = sys.argv[3:]
+    queries = subset or QUERIES
+    unknown = [q for q in queries if q not in _REGISTRY]
+    assert not unknown, unknown
     spark = get_spark(app_name="scale_probe")
 
     from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
@@ -122,11 +133,11 @@ def main() -> None:
     }
 
     samples: dict[tuple[str, str], list[float]] = {
-        (q, sf): [] for q in QUERIES for sf in SFS
+        (q, sf): [] for q in queries for sf in SFS
     }
     rows: dict[tuple[str, str], int] = {}
     for r in range(runs):
-        for q in QUERIES:
+        for q in queries:
             fn = _REGISTRY[q][0]
             for sf, sf_dir in SFS.items():
                 t0 = time.perf_counter()
@@ -142,7 +153,7 @@ def main() -> None:
                 print(f"run {r + 1}/{runs} {q}@{sf}: {dt}s "
                       f"({n_rows} rows)", flush=True)
 
-    for q in QUERIES:
+    for q in queries:
         rec: dict = {}
         for sf in SFS:
             vals = sorted(samples[(q, sf)])
@@ -181,12 +192,29 @@ def main() -> None:
         "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "queries": out,
         "superlinear": sorted(
-            (q for q in QUERIES
+            (q for q in queries
              if out[q]["ratio"] > 10.0
              and out[q]["ratio"] > out[q].get("out_rows_ratio", 1.0)),
             key=lambda q: -out[q]["ratio"],
         ),
     }
+    if subset and os.path.exists(out_path):
+        # merge: update only the probed entries (+ their memo lines),
+        # keep the existing artifact's other lines and provenance
+        with open(out_path) as f:
+            prior = json.load(f)
+        prior["queries"].update(out)
+        prior.setdefault("merged_subsets", []).append(
+            {"queries": subset, "runs_per_point": runs,
+             "driver_mem": payload["driver_mem"]}
+        )
+        prior["superlinear"] = sorted(
+            (q for q, rec in prior["queries"].items()
+             if isinstance(rec, dict) and rec.get("ratio", -1) > 10.0
+             and rec["ratio"] > rec.get("out_rows_ratio", 1.0)),
+            key=lambda q: -prior["queries"][q]["ratio"],
+        )
+        payload = prior
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
