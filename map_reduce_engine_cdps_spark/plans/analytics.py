@@ -203,7 +203,8 @@ def monthly_gapfill_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rev AS (
           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-                 round(sum(o_totalprice), 2) AS revenue,
+                 round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS DOUBLE) / CAST(100.0 AS DOUBLE), 2) AS revenue,
                  count(*) AS order_cnt
           FROM orders GROUP BY 1
         )
@@ -224,7 +225,8 @@ WITH RECURSIVE months(m) AS (
 ),
 rev AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-         round(sum(o_totalprice), 2) AS revenue,
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) / 100.0, 2) AS revenue,
          count(*) AS order_cnt
   FROM orders GROUP BY 1
 )
@@ -293,13 +295,21 @@ GROUP BY source
 def sql_variable_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     spark.sql("DECLARE OR REPLACE VARIABLE price_thr DOUBLE DEFAULT 0.0")
-    spark.sql("SET VAR price_thr = (SELECT avg(p_retailprice) FROM part)")
+    # exact-cents mean threshold (functions/exact.py rationale):
+    # price_thr is a FILTER boundary, so both engines must derive the
+    # identical double from the identical exact integer
+    spark.sql(
+        "SET VAR price_thr = (SELECT CAST(sum(CAST(round(p_retailprice"
+        " * 100) AS BIGINT)) AS BIGINT) / (100.0 * count(*)) FROM part)"
+    )
     return spark.sql(
         """
         EXECUTE IMMEDIATE
           'SELECT p_brand,
                   count(*)                        AS pricey_parts,
-                  round(avg(p_retailprice), 2)    AS avg_pricey_price
+                  round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                        AS DOUBLE) / (CAST(100.0 AS DOUBLE) * count(*)), 2)
+                                                  AS avg_pricey_price
            FROM part WHERE p_retailprice > ?
            GROUP BY p_brand'
         USING price_thr
@@ -310,9 +320,12 @@ def sql_variable_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_VARIABLE_PRICEY_PARTS_SQL = """
 SELECT p_brand,
        count(*)                     AS pricey_parts,
-       round(avg(p_retailprice), 2) AS avg_pricey_price
+       round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 2) AS avg_pricey_price
 FROM part
-WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+WHERE p_retailprice > (SELECT CAST(sum(CAST(round(p_retailprice * 100)
+                              AS BIGINT)) AS BIGINT) / (100.0 * count(*))
+                       FROM part)
 GROUP BY p_brand
 """
 
@@ -2078,8 +2091,11 @@ GROUP BY 1, 2
 def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
+    # exact 1e-4-dollar integer revenue (functions/exact.py): x keys
+    # the Gini rank ordering AND the Pareto cumulative cutoff, and the
+    # units cancel inside every reported ratio
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        "l_suppkey", EX.disc_units().alias("rev")
     )
     per_supp = li.groupBy("l_suppkey").agg(F.sum("rev").alias("x"))
     ranked = per_supp.select(
@@ -2089,9 +2105,17 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+        # i*x reaches ~1e16/row on big corpora — accumulate exactly in
+        # decimal(38,0) (the rolling_zscore s2 pattern), one cast out
+        F.sum(
+            (F.col("i").cast("decimal(18,0)") * F.col("x")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("six"),
     )
-    gini = 2 * F.col("six") / (F.col("n") * F.col("sx")) - (F.col("n") + 1) / F.col("n")
+    gini = 2 * F.col("six").cast("double") / (
+        F.col("n") * F.col("sx").cast("double")
+    ) - (F.col("n") + 1) / F.col("n")
     # Pareto cut: smallest top-supplier share covering >= 80% of revenue
     desc_rank = per_supp.select(
         "x", F.row_number().over(W.orderBy(F.desc("x"), "l_suppkey")).alias("j")
@@ -2102,7 +2126,8 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cut = (
         cum.crossJoin(F.broadcast(totals.select("sx", "n")))
-        .filter(F.col("cx") >= 0.8 * F.col("sx"))
+        # integer form of cx >= 0.8*sx — no float boundary at all
+        .filter(F.lit(5) * F.col("cx") >= F.lit(4) * F.col("sx"))
         .agg((F.min("j")).alias("k"), F.max("n").alias("n2"))
         .select(F.round(F.col("k") / F.col("n2"), 6).alias("pareto_80_supplier_share"))
     )
@@ -2114,13 +2139,18 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_GINI_SQL = """
 WITH per_supp AS (
-  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS x
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+         AS BIGINT) AS x
   FROM lineitem GROUP BY l_suppkey
 ),
 ranked AS (
   SELECT x, row_number() OVER (ORDER BY x, l_suppkey) AS i FROM per_supp
 ),
-t AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM ranked),
+t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(i AS HUGEINT) * x) AS six
+      FROM ranked),
 dr AS (
   SELECT x, row_number() OVER (ORDER BY x DESC, l_suppkey) AS j FROM per_supp
 ),
@@ -2132,9 +2162,10 @@ cum AS (
 cut AS (
   SELECT round(min(j) / CAST((SELECT n FROM t) AS DOUBLE), 6)
            AS pareto_80_supplier_share
-  FROM cum WHERE cx >= 0.8 * (SELECT sx FROM t)
+  FROM cum WHERE 5 * cx >= 4 * (SELECT sx FROM t)
 )
-SELECT n, round(2 * six / (n * sx) - (n + 1.0) / n, 6) AS gini,
+SELECT n, round(2 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                - (n + 1.0) / n, 6) AS gini,
        pareto_80_supplier_share
 FROM t, cut
 """
@@ -3012,7 +3043,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 THEIL_SEN_TREND_SQL = """
 WITH d AS (
   SELECT row_number() OVER (ORDER BY day) AS i, r
-  FROM (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS r
+  FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / CAST(100.0 AS DOUBLE) AS r
         FROM orders GROUP BY 1)
 ), slopes AS (
   SELECT (b.r - a.r) / CAST(b.i - a.i AS DOUBLE) AS s

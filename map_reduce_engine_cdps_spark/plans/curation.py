@@ -768,7 +768,15 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("is_clipped").alias("n_clipped"),
-            F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+            # exact-cents raw mean (functions/exact.py); the winsorized
+            # mean stays double — clip bounds are approx-percentile
+            # doubles, so clipped values are off-grid by construction
+            # (disposition table in SCALE.md)
+            F.round(
+                F.sum(EX.cents("l_extendedprice"))
+                / (100.0 * F.count(F.lit(1))),
+                4,
+            ).alias("mean_raw"),
             F.round(F.avg("clipped_price"), 4).alias("mean_winsorized"),
         )
         .orderBy("l_returnflag")
@@ -786,7 +794,8 @@ SELECT l.l_returnflag,
        count(*) AS n_rows,
        CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-       round(avg(l_extendedprice), 4) AS mean_raw,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / (100.0 * count(*)), 4) AS mean_raw,
        round(avg(greatest(least(l_extendedprice, hi), lo)), 4)
          AS mean_winsorized
 FROM lineitem l JOIN cuts USING (l_returnflag)

@@ -679,17 +679,21 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
 
-    # DISK_ONLY persist/rotate instead of per-round localCheckpoint:
-    # checkpoint blocks pile up in MEMORY_AND_DISK across rounds with
-    # no deterministic release (GC'd by the ContextCleaner — which is
-    # exactly what OOM'd at sf10); persist+count+unpersist frees each
-    # round's edge set the moment its successor is materialized, and
-    # 4 rounds of lineage is shallow enough that plan re-walks stay
-    # trivial (the CC persist/rotate pattern, plans/dedup.py).
+    # MEMORY_AND_DISK persist/rotate (round 10, measured): the r7 OOM
+    # came from localCheckpoint blocks piling up with no deterministic
+    # release (GC'd by the ContextCleaner) — the explicit
+    # persist+count+unpersist rotate below frees each round's edge set
+    # the moment its successor is materialized, so the storage level
+    # can stay memory-first and spill only under pressure.
+    # tools/ktruss_sf10_ab.py (isolated, 48g): MEMORY_AND_DISK
+    # [206, 154, 154] s vs DISK_ONLY [635 cold, 196, 273] s at sf10 —
+    # ~25% faster warm and far tighter. The probe's 689 s worst case
+    # reproduced ISOLATED as the DISK_ONLY cold first touch (memo
+    # build + page cache + shuffle-file creation), not co-scheduling.
     edges = (
         _lsh_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_old = edges.count()
     need = KTRUSS_K - 2
@@ -699,7 +703,7 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(sup.hint("shuffle_hash"), ["a", "b"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= need)
             .select("a", "b")
-            .persist(StorageLevel.DISK_ONLY)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_new = kept.count()
         edges.unpersist()
