@@ -74,6 +74,48 @@ def _run_once(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def measure_memo_builds(spark, sf_dir: str) -> dict[str, float]:
+    """Time the once-per-session memo builds the HEADLINE set depends
+    on, BEFORE the warm-up pass (VERDICT r10 item 1: the round-10
+    memoization of the raw LSH scored front moved the signature/banding
+    pass out of minhash_lsh_pairs' measured passes and into the
+    excluded warm-up, so ~1.4 s of the r10 headline gain was
+    attribution, not compute — these lines make the cost visible
+    in-artifact so round-over-round totals stay honest).
+
+    The two builds nest: the pair memo is a cheap filter+checkpoint
+    over the scored front, so its line measures only that increment
+    when run second. CC labels are write-through (measured fresh inside
+    near_dup_clusters every pass) and need no line here.
+    """
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _lsh_pairs_cached,
+        _lsh_scored_pairs_cached,
+    )
+
+    # Cheap pre-warm so the memo line prices the build, not the
+    # session's first-touch overhead (JVM scan init, file listing) —
+    # the same overhead the warm-up pass used to absorb when the
+    # signature pass lived inside minhash_lsh_pairs.
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "documents").count()
+
+    builds: dict[str, float] = {}
+    for label, fn in (
+        ("lsh_scored_pairs_memo_build", _lsh_scored_pairs_cached),
+        ("lsh_pairs_memo_build", _lsh_pairs_cached),
+    ):
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            builds[label] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"memo build error {label}: {e}", file=sys.stderr)
+            builds[label] = -1.0
+    return builds
+
+
 def run_suite(
     spark, sf_dir: str, runs: int = 5
 ) -> tuple[dict[str, float], dict[str, float]]:
@@ -123,6 +165,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     spark = get_spark(app_name="bench")
+    memo_builds = measure_memo_builds(spark, sf_dir)
     timings, iqrs = run_suite(spark, sf_dir, runs=runs)
     total = round(sum(t for t in timings.values() if t > 0), 3)
     out = {
@@ -134,6 +177,17 @@ def main() -> None:
         "runs": runs,
         "methodology": "median+IQR over interleaved passes, warm-up pass excluded",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Once-per-session memo builds, timed before warm-up and
+        # EXCLUDED from `value` (the 27-query set is frozen; r1-r9
+        # totals amortized the signature pass inside
+        # minhash_lsh_pairs' measured passes, r10+ totals do not —
+        # compare across rounds with these lines in view).
+        "memo_builds": memo_builds,
+        "memo_note": (
+            "memo builds excluded from value; r10 moved the LSH "
+            "signature/banding pass out of minhash_lsh_pairs into the "
+            "session memo (~1.4s at sf0.1)"
+        ),
         # Provenance (VERDICT r8 item 8): builder runs export
         # SPARK_GRAFT_BENCH_CONTEXT=builder-quiet; the round driver sets
         # nothing, so an unlabeled artifact is a driver-window run.
@@ -150,6 +204,7 @@ def main() -> None:
     except Exception:  # pragma: no cover
         out["tree_commit"] = "unknown"
     if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        out["sf1_memo_builds"] = measure_memo_builds(spark, SF1_DIR)
         sf1, sf1_iqr = run_suite(spark, SF1_DIR, runs=runs)
         out["sf1_queries"] = sf1
         out["sf1_queries_iqr"] = sf1_iqr
@@ -198,7 +253,10 @@ def main() -> None:
     compact = {
         k: v
         for k, v in out.items()
-        if k not in ("queries_iqr", "sf1_queries", "sf1_queries_iqr")
+        if k not in (
+            "queries_iqr", "sf1_queries", "sf1_queries_iqr",
+            "sf1_memo_builds", "memo_note",
+        )
     }
     if full_name:
         compact["full"] = full_name

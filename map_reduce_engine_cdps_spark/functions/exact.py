@@ -30,6 +30,24 @@ DuckDB's sum(BIGINT) returns HUGEINT, so every sum is cast back to
 BIGINT before the float division to keep both engines' value + type
 paths identical. (HUGEINT never reaches a result column — the
 oracle_check type lint forbids it there.)
+
+Residual knife edge (documented, not fixed — ADVICE r10): for rounded
+QUOTIENTS (avg/ratio sites) the trailing ``round(int/int, dp)`` is
+exact in the division (one deterministic IEEE op on identical integer
+inputs) but NOT engine-identical in the round itself: Spark's F.round
+half-ups the double's shortest decimal representation
+(BigDecimal.valueOf(double) → ROUND_HALF_UP), while DuckDB rounds the
+binary value. A quotient within ~1 ULP of a dp-digit midpoint can
+therefore still flip the last digit engine-to-engine. This class is
+far narrower than the fixed one — it needs the exact integer quotient
+to land within a ULP of a midpoint, whereas the fixed class only
+needed any merge-order variance — and it is merge-order-INVARIANT
+(both engines compute the same double every run; only the final digit
+convention differs), so it cannot cause run-to-run flicker, only a
+stable oracle mismatch that the 4-SF battery would catch
+deterministically. Where a quotient feeds a FILTER/ORDERING boundary,
+do not round-then-compare: compare integer-scaled
+(``num * scale cmp den * k``) instead.
 """
 
 from __future__ import annotations
@@ -90,16 +108,25 @@ SQL_SUM_MONEY = (
     " / 100.0, {dp})"
 )
 
-# round(sum(p * (1 - d)), dp) replacement
+# Bare per-row units expressions — the single authoritative copy of
+# the cents encoding for queries that embed units inside CASE/ratio
+# legs rather than a whole-sum (plans/tpch.py formats these; ADVICE
+# r10 flagged its hand-written duplicate as silent-drift risk).
+SQL_DISC_UNITS = (
+    "CAST(round({p} * 100) AS BIGINT)"
+    " * (100 - CAST(round({d} * 100) AS BIGINT))"
+)
+SQL_REBATE_UNITS = (
+    "CAST(round({p} * 100) AS BIGINT) * CAST(round({d} * 100) AS BIGINT)"
+)
+
+# round(sum(p * (1 - d)), dp) replacement — derived from the bare
+# snippet so the two can never drift.
 SQL_SUM_DISC_PRICE = (
-    "round(CAST(sum(CAST(round({p} * 100) AS BIGINT)"
-    " * (100 - CAST(round({d} * 100) AS BIGINT))) AS BIGINT)"
-    " / 10000.0, {dp})"
+    "round(CAST(sum(" + SQL_DISC_UNITS + ") AS BIGINT) / 10000.0, {dp})"
 )
 
 # round(sum(p * d), dp) replacement
 SQL_SUM_REBATE = (
-    "round(CAST(sum(CAST(round({p} * 100) AS BIGINT)"
-    " * CAST(round({d} * 100) AS BIGINT)) AS BIGINT)"
-    " / 10000.0, {dp})"
+    "round(CAST(sum(" + SQL_REBATE_UNITS + ") AS BIGINT) / 10000.0, {dp})"
 )

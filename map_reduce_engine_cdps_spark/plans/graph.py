@@ -674,10 +674,26 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     ).groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
 
 
-def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ktruss_edges(
+    spark: SparkSession, sf_dir: str, storage_level=None
+) -> DataFrame:
+    """k-truss via iterative support-prune over the LSH dup-graph.
+
+    ``storage_level`` parameterizes the persist level of the rotating
+    edge set so tools/ktruss_sf10_ab.py can A/B levels without
+    monkey-patching pyspark.StorageLevel attributes (which would
+    otherwise silently measure the shipped level in both arms —
+    ADVICE r10). Defaults to MEMORY_AND_DISK per the isolated A/B.
+    """
     from pyspark import StorageLevel
 
     from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+
+    level = (
+        storage_level
+        if storage_level is not None
+        else StorageLevel.MEMORY_AND_DISK
+    )
 
     # MEMORY_AND_DISK persist/rotate (round 10, measured): the r7 OOM
     # came from localCheckpoint blocks piling up with no deterministic
@@ -693,7 +709,7 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _lsh_pairs_cached(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(level)
     )
     n_old = edges.count()
     need = KTRUSS_K - 2
@@ -703,7 +719,7 @@ def ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(sup.hint("shuffle_hash"), ["a", "b"], "left")
             .filter(F.coalesce("support", F.lit(0)) >= need)
             .select("a", "b")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(level)
         )
         n_new = kept.count()
         edges.unpersist()

@@ -593,6 +593,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- ANN completeness metric: recall@K of the LSH path vs exact ---
     "ann_recall_eval": (similarity.ann_recall_eval, similarity.ANN_RECALL_EVAL_SQL),
+    # --- IVF tuning curve: recall@K + candidate cost vs nprobe (r11) ---
+    "ivf_nprobe_sweep_eval": (
+        similarity.ivf_nprobe_sweep_eval,
+        similarity.IVF_NPROBE_SWEEP_EVAL_SQL,
+    ),
     # --- mapInArrow surface: RecordBatch-native numpy compute ---
     "arrow_norm_stats": (
         similarity.arrow_norm_stats,
@@ -835,6 +840,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_layout_stats": (
         relational.zorder_layout_stats,
         relational.ZORDER_LAYOUT_STATS_SQL,
+    ),
+    # --- zone-map file skipping across write layouts (r11) ---
+    "minmax_file_skipping_eval": (
+        relational.minmax_file_skipping_eval,
+        relational.MINMAX_FILE_SKIPPING_EVAL_SQL,
     ),
     "length_emd_by_source": (
         curation.length_emd_by_source,
@@ -1203,19 +1213,76 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # --- round-10 certification window (driver gate = first 50) ---
-    # Positions 1-2: the round-10 rationed additions (certify same
-    # round, keeping the never-certified set empty after the r10 gate).
-    # Positions 3-32: every query this round's integer-money census
-    # flipped (commit a09f16c) — all previously driver-green, all
-    # oracle-re-matched locally at sf0.01/0.1/derived-sf1; driver
-    # re-certification is the external regression receipt for the
-    # flips. Positions 33-50: one canary per family (streaming,
-    # multimodal decode, compat shims, dedup, ANN, text, curation,
-    # graph — the r9 rotation's coverage set).
+    # --- round-11 certification window (driver gate = first 50) ---
+    # Positions 1-2: the round-11 rationed additions (certify same
+    # round, keeping the never-certified set empty after the r11 gate).
+    # Positions 3-7: the five round-10 integer-money flips that sat
+    # OUTSIDE the r10 driver window (ADVICE r10: the r10 comment
+    # over-claimed "every flipped query" — monthly_gapfill_revenue,
+    # sql_variable_pricey_parts, revenue_gini, winsorized_price_stats,
+    # theil_sen_trend shipped with local 4-SF oracle receipts only);
+    # staged here for the external re-certification they were owed.
+    # Positions 8-25: one canary per family (streaming, multimodal
+    # decode, compat shims, dedup, ANN, text, curation, graph — the
+    # r9/r10 rotation's coverage set). Positions 26-50: rotation of
+    # the longest-unrefreshed receipts (last driver-certified r2-r8).
+    "ivf_nprobe_sweep_eval",
+    "minmax_file_skipping_eval",
+    # r10 money flips owed an external re-certification
+    "monthly_gapfill_revenue",
+    "sql_variable_pricey_parts",
+    "revenue_gini",
+    "winsorized_price_stats",
+    "theil_sen_trend",
+    # family canaries (r9/r10 coverage set)
+    "danger_topk",
+    "wordcount_shim",
+    "danger_shim",
+    "one_vs_one_shim_pairs",
+    "streaming_window_counts",
+    "streaming_click_purchase_join",
+    "ppm_image_features",
+    "media_features",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "near_dup_prune",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ann_recall_eval",
+    "wordcount",
+    "tfidf_top_terms",
+    "decontamination",
+    "bfs_hops",
+    # rotation: receipts last refreshed r2-r8
+    "token_stats",
+    "reservoir_sample_per_source",
+    "customer_upsert",
+    "order_status_runs",
+    "listagg_status_profile",
+    "try_arith_audit",
+    "holt_winters_revenue",
+    "segment_nation_mi",
+    "ab_proportion_ztest",
+    "psi_value_shift",
+    "neyman_allocation",
+    "key_skew_profile",
+    "length_emd_by_source",
+    "ppm_shot_boundaries",
+    "quantile_normalized_quality",
+    "conformal_revenue_interval",
+    "bloom_fpr_eval",
+    "wav_silence_segments",
+    "zorder_layout_stats",
+    "copurchase_part_pairs",
+    "decayed_user_value",
+    "markov_next_event_accuracy",
+    "twap_user_value",
+    "sax_revenue_symbols",
+    "cusum_control_chart",
+    # --- round-10 window members (certified r10): the r10 additions
+    # and the 25 in-window integer-money flips ---
     "lsh_pair_precision_eval",
     "cross_dup_source_matrix",
-    # round-10 integer-money flips
     "pricing_summary",
     "revenue_by_nation",
     "cube_counts",
@@ -1246,25 +1313,6 @@ _PRIORITY_ORDER = [
     "orc_roundtrip_stats",
     "bucketed_join_stats",
     "hard_negative_mining",
-    # family canaries (r9 coverage set)
-    "danger_topk",
-    "wordcount_shim",
-    "danger_shim",
-    "one_vs_one_shim_pairs",
-    "streaming_window_counts",
-    "streaming_click_purchase_join",
-    "ppm_image_features",
-    "media_features",
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "near_dup_prune",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "ann_recall_eval",
-    "wordcount",
-    "tfidf_top_terms",
-    "decontamination",
-    "bfs_hops",
     # --- round-9 window members not re-staged above (certified r9) ---
     "duplicate_spans_sampled",
     "boilerplate_span_topk",
@@ -1296,32 +1344,6 @@ _PRIORITY_ORDER = [
     "kanon_release_stats",
     "dup_graph_triangles",
     # --- certified in earlier rounds (r2-r8 driver-green) ---
-    "token_stats",
-    "reservoir_sample_per_source",
-    "customer_upsert",
-    "order_status_runs",
-    "listagg_status_profile",
-    "try_arith_audit",
-    "holt_winters_revenue",
-    "segment_nation_mi",
-    "theil_sen_trend",
-    "ab_proportion_ztest",
-    "psi_value_shift",
-    "neyman_allocation",
-    "key_skew_profile",
-    "length_emd_by_source",
-    "ppm_shot_boundaries",
-    "quantile_normalized_quality",
-    "conformal_revenue_interval",
-    "bloom_fpr_eval",
-    "wav_silence_segments",
-    "zorder_layout_stats",
-    "copurchase_part_pairs",
-    "decayed_user_value",
-    "markov_next_event_accuracy",
-    "twap_user_value",
-    "sax_revenue_symbols",
-    "cusum_control_chart",
     "aqp_sample_accuracy",
     "revenue_topshare_curve",
     "pareto_orders",
@@ -1393,9 +1415,7 @@ _PRIORITY_ORDER = [
     "regr_price_qty",
     "quantity_moments",
     "hll_sketch_users",
-    "monthly_gapfill_revenue",
     "collated_lang_counts",
-    "sql_variable_pricey_parts",
     "locf_event_values",
     "lateral_top_orders",
     "freq_items_check",
@@ -1407,7 +1427,6 @@ _PRIORITY_ORDER = [
     "table_diff",
     "status_as_of",
     "ks_two_sample",
-    "revenue_gini",
     "type_pair_lift",
     "linear_attribution",
     "active_user_metrics",
@@ -1474,7 +1493,6 @@ _PRIORITY_ORDER = [
     "pack_chunks_bins",
     "epoch_shuffle",
     "weighted_doc_sample",
-    "winsorized_price_stats",
     "source_lang_entropy",
     "source_interleave",
     "user_sessions",

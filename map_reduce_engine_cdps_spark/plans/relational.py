@@ -2923,6 +2923,130 @@ ZORDER_LAYOUT_STATS_SQL = _zorder_sql
 
 
 # ---------------------------------------------------------------------------
+# minmax_file_skipping_eval — zone-map (per-file min/max) skipping, the
+# mechanism behind parquet row-group pruning and Iceberg/Delta manifest
+# min-max filtering, measured across three write-layout policies for a
+# shipdate range predicate: `time_sorted` (one file per shipdate month —
+# what a time-partitioned writer produces; tight zone maps),
+# `key_clustered` (files by order key — zone maps span the full date
+# range), and `scattered` (md5-hash file assignment — the worst case a
+# shuffle-then-write produces). Complements zorder_layout_stats (2-D
+# Morton locality for chunk-touch counts) on the single-axis zone-map
+# side: `scan_fraction` is the fraction of rows a min/max-pruning scan
+# still reads under each policy, i.e. the measured answer to "is the
+# sort-before-write worth it?".
+#
+# Scale: two distributed hash aggregations ((layout, file) then layout),
+# no windows, no global sort — the simulation assigns file ids with
+# per-row arithmetic (month, modulo, md5 bucket: engine-identical), so
+# the plan is a single scan + explode(3) + groupBy. At 100 TB you run
+# this on the real file-footer stats instead; the decision query is the
+# same two-level rollup.
+# ---------------------------------------------------------------------------
+
+_SKIP_N_FILES = 64
+_SKIP_LO = "1998-06-01"
+_SKIP_HI = "1998-09-01"
+
+
+def minmax_file_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    scat_key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    laid = li.select(
+        "l_shipdate",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("key_clustered").alias("layout"),
+                    (F.col("l_orderkey") % _SKIP_N_FILES)
+                    .cast("long")
+                    .alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("scattered").alias("layout"),
+                    (
+                        F.conv(F.substring(F.md5(scat_key), 1, 15), 16, 10)
+                        .cast("long")
+                        % _SKIP_N_FILES
+                    ).alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("time_sorted").alias("layout"),
+                    (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+                    .cast("long")
+                    .alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+    ).select("l_shipdate", F.col("f.layout").alias("layout"), F.col("f.file_id").alias("file_id"))
+    lo = F.lit(_SKIP_LO).cast("timestamp")
+    hi = F.lit(_SKIP_HI).cast("timestamp")
+    in_pred = (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    files = laid.groupBy("layout", "file_id").agg(
+        F.min("l_shipdate").alias("mn"),
+        F.max("l_shipdate").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(in_pred, 1).otherwise(0)).alias("n_match"),
+    )
+    kept = ~((F.col("mx") < lo) | (F.col("mn") >= hi))
+    kept_rows = F.sum(F.when(kept, F.col("n")).otherwise(0))
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("long")
+            .alias("files_kept"),
+            kept_rows.cast("long").alias("rows_in_kept_files"),
+            F.sum("n_match").cast("long").alias("match_rows"),
+            F.round(kept_rows / F.sum("n").cast("double"), 4).alias(
+                "scan_fraction"
+            ),
+        )
+        .orderBy("layout")
+    )
+
+
+MINMAX_FILE_SKIPPING_EVAL_SQL = f"""
+WITH base AS (
+  SELECT l_shipdate,
+         l_orderkey % {_SKIP_N_FILES} AS f_key,
+         CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15))
+              AS BIGINT) % {_SKIP_N_FILES} AS f_scat,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS f_time
+  FROM lineitem
+), laid AS (
+  SELECT 'key_clustered' AS layout, f_key AS file_id, l_shipdate FROM base
+  UNION ALL SELECT 'scattered', f_scat, l_shipdate FROM base
+  UNION ALL SELECT 'time_sorted', f_time, l_shipdate FROM base
+), files AS (
+  SELECT layout, file_id,
+         min(l_shipdate) AS mn, max(l_shipdate) AS mx, count(*) AS n,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '{_SKIP_LO}'
+                   AND l_shipdate < TIMESTAMP '{_SKIP_HI}'
+                  THEN 1 ELSE 0 END) AS n_match
+  FROM laid GROUP BY layout, file_id
+)
+SELECT layout,
+       count(*) AS files_total,
+       CAST(sum(CASE WHEN NOT (mx < TIMESTAMP '{_SKIP_LO}'
+                            OR mn >= TIMESTAMP '{_SKIP_HI}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_kept,
+       CAST(sum(CASE WHEN NOT (mx < TIMESTAMP '{_SKIP_LO}'
+                            OR mn >= TIMESTAMP '{_SKIP_HI}')
+                     THEN n ELSE 0 END) AS BIGINT) AS rows_in_kept_files,
+       CAST(sum(n_match) AS BIGINT) AS match_rows,
+       round(sum(CASE WHEN NOT (mx < TIMESTAMP '{_SKIP_LO}'
+                             OR mn >= TIMESTAMP '{_SKIP_HI}')
+                      THEN n ELSE 0 END)
+             / CAST(sum(n) AS DOUBLE), 4) AS scan_fraction
+FROM files GROUP BY layout ORDER BY layout
+"""
+
+
+# ---------------------------------------------------------------------------
 # aqp_sample_accuracy — approximate query processing, honestly scored:
 # a deterministic 1/8 hash sample of lineitem (first md5 nibble of the
 # order key < '2' — engine-reproducible, and ORDER-level so line items

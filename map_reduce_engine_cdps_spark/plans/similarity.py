@@ -401,55 +401,78 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # centroid side is K rows and broadcast — the interpreted fold is
-    # fine there; corpus-side norms and all pair scoring go Arrow.
-    cent = F.broadcast(
+def _broadcast_centroid_lists(emb: DataFrame):
+    """Broadcast (list_id, centroid, cent_n) side shared by the IVF
+    queries — centroid side is K rows, so the interpreted fold is fine
+    there; corpus-side norms and all pair scoring go Arrow."""
+    return F.broadcast(
         _centroids(emb).select(
             F.col("label").alias("list_id"),
             "centroid",
             V.norm(F.col("centroid")).alias("cent_n"),
         )
     )
+
+
+def _nearest_lists(
+    side: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_col: str,
+    n: int,
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Top-n nearest inverted lists per vector (module-scope so
+    ivf_nprobe_sweep_eval shares ivf_ann_topk's exact formulation).
+
+    The n scored rows per vector carry ONLY (id, list_id, c_sim)
+    into the rank window — the embedding is consumed map-side by
+    the broadcast-centroid scoring and re-attached to the n
+    winners afterwards by an id-equi-join. Round-4 shape shipped
+    the embedding through the window exchange K-fold (K rows per
+    vector × dim floats); with K inverted lists in the thousands
+    at real scale that exchange payload is K× the corpus. Now
+    arrays cross exchanges only one-row-per-vector (the re-attach
+    and the downstream list_id join), gated by
+    tests/test_plan_quality.py::test_ann_rank_exchanges_are_scalar_only.
+
+    NB: a min_by hash-aggregate argmin was tried for the n=1 case
+    and reverted — isolated it beats the sort window 5x, but in
+    the full query the WindowGroupLimit partial prune composes
+    better with the downstream list_id join (whole-query sf1:
+    1.9 s window vs 2.5-3.0 s min_by). semdedup_prune, whose
+    assignment feeds a plain equi-join, DOES use min_by.
+    """
+    scored = side.crossJoin(cent).select(
+        id_col,
+        "list_id",
+        F.round(
+            _cos_pre_arrow(
+                F.col(vec_col), F.col("centroid"), F.col(n_col), F.col("cent_n")
+            ),
+            6,
+        ).alias("c_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
+    extra = [F.col("rn").alias("probe_rank")] if keep_rank else []
+    winners = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select(id_col, "list_id", *extra)
+    )
+    return winners.join(side, id_col)
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _broadcast_centroid_lists(emb)
     norm_pd = V.norm_arrow()
 
     def nearest_lists(
         side: DataFrame, id_col: str, vec_col: str, n_col: str, n: int
     ) -> DataFrame:
-        # The K scored rows per vector carry ONLY (id, list_id, c_sim)
-        # into the rank window — the embedding is consumed map-side by
-        # the broadcast-centroid scoring and re-attached to the n
-        # winners afterwards by an id-equi-join. Round-4 shape shipped
-        # the embedding through the window exchange K-fold (K rows per
-        # vector × dim floats); with K inverted lists in the thousands
-        # at real scale that exchange payload is K× the corpus. Now
-        # arrays cross exchanges only one-row-per-vector (the re-attach
-        # and the downstream list_id join), gated by
-        # tests/test_plan_quality.py::test_ann_rank_exchanges_are_scalar_only.
-        scored = side.crossJoin(cent).select(
-            id_col,
-            "list_id",
-            F.round(
-                _cos_pre_arrow(
-                    F.col(vec_col), F.col("centroid"), F.col(n_col), F.col("cent_n")
-                ),
-                6,
-            ).alias("c_sim"),
-        )
-        # NB: a min_by hash-aggregate argmin was tried for the n=1 case
-        # and reverted — isolated it beats the sort window 5x, but in
-        # the full query the WindowGroupLimit partial prune composes
-        # better with the downstream list_id join (whole-query sf1:
-        # 1.9 s window vs 2.5-3.0 s min_by). semdedup_prune, whose
-        # assignment feeds a plain equi-join, DOES use min_by.
-        w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
-        winners = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .select(id_col, "list_id")
-        )
-        return winners.join(side, id_col)
+        return _nearest_lists(side, cent, id_col, vec_col, n_col, n)
 
     assign = nearest_lists(
         emb.select(
@@ -877,6 +900,157 @@ SELECT e.query_id,
 FROM exact e
 LEFT JOIN lshk l ON e.query_id = l.query_id AND e.cand_id = l.cand_id
 GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ivf_nprobe_sweep_eval — the IVF cost/recall tuning curve: recall@K
+# and mean candidate count per query for nprobe in {1, 2, 4}. The IVF
+# twin of lsh_band_tuning_eval (the LSH knob sweep): nprobe is THE
+# 100 TB cost lever — candidates scored per query grow linearly with
+# probed lists, so this curve is what decides the knob before paying
+# for a full index scan-out. Shape: one assignment pass (each corpus
+# vector → its single nearest list), one probe pass ranked once to
+# max(nprobe), each (query, cand) pair scored ONCE; the sweep itself is
+# a broadcast 3-row theta-join + per-config window over the already-
+# scored front — no re-scan, no re-score per configuration.
+# ---------------------------------------------------------------------------
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def ivf_nprobe_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _broadcast_centroid_lists(emb)
+    norm_pd = V.norm_arrow()
+    cand_side = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        norm_pd(F.col("embedding")).alias("c_n"),
+    )
+    query_side = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm_pd(F.col("embedding")).alias("q_n"),
+    )
+    assign = _nearest_lists(cand_side, cent, "cand_id", "c_emb", "c_n", 1)
+    probes = _nearest_lists(
+        query_side, cent, "query_id", "q_emb", "q_n",
+        max(_NPROBE_SWEEP), keep_rank=True,
+    )
+    pairs = (
+        probes.join(assign, "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "probe_rank",
+            F.round(
+                _cos_pre_arrow(
+                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    sweep = F.broadcast(
+        spark.createDataFrame([(n,) for n in _NPROBE_SWEEP], "nprobe int")
+    )
+    swept = pairs.join(sweep, pairs.probe_rank <= sweep.nprobe)
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id")
+    )
+    ranked = swept.withColumn("rank", F.row_number().over(w))
+    truth = knn_bruteforce(spark, sf_dir).select(
+        "query_id", "cand_id", F.lit(1).alias("hit")
+    )
+    topk_hit = (F.col("rank") <= TOP_K) & F.col("hit").isNotNull()
+    return (
+        ranked.join(truth, ["query_id", "cand_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("total_candidates"),
+            F.round(
+                F.count(F.lit(1)) / F.lit(float(N_QUERIES)), 4
+            ).alias("mean_candidates"),
+            F.sum(F.when(topk_hit, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.round(
+                F.sum(F.when(topk_hit, 1).otherwise(0))
+                / F.lit(float(N_QUERIES * TOP_K)),
+                4,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+IVF_NPROBE_SWEEP_EVAL_SQL = f"""
+WITH exploded AS (
+  SELECT label, t.pos, embedding[t.pos]::DOUBLE AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(pos)
+), comp AS (
+  SELECT label, pos, sum(val) / count(*) AS m
+  FROM exploded GROUP BY label, pos
+), cent AS (
+  SELECT label AS list_id, list(m ORDER BY pos) AS centroid
+  FROM comp GROUP BY label
+), assign AS (
+  SELECT cand_id, c_emb, list_id FROM (
+    SELECT e.vec_id AS cand_id, e.embedding AS c_emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos_lists('e.embedding', 'cent.centroid')} DESC,
+                      cent.list_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_emb, list_id, rn AS probe_rank FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, cent.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_duck_cos_lists('e.embedding', 'cent.centroid')} DESC,
+                      cent.list_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {max(_NPROBE_SWEEP)}
+), pairs AS (
+  SELECT p.query_id, a.cand_id, p.probe_rank,
+         {_duck_cos_lists('p.q_emb', 'a.c_emb')} AS cos_sim
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE p.query_id <> a.cand_id
+), sweep AS (
+  SELECT unnest([{", ".join(str(n) for n in _NPROBE_SWEEP)}]) AS nprobe
+), swept AS (
+  SELECT s.nprobe, pr.query_id, pr.cand_id,
+         row_number() OVER (PARTITION BY s.nprobe, pr.query_id
+                            ORDER BY pr.cos_sim DESC, pr.cand_id ASC) AS rank
+  FROM pairs pr JOIN sweep s ON pr.probe_rank <= s.nprobe
+), sims_exact AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         {_DUCK_COS} AS cos_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id <> c.vec_id
+), truth AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM sims_exact
+  ) WHERE rank <= {TOP_K}
+)
+SELECT w.nprobe,
+       count(*) AS total_candidates,
+       round(count(*) / CAST({N_QUERIES} AS DOUBLE), 4) AS mean_candidates,
+       CAST(sum(CASE WHEN w.rank <= {TOP_K} AND t.cand_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN w.rank <= {TOP_K} AND t.cand_id IS NOT NULL
+                      THEN 1 ELSE 0 END)
+             / CAST({N_QUERIES * TOP_K} AS DOUBLE), 4) AS recall_at_k
+FROM swept w
+LEFT JOIN truth t ON w.query_id = t.query_id AND w.cand_id = t.cand_id
+GROUP BY w.nprobe ORDER BY w.nprobe
 """
 
 

@@ -366,10 +366,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DISC_UNITS_SQL = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-)
+# single authoritative cents encoding lives in functions/exact.py
+_DISC_UNITS_SQL = EX.SQL_DISC_UNITS.format(p="l_extendedprice", d="l_discount")
 
 NATION_MARKET_SHARE_SQL = f"""
 SELECT year(o_orderdate) AS o_year,

@@ -1774,3 +1774,74 @@ def test_scored_pair_memo_shared(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir)
     assert key in _SCORED_PAIRS_CACHE
     assert _lsh_scored_pairs_cached(spark, sf_dir) is _SCORED_PAIRS_CACHE[key]
+
+
+def test_ivf_nprobe_sweep_sound(spark, sf_dir):
+    """The tuning curve is internally consistent (ratios recompute from
+    the integer columns), monotone in nprobe (more probed lists can
+    only add candidates and hits), and its nprobe=NPROBE point agrees
+    with the shipped ivf_ann_topk path scored against the brute-force
+    truth."""
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        _NPROBE_SWEEP,
+        N_QUERIES,
+        NPROBE,
+        TOP_K,
+        ivf_ann_topk,
+        ivf_nprobe_sweep_eval,
+        knn_bruteforce,
+    )
+
+    rows = ivf_nprobe_sweep_eval(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == sorted(_NPROBE_SWEEP)
+    for r in rows:
+        assert 0 <= r["n_hits"] <= N_QUERIES * TOP_K
+        assert abs(
+            r["recall_at_k"] - round(r["n_hits"] / (N_QUERIES * TOP_K), 4)
+        ) < 1e-12
+        assert abs(
+            r["mean_candidates"] - round(r["total_candidates"] / N_QUERIES, 4)
+        ) < 1e-12
+    for a, b in zip(rows, rows[1:]):
+        assert b["total_candidates"] >= a["total_candidates"]
+        assert b["n_hits"] >= a["n_hits"]
+    # consistency with the production path at its shipped nprobe
+    assert NPROBE in _NPROBE_SWEEP
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "cand_id")
+    prod_hits = (
+        ivf_ann_topk(spark, sf_dir)
+        .filter(f"rank <= {TOP_K}")
+        .select("query_id", "cand_id")
+        .join(truth, ["query_id", "cand_id"])
+        .count()
+    )
+    by_nprobe = {r["nprobe"]: r for r in rows}
+    assert by_nprobe[NPROBE]["n_hits"] == prod_hits
+
+
+def test_minmax_file_skipping_sound(spark, sf_dir):
+    """Zone-map pruning is sound (no matching row lives in a skipped
+    file), the predicate answer is layout-invariant, the fraction
+    recomputes from the integer columns, and the time-sorted layout
+    scans no more than the hash-scattered one."""
+    from map_reduce_engine_cdps_spark.plans.relational import (
+        minmax_file_skipping_eval,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = {r["layout"]: r for r in
+            minmax_file_skipping_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"key_clustered", "scattered", "time_sorted"}
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    match_counts = {r["match_rows"] for r in rows.values()}
+    assert len(match_counts) == 1  # layout never changes the answer
+    for r in rows.values():
+        assert 0 < r["files_kept"] <= r["files_total"]
+        assert r["match_rows"] <= r["rows_in_kept_files"] <= n_total
+        assert abs(
+            r["scan_fraction"] - round(r["rows_in_kept_files"] / n_total, 4)
+        ) < 1e-12
+    assert (
+        rows["time_sorted"]["rows_in_kept_files"]
+        <= rows["scattered"]["rows_in_kept_files"]
+    )

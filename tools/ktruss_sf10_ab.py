@@ -38,27 +38,23 @@ def main() -> None:
         ("DISK_ONLY", StorageLevel.DISK_ONLY),
         ("MEMORY_AND_DISK", StorageLevel.MEMORY_AND_DISK),
     ]:
-        orig = StorageLevel.DISK_ONLY
-        # monkey-patch the persist level used inside ktruss_edges by
-        # swapping the StorageLevel attribute the function looks up
-        import pyspark
-
-        pyspark.StorageLevel.DISK_ONLY = level  # type: ignore[misc]
+        # Pass the level explicitly (ktruss_edges storage_level arg) —
+        # the r10 version monkey-patched pyspark.StorageLevel.DISK_ONLY,
+        # which stopped working (and silently measured the shipped
+        # level in both arms) once ktruss_edges switched its default to
+        # MEMORY_AND_DISK (ADVICE r10).
         times = []
-        try:
-            for i in range(runs):
-                t0 = time.monotonic()
-                n = graph.ktruss_edges(spark, SF10).count()
-                dt = round(time.monotonic() - t0, 1)
-                times.append(dt)
-                print(
-                    json.dumps(
-                        {"config": label, "run": i, "sec": dt, "rows": n}
-                    ),
-                    flush=True,
-                )
-        finally:
-            pyspark.StorageLevel.DISK_ONLY = orig  # type: ignore[misc]
+        for i in range(runs):
+            t0 = time.monotonic()
+            n = graph.ktruss_edges(spark, SF10, storage_level=level).count()
+            dt = round(time.monotonic() - t0, 1)
+            times.append(dt)
+            print(
+                json.dumps(
+                    {"config": label, "run": i, "sec": dt, "rows": n}
+                ),
+                flush=True,
+            )
         results[label] = times
     print(json.dumps({"summary": results, "runs": runs, "isolated": True}))
 
