@@ -41,22 +41,47 @@ def main() -> None:
     # first — a 7.85x "cliff" in SWEEP_r04.json that was really cache
     # attribution. With the memo warmed, every consumer line below
     # times its own work only, and the artifact is self-explaining.
-    from map_reduce_engine_cdps_spark.plans.dedup import _lsh_pairs_cached
+    from map_reduce_engine_cdps_spark.plans.dedup import (
+        _lsh_pairs_cached,
+        _lsh_scored_pairs_cached,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
 
-    memo: dict = {}
-    for key, sf_dir in (("small", small), ("large", large)):
-        t0 = time.perf_counter()
+    # Session pre-warm BEFORE the first timed memo line: SWEEP_r10's
+    # lsh_pairs_memo_build read INVERTED (sf0.1 13.4 s > sf1 4.5 s)
+    # because the small-SF build was the session's very first Spark
+    # work and carried the cold first touch (JVM scan init, codegen,
+    # Arrow spin-up) — the same mechanism the ktruss sf10 A/B isolated
+    # (VERDICT r10 item 2). A cheap scan per SF absorbs that overhead
+    # so the memo lines price the builds.
+    for sf_dir in (small, large):
         try:
-            _lsh_pairs_cached(spark, sf_dir)
-            memo[key] = round(time.perf_counter() - t0, 3)
+            load_table(spark, sf_dir, "documents").count()
         except Exception as e:  # noqa: BLE001
-            print(f"sweep error lsh_pairs_memo@{key}: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            memo[key] = -1.0
-    if memo.get("small", 0) > 0 and memo.get("large", 0) > 0:
-        memo["ratio"] = round(memo["large"] / memo["small"], 2)
-    out["lsh_pairs_memo_build"] = memo
-    print(f"lsh_pairs_memo_build: {memo}", file=sys.stderr)
+            print(f"sweep prewarm error @{sf_dir}: {e}", file=sys.stderr)
+
+    # The r10 memoization split the pair memo in two (raw scored front
+    # + filtered pair list); time each build as its own line, like
+    # bench.py's memo_builds — the pair line then prices only its
+    # filter+checkpoint increment.
+    for label, builder in (
+        ("lsh_scored_pairs_memo_build", _lsh_scored_pairs_cached),
+        ("lsh_pairs_memo_build", _lsh_pairs_cached),
+    ):
+        memo: dict = {}
+        for key, sf_dir in (("small", small), ("large", large)):
+            t0 = time.perf_counter()
+            try:
+                builder(spark, sf_dir)
+                memo[key] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"sweep error {label}@{key}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                memo[key] = -1.0
+        if memo.get("small", 0) > 0 and memo.get("large", 0) > 0:
+            memo["ratio"] = round(memo["large"] / memo["small"], 2)
+        out[label] = memo
+        print(f"{label}: {memo}", file=sys.stderr)
     # Same attribution treatment for the round-6 shared truth front
     # (consumed by lsh_pair_recall_eval AND lsh_band_tuning_eval).
     from map_reduce_engine_cdps_spark.plans.dedup import _recall_truth_pairs
