@@ -254,6 +254,24 @@ SNAPSHOTS: dict[str, str] = {
         "rounded score, so the single-partition `Window` sees 10 "
         "rows, never the candidate universe."
     ),
+    "ivf_nprobe_sweep_eval": (
+        "The knob-sweep costs one scored front, not one per "
+        "configuration: a single assignment pass, one probe pass "
+        "ranked to max(nprobe), and the 3-row nprobe config table "
+        "joins via `BroadcastExchange` (theta-join on list rank). "
+        "Per-config recall is a window over the shared front — no "
+        "re-scan, no re-score, so adding configurations is O(pairs), "
+        "not O(pairs x configs). Centroids broadcast; the only wide "
+        "exchange is the per-list assignment aggregate."
+    ),
+    "minmax_file_skipping_eval": (
+        "Zone-map pruning measured without writing files: per-row "
+        "file-id arithmetic (month / cluster-modulo / md5-bucket) "
+        "feeds two distributed `HashAggregate`s — per-file min/max, "
+        "then the skip verdict per layout. No window, no global "
+        "sort, no collect; at 100 TB the layout comparison costs "
+        "exactly two shuffles of O(files) rows each."
+    ),
 }
 
 
