@@ -3364,6 +3364,120 @@ FROM ranked
 
 
 # ---------------------------------------------------------------------------
+# skew_remediation_eval — the remediation twin of key_skew_profile
+# (round-12, VERDICT r11 item 3): key_skew_profile measures WHETHER the
+# key histogram needs intervention; this measures HOW MUCH each salting
+# level buys before you pay for it. The events-by-type shuffle (5 hot
+# groups onto 32 reducers — the shape salted_above_type_mean mitigates,
+# `operators/skew.py`) is replayed under n_salt in {1, 4, 16}:
+# salt = md5-bucket(event_id) % n_salt, reducer = md5-bucket(type|salt)
+# % 32 (md5 arithmetic so Spark and the DuckDB oracle assign reducers
+# identically — Spark's Murmur3 partitioner hash is not portable; the
+# *balance curve* is hash-agnostic). Reported per level: sub-keys
+# materialized (= the salted join's right-side replication cost,
+# operators/skew.py salted_join explodes the right n_salt x), reducers
+# actually used, the max single-reducer row count, and the
+# straggler_factor = max_reducer_rows / (total / 32) — the reduce-stage
+# wall-clock multiplier vs perfect balance. n_salt=1 is the unsalted
+# baseline; the curve's knee is the knob answer, exactly like
+# ivf_nprobe_sweep_eval's nprobe curve.
+#
+# Scale: the first aggregate collapses to (n_salt, type, salt) grain
+# map-side — everything downstream is O(sub-keys), never O(rows); the
+# sweep costs one scan + explode(3), no windows, no global sort. At
+# 100 TB you point the same rollup at the real join/agg key column;
+# AQE's skew-split handles sort-merge joins at runtime, this curve is
+# for the paths AQE can't split (non-decomposable agg state, replicated
+# build sides) where salting must be chosen — and paid for — up front.
+# ---------------------------------------------------------------------------
+
+_SKEW_N_RED = 32
+_SKEW_SALTS = (1, 4, 16)
+
+
+def skew_remediation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    salt_h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    lanes = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n_salt"),
+                        (salt_h % n).alias("salt"),
+                    )
+                    for n in _SKEW_SALTS
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col("s.n_salt").alias("n_salt"),
+        "event_type",
+        F.col("s.salt").alias("salt"),
+    )
+    sub = lanes.groupBy("n_salt", "event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    red_h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "event_type", "salt")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    per_red = (
+        sub.withColumn("reducer", red_h % _SKEW_N_RED)
+        .groupBy("n_salt", "reducer")
+        .agg(
+            F.sum("n").alias("rows_r"),
+            F.count(F.lit(1)).alias("subkeys_r"),
+        )
+    )
+    return (
+        per_red.groupBy("n_salt")
+        .agg(
+            F.sum("subkeys_r").cast("long").alias("subkeys"),
+            F.count(F.lit(1)).alias("reducers_used"),
+            F.max("rows_r").cast("long").alias("max_reducer_rows"),
+            F.sum("rows_r").cast("long").alias("total_rows"),
+            F.round(
+                F.max("rows_r") * _SKEW_N_RED / F.sum("rows_r").cast("double"),
+                4,
+            ).alias("straggler_factor"),
+        )
+        .orderBy("n_salt")
+    )
+
+
+SKEW_REMEDIATION_EVAL_SQL = f"""
+WITH lanes AS (
+  SELECT n_salt, event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % n_salt AS salt
+  FROM events, (SELECT unnest([1, 4, 16]) AS n_salt)
+), sub AS (
+  SELECT n_salt, event_type, salt, count(*) AS n
+  FROM lanes GROUP BY 1, 2, 3
+), red AS (
+  SELECT n_salt,
+         CAST(('0x' || substr(md5(event_type || '|' || salt), 1, 15))
+              AS BIGINT) % {_SKEW_N_RED} AS reducer,
+         sum(n) AS rows_r, count(*) AS subkeys_r
+  FROM sub GROUP BY 1, 2
+)
+SELECT n_salt,
+       CAST(sum(subkeys_r) AS BIGINT) AS subkeys,
+       count(*) AS reducers_used,
+       CAST(max(rows_r) AS BIGINT) AS max_reducer_rows,
+       CAST(sum(rows_r) AS BIGINT) AS total_rows,
+       round(max(rows_r) * {_SKEW_N_RED} / CAST(sum(rows_r) AS DOUBLE), 4)
+         AS straggler_factor
+FROM red GROUP BY n_salt ORDER BY n_salt
+"""
+
+
+# ---------------------------------------------------------------------------
 # conformal_revenue_interval — split conformal prediction (Vovk; the
 # distribution-free interval wrapper production forecasters deploy):
 # one-step forecasts = trailing 7-day mean, absolute residuals split

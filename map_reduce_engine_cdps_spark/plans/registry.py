@@ -801,6 +801,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.key_skew_profile,
         analytics.KEY_SKEW_PROFILE_SQL,
     ),
+    "skew_remediation_eval": (
+        analytics.skew_remediation_eval,
+        analytics.SKEW_REMEDIATION_EVAL_SQL,
+    ),
     "conformal_revenue_interval": (
         analytics.conformal_revenue_interval,
         analytics.CONFORMAL_REVENUE_INTERVAL_SQL,
@@ -842,6 +846,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.ZORDER_LAYOUT_STATS_SQL,
     ),
     # --- zone-map file skipping across write layouts (r11) ---
+    "compaction_plan_eval": (
+        relational.compaction_plan_eval,
+        relational.COMPACTION_PLAN_EVAL_SQL,
+    ),
     "minmax_file_skipping_eval": (
         relational.minmax_file_skipping_eval,
         relational.MINMAX_FILE_SKIPPING_EVAL_SQL,
@@ -1213,28 +1221,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # --- round-11 certification window (driver gate = first 50) ---
-    # Positions 1-2: the round-11 rationed additions (certify same
-    # round, keeping the never-certified set empty after the r11 gate).
-    # Positions 3-7: the five round-10 integer-money flips that sat
-    # OUTSIDE the r10 driver window (ADVICE r10: the r10 comment
-    # over-claimed "every flipped query" — monthly_gapfill_revenue,
-    # sql_variable_pricey_parts, revenue_gini, winsorized_price_stats,
-    # theil_sen_trend shipped with local 4-SF oracle receipts only);
-    # staged here for the external re-certification they were owed.
-    # Positions 8-25: one canary per family (streaming, multimodal
-    # decode, compat shims, dedup, ANN, text, curation, graph — the
-    # r9/r10 rotation's coverage set). Positions 26-50: rotation of
-    # the longest-unrefreshed receipts (last driver-certified r2-r8).
-    "ivf_nprobe_sweep_eval",
-    "minmax_file_skipping_eval",
-    # r10 money flips owed an external re-certification
-    "monthly_gapfill_revenue",
-    "sql_variable_pricey_parts",
-    "revenue_gini",
-    "winsorized_price_stats",
-    "theil_sen_trend",
-    # family canaries (r9/r10 coverage set)
+    # --- round-12 certification window (driver gate = first 50) ---
+    # Positions 1-2: the round-12 rationed additions (VERDICT r11
+    # item 3: skew-remediation knob curve + small-files compaction
+    # planner), staged for same-round certification.
+    "skew_remediation_eval",
+    "compaction_plan_eval",
+    # Positions 3-20: one canary per family (streaming, multimodal,
+    # compat shims, dedup, ANN, text, curation, graph - the same
+    # coverage set as the r9-r11 rotations).
     "danger_topk",
     "wordcount_shim",
     "danger_shim",
@@ -1253,7 +1248,50 @@ _PRIORITY_ORDER = [
     "tfidf_top_terms",
     "decontamination",
     "bfs_hops",
-    # rotation: receipts last refreshed r2-r8
+    # Positions 21-50: the 30 longest-unrefreshed receipts - the 17
+    # queries whose only driver certification is still round 1, then
+    # the oldest round-3 receipts (alphabetical among equals;
+    # computed from CORRECTNESS_r01..r11).
+    "click_purchase_within_1h",
+    "cohort_retention",
+    "count_distinct_parts",
+    "data_quality_audit",
+    "dense_event_timeline",
+    "grouping_sets_counts",
+    "json_props_extract",
+    "quantity_percentiles",
+    "quantity_price_corr",
+    "rolling_1h_user_value",
+    "rollup_counts",
+    "salted_type_stats",
+    "segment_set_ops",
+    "status_pivot",
+    "status_unpivot",
+    "user_funnel",
+    "value_histogram",
+    "cross_source_leakage",
+    "csv_roundtrip_counts",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_on_agg",
+    "distinct_segments",
+    "edit_distance_pairs",
+    "embedding_covariance",
+    "embedding_dim_stats",
+    "event_type_counts",
+    "file_provenance_stats",
+    "incremental_dedup",
+    "jsonl_roundtrip_stats",
+    # --- below the 50-query driver window: prior-round members in
+    # their previous relative order (all driver-certified r2-r11;
+    # pca_explained_variance is the declared rows-only entry) ---
+    "ivf_nprobe_sweep_eval",
+    "minmax_file_skipping_eval",
+    "monthly_gapfill_revenue",
+    "sql_variable_pricey_parts",
+    "revenue_gini",
+    "winsorized_price_stats",
+    "theil_sen_trend",
     "token_stats",
     "reservoir_sample_per_source",
     "customer_upsert",
@@ -1279,8 +1317,6 @@ _PRIORITY_ORDER = [
     "twap_user_value",
     "sax_revenue_symbols",
     "cusum_control_chart",
-    # --- round-10 window members (certified r10): the r10 additions
-    # and the 25 in-window integer-money flips ---
     "lsh_pair_precision_eval",
     "cross_dup_source_matrix",
     "pricing_summary",
@@ -1313,7 +1349,6 @@ _PRIORITY_ORDER = [
     "orc_roundtrip_stats",
     "bucketed_join_stats",
     "hard_negative_mining",
-    # --- round-9 window members not re-staged above (certified r9) ---
     "duplicate_spans_sampled",
     "boilerplate_span_topk",
     "temporal_split_stats",
@@ -1343,7 +1378,6 @@ _PRIORITY_ORDER = [
     "token_budget_sample",
     "kanon_release_stats",
     "dup_graph_triangles",
-    # --- certified in earlier rounds (r2-r8 driver-green) ---
     "aqp_sample_accuracy",
     "revenue_topshare_curve",
     "pareto_orders",
@@ -1475,9 +1509,6 @@ _PRIORITY_ORDER = [
     "arrow_label_centroids",
     "audio_window_features",
     "ppm_gradient_features",
-    "click_purchase_within_1h",
-    "salted_type_stats",
-    "json_props_extract",
     "doc_fingerprints",
     "inverted_index_stats",
     "top_bigrams",
@@ -1508,11 +1539,6 @@ _PRIORITY_ORDER = [
     "click_asof_cogroup",
     "streaming_sliding_distinct",
     "ppm_video_frame_samples",
-    "customers_with_orders",
-    "customers_without_orders",
-    "distinct_segments",
-    "event_type_counts",
-    "dedup_on_agg",
     "segments_per_nation",
     "mode_per_user_bucket",
     "returnflag_accuracy",
@@ -1522,38 +1548,14 @@ _PRIORITY_ORDER = [
     "systematic_sample",
     "sampled_docs_per_source",
     "train_test_split",
-    "csv_roundtrip_counts",
-    "jsonl_roundtrip_stats",
     "partitioned_pruned_stats",
     "xml_roundtrip_stats",
     "multi_format_union",
     "schema_drift_union",
-    "file_provenance_stats",
     "stable_row_ids",
-    "incremental_dedup",
     "ngram_jaccard_topk",
-    "edit_distance_pairs",
-    "cross_source_leakage",
     "lsh_bucket_stats",
-    "embedding_covariance",
-    "embedding_dim_stats",
     "pca_explained_variance",
-    # Previously reached only via the registry-tail fallback merge;
-    # listed explicitly now that the assert demands set equality.
-    "cohort_retention",
-    "count_distinct_parts",
-    "data_quality_audit",
-    "dense_event_timeline",
-    "grouping_sets_counts",
-    "quantity_percentiles",
-    "quantity_price_corr",
-    "rolling_1h_user_value",
-    "rollup_counts",
-    "segment_set_ops",
-    "status_pivot",
-    "status_unpivot",
-    "user_funnel",
-    "value_histogram",
 ]
 
 # Set EQUALITY, not subset: round 9 silently dropped revenue_by_nation

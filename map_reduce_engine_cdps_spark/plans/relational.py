@@ -3047,6 +3047,122 @@ FROM files GROUP BY layout ORDER BY layout
 
 
 # ---------------------------------------------------------------------------
+# compaction_plan_eval — the small-files compaction planner (round-12,
+# VERDICT r11 item 3): minmax_file_skipping_eval answers "is
+# sort-before-write worth it?"; this answers "how many files does the
+# nightly compactor merge, and into what?". The simulated file
+# population is the one a 16-task writer produces on a month-
+# partitioned orders sink — file = (order month, md5-bucket(orderkey) %
+# 16), bytes = rows x 128 (uniform row-size estimate; at scale the real
+# footer sizes slot in) — i.e. the classic small-files pathology: every
+# writer task touches every month. The plan is Spark's own file-
+# coalescing rule: within each month partition, files concatenated in
+# file_id order and cut at the 4 KiB target via a cumulative-size
+# window, bin = floor(bytes_before / target). Reported per month:
+# files before, how many were under target (the small-files count the
+# compactor exists for), planned files after, the largest planned bin,
+# and total bytes — the whole compaction job sizing in one table.
+#
+# Scale: one scan, one map-side-combinable hash aggregate to (month,
+# file) grain, then ALL downstream work is O(files), never O(rows); the
+# packing window partitions by month (<= 16 rows per partition — the
+# per-partition file list a real manifest scan yields), so there is no
+# global window and no global sort; output grain is O(months). At
+# 100 TB you feed the same plan the Iceberg/Delta manifest file list
+# instead of simulating it — the window + two rollups are unchanged.
+# All columns are exact integers (bytes, counts): no float anywhere.
+# ---------------------------------------------------------------------------
+
+_COMPACT_N_WRITERS = 16
+_COMPACT_ROW_BYTES = 128
+_COMPACT_TARGET_BYTES = 4096
+
+
+def compaction_plan_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    writer = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _COMPACT_N_WRITERS
+    )
+    files = (
+        o.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month"),
+            writer.alias("file_id"),
+        )
+        .groupBy("month", "file_id")
+        .agg((F.count(F.lit(1)) * _COMPACT_ROW_BYTES).alias("bytes"))
+    )
+    w = (
+        W.partitionBy("month")
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = files.select(
+        "month",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / _COMPACT_TARGET_BYTES
+        ).alias("bin"),
+    )
+    per_bin = packed.groupBy("month", "bin").agg(
+        F.sum("bytes").alias("bin_bytes"),
+        F.count(F.lit(1)).alias("nf"),
+        F.sum(
+            F.when(F.col("bytes") < _COMPACT_TARGET_BYTES, 1).otherwise(0)
+        ).alias("nsmall"),
+    )
+    return (
+        per_bin.groupBy("month")
+        .agg(
+            F.sum("nf").cast("long").alias("files_before"),
+            F.sum("nsmall").cast("long").alias("small_files_before"),
+            F.count(F.lit(1)).alias("files_after"),
+            F.max("bin_bytes").cast("long").alias("max_bin_bytes"),
+            F.sum("bin_bytes").cast("long").alias("bytes_total"),
+        )
+        .orderBy("month")
+    )
+
+
+COMPACTION_PLAN_EVAL_SQL = f"""
+WITH files AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+           AS month,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_COMPACT_N_WRITERS} AS file_id,
+         count(*) * {_COMPACT_ROW_BYTES} AS bytes
+  FROM orders GROUP BY 1, 2
+), packed AS (
+  SELECT month, bytes,
+         CAST(floor(coalesce(sum(bytes) OVER (
+             PARTITION BY month ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_COMPACT_TARGET_BYTES}) AS BIGINT) AS bin
+  FROM files
+), per_bin AS (
+  SELECT month, bin, sum(bytes) AS bin_bytes, count(*) AS nf,
+         sum(CASE WHEN bytes < {_COMPACT_TARGET_BYTES} THEN 1 ELSE 0 END)
+           AS nsmall
+  FROM packed GROUP BY 1, 2
+)
+SELECT month,
+       CAST(sum(nf) AS BIGINT) AS files_before,
+       CAST(sum(nsmall) AS BIGINT) AS small_files_before,
+       count(*) AS files_after,
+       CAST(max(bin_bytes) AS BIGINT) AS max_bin_bytes,
+       CAST(sum(bin_bytes) AS BIGINT) AS bytes_total
+FROM per_bin GROUP BY month ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
 # aqp_sample_accuracy — approximate query processing, honestly scored:
 # a deterministic 1/8 hash sample of lineitem (first md5 nibble of the
 # order key < '2' — engine-reproducible, and ORDER-level so line items

@@ -1845,3 +1845,76 @@ def test_minmax_file_skipping_sound(spark, sf_dir):
         rows["time_sorted"]["rows_in_kept_files"]
         <= rows["scattered"]["rows_in_kept_files"]
     )
+
+
+def test_skew_remediation_eval_sound(spark, sf_dir):
+    """The salting curve is internally consistent (straggler_factor
+    recomputes from the integer columns), conserves rows across
+    strategies, materializes exactly the expected sub-key counts at
+    the unsalted baseline, and actually remediates on this data —
+    the max salt level must beat the unsalted straggler factor."""
+    from map_reduce_engine_cdps_spark.plans.analytics import (
+        _SKEW_N_RED,
+        _SKEW_SALTS,
+        skew_remediation_eval,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = {r["n_salt"]: r for r in
+            skew_remediation_eval(spark, sf_dir).collect()}
+    assert set(rows) == set(_SKEW_SALTS)
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_types = ev.select("event_type").distinct().count()
+    for n_salt, r in rows.items():
+        assert r["total_rows"] == n_events  # every strategy sees all rows
+        assert 1 <= r["reducers_used"] <= min(r["subkeys"], _SKEW_N_RED)
+        assert r["subkeys"] <= n_types * n_salt
+        # max reducer must hold at least a perfectly-balanced share
+        # of its own reducer count
+        assert r["max_reducer_rows"] * r["reducers_used"] >= n_events
+        assert abs(
+            r["straggler_factor"]
+            - round(r["max_reducer_rows"] * _SKEW_N_RED / n_events, 4)
+        ) < 1e-12
+    assert rows[1]["subkeys"] == n_types  # unsalted baseline
+    # sub-keys can only multiply as the salt fans out
+    for a, b in zip(sorted(_SKEW_SALTS), sorted(_SKEW_SALTS)[1:]):
+        assert rows[b]["subkeys"] >= rows[a]["subkeys"]
+    hi, lo = max(_SKEW_SALTS), min(_SKEW_SALTS)
+    assert rows[hi]["straggler_factor"] < rows[lo]["straggler_factor"]
+
+
+def test_compaction_plan_eval_sound(spark, sf_dir):
+    """The compaction plan conserves bytes (sum over months equals
+    rows x row-bytes), never plans more output files than inputs or
+    than the byte total allows, and counts small files consistently."""
+    from map_reduce_engine_cdps_spark.plans.relational import (
+        _COMPACT_N_WRITERS,
+        _COMPACT_ROW_BYTES,
+        _COMPACT_TARGET_BYTES,
+        compaction_plan_eval,
+    )
+    from map_reduce_engine_cdps_spark.sources.readers import load_table
+
+    rows = compaction_plan_eval(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_orders = o.count()
+    n_months = o.selectExpr(
+        "year(o_orderdate) * 12 + month(o_orderdate) AS m"
+    ).distinct().count()
+    assert len(rows) == n_months
+    assert sum(r["bytes_total"] for r in rows) == n_orders * _COMPACT_ROW_BYTES
+    months = [r["month"] for r in rows]
+    assert months == sorted(months)
+    for r in rows:
+        assert 1 <= r["files_after"] <= r["files_before"] <= _COMPACT_N_WRITERS
+        assert 0 <= r["small_files_before"] <= r["files_before"]
+        # greedy cumulative cut: bin indices span floor(bytes/target)+1
+        # at most, so the plan can never emit more bins than that
+        assert (
+            r["files_after"]
+            <= r["bytes_total"] // _COMPACT_TARGET_BYTES + 1
+        )
+        assert r["max_bin_bytes"] <= r["bytes_total"]
+        assert r["files_after"] * r["max_bin_bytes"] >= r["bytes_total"]
