@@ -261,8 +261,15 @@ SNAPSHOTS: dict[str, str] = {
         "joins via `BroadcastExchange` (theta-join on list rank). "
         "Per-config recall is a window over the shared front — no "
         "re-scan, no re-score, so adding configurations is O(pairs), "
-        "not O(pairs x configs). Centroids broadcast; the only wide "
-        "exchange is the per-list assignment aggregate."
+        "not O(pairs x configs): no exchange in the plan is "
+        "per-configuration (the sweep adds only a broadcast join plus "
+        "a window over the shared front). The plan below does carry "
+        "several wide exchanges (probe-rank window, candidate "
+        "sort-merge join, recall join, final aggregate), and the "
+        "centroid-build subtree is PLANNED twice (assignment pass + "
+        "probe pass; AQE stage reuse dedupes canonically-identical "
+        "exchanges at runtime — see plans/r12/ executed-plan "
+        "captures)."
     ),
     "minmax_file_skipping_eval": (
         "Zone-map pruning measured without writing files: per-row "
