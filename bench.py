@@ -74,6 +74,30 @@ def _run_once(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def prewarm(spark, sf_dir: str) -> None:
+    """One representative heavy pass BEFORE anything is timed
+    (VERDICT r11 item 1): the round-11/12 host class backs guest
+    frames lazily on first touch (SCALE.md), so the first heavy
+    allocations of a session — JVM heap growth, shuffle buffers,
+    Python workers — run 1.5-5x slow. The sweep protocol's
+    "representative-query warm-up" turned the driver-window memo line
+    from 24.96 s into 4.07 s; this applies the same recipe to the
+    bench session so driver-window numbers price compute, not
+    first-touch. Excluded from every reported line.
+
+    simhash_buckets exercises the JVM/shuffle path (tokenize, two
+    aggregates, broadcast); ivf_ann_topk starts the Arrow Python
+    workers and the vector kernels. Neither touches the LSH memos, so
+    the memo_builds lines still time their own first build.
+    """
+    for name in ("simhash_buckets", "ivf_ann_topk"):
+        fn, _ = _REGISTRY[name]
+        try:
+            _run_once(spark, fn, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"prewarm error {name}: {e}", file=sys.stderr)
+
+
 def measure_memo_builds(spark, sf_dir: str) -> dict[str, float]:
     """Time the once-per-session memo builds the HEADLINE set depends
     on, BEFORE the warm-up pass (VERDICT r10 item 1: the round-10
@@ -165,6 +189,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     spark = get_spark(app_name="bench")
+    prewarm(spark, sf_dir)
     memo_builds = measure_memo_builds(spark, sf_dir)
     timings, iqrs = run_suite(spark, sf_dir, runs=runs)
     total = round(sum(t for t in timings.values() if t > 0), 3)
@@ -175,7 +200,11 @@ def main() -> None:
         "queries": timings,
         "queries_iqr": iqrs,
         "runs": runs,
-        "methodology": "median+IQR over interleaved passes, warm-up pass excluded",
+        "methodology": (
+            "median+IQR over interleaved passes, warm-up pass excluded; "
+            "r12+: representative heavy pre-warm before all timed lines "
+            "(excluded), see OPTIMIZATION_r12.md"
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Once-per-session memo builds, timed before warm-up and
         # EXCLUDED from `value` (the 27-query set is frozen; r1-r9
@@ -204,6 +233,7 @@ def main() -> None:
     except Exception:  # pragma: no cover
         out["tree_commit"] = "unknown"
     if os.path.isdir(SF1_DIR) and not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        prewarm(spark, SF1_DIR)
         out["sf1_memo_builds"] = measure_memo_builds(spark, SF1_DIR)
         sf1, sf1_iqr = run_suite(spark, SF1_DIR, runs=runs)
         out["sf1_queries"] = sf1

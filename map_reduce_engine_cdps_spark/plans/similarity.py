@@ -426,26 +426,39 @@ def _nearest_lists(
     """Top-n nearest inverted lists per vector (module-scope so
     ivf_nprobe_sweep_eval shares ivf_ann_topk's exact formulation).
 
-    The n scored rows per vector carry ONLY (id, list_id, c_sim)
-    into the rank window — the embedding is consumed map-side by
-    the broadcast-centroid scoring and re-attached to the n
-    winners afterwards by an id-equi-join. Round-4 shape shipped
-    the embedding through the window exchange K-fold (K rows per
-    vector × dim floats); with K inverted lists in the thousands
-    at real scale that exchange payload is K× the corpus. Now
-    arrays cross exchanges only one-row-per-vector (the re-attach
-    and the downstream list_id join), gated by
-    tests/test_plan_quality.py::test_ann_rank_exchanges_are_scalar_only.
+    Round-12 shape (guide §2.4): ``(vec, norm)`` ride THROUGH the rank
+    window instead of being re-attached to the winners by an
+    id-equi-join afterwards. The r5-r11 scalar-only-window shape paid,
+    per side, a second corpus scan + a second norm_arrow pass + a
+    corpus-sized broadcast (locally; a corpus shuffle on id at cluster
+    scale) to re-attach the embedding. The rank exchange stays
+    corpus-bounded despite the array payload because the partial
+    WindowGroupLimit (Spark 3.5+) prunes map-side to ≤ n rows per
+    vector BEFORE the exchange — so the exchange carries corpus×n
+    arrays, NOT the K-fold blow-up the round-4 shape had (K scored
+    rows per vector through the shuffle). n is 1 (assignment) or
+    nprobe (probes), so this is the same corpus×~1 payload the
+    re-attach join itself moved — one less scan, one less Arrow norm
+    pass, one less join, strictly. Round-12 A/B (interleaved, one
+    session, sf0.1): old 1.988 s vs carry 1.731 s median, lower in
+    7/7 passes; identical output. Oracle re-verified at
+    sf0.001/0.01/0.1 + derived-sf1 (round-12 receipts).
 
     NB: a min_by hash-aggregate argmin was tried for the n=1 case
     and reverted — isolated it beats the sort window 5x, but in
     the full query the WindowGroupLimit partial prune composes
     better with the downstream list_id join (whole-query sf1:
     1.9 s window vs 2.5-3.0 s min_by). semdedup_prune, whose
-    assignment feeds a plain equi-join, DOES use min_by.
+    assignment feeds a plain equi-join, DOES use min_by. A round-12
+    per-row array_sort top-n (all K sims in one Arrow crossing, no
+    window at all) was also tried and reverted: the repeated
+    per-row centroid payload + interpreted comparator made it
+    SLOWER (2.507 s median vs 1.988 old / 1.731 carry).
     """
     scored = side.crossJoin(cent).select(
         id_col,
+        vec_col,
+        n_col,
         "list_id",
         F.round(
             _cos_pre_arrow(
@@ -456,12 +469,11 @@ def _nearest_lists(
     )
     w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("list_id"))
     extra = [F.col("rn").alias("probe_rank")] if keep_rank else []
-    winners = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)
-        .select(id_col, "list_id", *extra)
+        .select(id_col, "list_id", *extra, vec_col, n_col)
     )
-    return winners.join(side, id_col)
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -253,7 +253,17 @@ ANN_FAMILY_ARRAY_EXCHANGE_BOUNDS = {
     "knn_bruteforce": 0,        # queries broadcast; corpus never shuffles
     "lsh_ann_topk": 0,          # bucket join broadcasts the candidate side
     "ann_recall_eval": 0,       # both sides broadcast
-    "ivf_ann_topk": 2,          # q_emb once + c_emb once (re-attach joins)
+    "ivf_ann_topk": 4,          # r12 carry-through-window shape: q_emb /
+                            # c_emb each cross their rank exchange
+                            # (corpus×n rows — partial WindowGroupLimit
+                            # prunes map-side BEFORE the shuffle, see
+                            # rank_window_array_exchanges' WGL
+                            # exemption) + the probe join's two list_id
+                            # exchanges. The r5-r11 shape also moved
+                            # the corpus arrays for its re-attach
+                            # (broadcast locally, a corpus shuffle at
+                            # scale) but paid a second scan + second
+                            # norm pass for it (OPTIMIZATION_r12.md).
     "embedding_near_dup": 2,    # load_parallel's local-mode
                             # repartition (file splits provide this on
                             # a cluster) + ONE bucket shuffle shared

@@ -174,10 +174,37 @@ def rank_window_array_exchanges(df) -> list[tuple[str, str, str]]:
     out: list[tuple[str, str, str]] = []
     PASS_THROUGH = ("Sort", "WindowGroupLimit", "WholeStageCodegen",
                     "InputAdapter", "ColumnarToRow")
+    # A map-side partial WindowGroupLimit with a small limit BELOW the
+    # exchange caps the exchange payload at limit rows per key —
+    # corpus×limit, not the K-fold blow-up this audit exists for
+    # (round 12: the IVF rank exchanges carry (vec, norm) through the
+    # window so the winners need no re-attach join; legal only because
+    # the partial WGL prunes to n ≤ WGL_BOUND rows per vector first).
+    WGL_BOUND = 8
+
+    def _partial_wgl_below(node) -> bool:
+        """True if a Partial WindowGroupLimit with limit <= WGL_BOUND
+        sits directly below (through pass-through wrappers) — i.e. the
+        exchange's per-key payload is pruned map-side before the
+        shuffle."""
+        name = node.nodeName()
+        if name == "WindowGroupLimit":
+            try:
+                return (node.mode().toString() == "Partial"
+                        and int(node.limit()) <= WGL_BOUND)
+            except Exception:  # noqa: BLE001 — conservative: not bounded
+                return False
+        if not any(name.startswith(pfx) for pfx in PASS_THROUGH):
+            return False
+        ch = node.children()
+        return any(_partial_wgl_below(ch.apply(i)) for i in range(ch.size()))
 
     def rank_exchange(node, acc) -> None:
         name = node.nodeName()
         if name == "Exchange":
+            ch = node.children()
+            if any(_partial_wgl_below(ch.apply(i)) for i in range(ch.size())):
+                return
             attrs = node.output()
             for i in range(attrs.size()):
                 a = attrs.apply(i)
