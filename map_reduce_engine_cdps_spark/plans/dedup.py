@@ -444,33 +444,50 @@ FROM scored WHERE containment >= {CONTAINMENT_MIN}
 # ---------------------------------------------------------------------------
 
 def _simhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — hash the dictionary, not the corpus.
-
-    Token votes depend only on the token, so md5 runs once per
-    *distinct* term (the vocabulary — orders of magnitude smaller than
-    the token stream at any scale) and the per-token vote vector joins
-    back to the exploded stream. Everything after the explode is plain
-    codegen'd expressions + map-side-combined sums: measured 2.6x over
-    the single-pass higher-order-function fold (TX.simhash16, kept as
-    the expression-level variant) at sf1, identical output. On a
-    cluster the broadcast becomes a shuffle join on the term if the
-    vocabulary outgrows the broadcast threshold; AQE picks.
+    """(doc_id, simhash) — one tokenize pass, votes inline per
+    (doc, term) pair (round-12 shape; history and A/B numbers on the
+    inline comment below). Everything after the explode is plain
+    codegen'd expressions + map-side-combined sums: the r5 dictionary
+    variant already measured 2.6x over the single-pass
+    higher-order-function fold (TX.simhash16, kept as the
+    expression-level variant) at sf1; round 12 removes that variant's
+    second tokenize pass and vocabulary join on top.
     """
     docs = load_parallel(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
     ex = docs.select("doc_id", F.explode(tok).alias("tk"))
-    vocab = ex.select("tk").distinct()
-    vh = vocab.select("tk", F.md5("tk").alias("h"))
-    vv = vh.select(
-        "tk",
+    # Round 12 (guide §2.3/§2.4): ONE tokenize pass. The r5-r11 shape
+    # hashed the dictionary (distinct terms -> md5 votes -> broadcast
+    # join back to the exploded stream), which re-planned the tokenize
+    # + explode subtree on BOTH branches — column pruning makes the
+    # vocab branch's scan differ from the join branch's, so not even
+    # AQE exchange reuse can dedupe them, and the corpus was tokenized
+    # twice per run. Now: partial-aggregate the token stream to
+    # (doc_id, term, count) — map-side combined, so the one exchange
+    # carries distinct pairs, not occurrences — and compute the md5
+    # vote INLINE per pair row, weighting by count. Votes are ±1
+    # integers and c·v sums are exact integer arithmetic, so the
+    # result is bit-identical (sum over occurrences == sum of
+    # count-weighted votes over distinct pairs). At 100 TB the md5
+    # moves from |vocab| to |doc-term pairs| evaluations, but both are
+    # embarrassingly parallel map work, the second full tokenize pass
+    # (the real cost) is gone, and so is the vocabulary join that
+    # outgrows the broadcast threshold on a real corpus. Interleaved
+    # A/B (one session, 5 passes): sf0.1 1.473 -> 1.313 s median, sf1
+    # 1.838 -> 1.727 s; identical output at both SFs (a
+    # localCheckpoint branch-point variant and a count-weighted
+    # vocab-join variant both measured slower — 1.393/2.061 s and
+    # 1.561/1.917 s).
+    exc = ex.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
+    h = F.md5("tk")
+    agg = exc.groupBy("doc_id").agg(
         *[
-            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1).alias(f"v{i}")
+            F.sum(
+                F.col("c")
+                * F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{i}")
             for i in range(16)
-        ],
-    )
-    j = ex.join(F.broadcast(vv), "tk")
-    agg = j.groupBy("doc_id").agg(
-        *[F.sum(f"v{i}").alias(f"s{i}") for i in range(16)]
+        ]
     )
     return agg.select(
         "doc_id",
