@@ -179,11 +179,30 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 3.3x at sf1, identical output). At web scale the df
     # table is ~vocabulary x 16 bytes; if it outgrows the broadcast
     # threshold AQE falls back to the shuffle join at runtime.
+    #
+    # Round 12 (guide §2.4): tf is localCheckpointed (lazy, fresh per
+    # invocation — nothing survives across runs). Without it the tf
+    # subtree is PLANNED TWICE (once under the dfreq branch, once as
+    # the join's probe side) and — because the repartition exchange
+    # sits BELOW the tokenize and column pruning makes the two copies'
+    # scans differ — the corpus was tokenized twice per run. The
+    # checkpoint materializes the (doc_id, word, tf) pairs once;
+    # at 100 TB this is the same persisted-intermediate shape as the
+    # LSH pair memo (a parquet of the tf table), and df stays a
+    # partial-aggregated groupBy, immune to hot-word skew (a
+    # df-as-window-over-word variant measured similarly but buffers a
+    # stopword's whole document list in one window task at scale —
+    # rejected). Interleaved A/B, one session, 5 passes, identical
+    # output: sf0.1 1.345 -> 1.112 s median, sf1 1.825 -> 1.565 s.
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.repartition("doc_id").select(
         "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
     )
-    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
