@@ -40,9 +40,19 @@ def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency ratio of the most repeated token (repetition gate, the
     Gopher-style "most common word" rule). All computed via built-in
     higher-order functions over the token array — one narrow stage, no
-    shuffle, codegen-friendly.
+    shuffle (beyond load_parallel's local-mode width exchange).
+
+    Round 12: load_parallel, not load_table — the modal-token HOF is
+    O(distinct×tokens) interpreted work per row, and a single small
+    parquet file pinned the whole pass to one thread (guide §2.6
+    stragglers): isolated noop A/B sf1 5.889 → 0.697 s (8.4×), sf0.1
+    0.829 → 0.435 s, identical output. A sorted run-length rewrite of
+    the modal count was also tried and measured SLOWER than the
+    existing expressions once parallel (sf1 1.034 vs 0.697 s) — the
+    struct-accumulator fold allocates per element; rejected. On a real
+    cluster the 128 MB scan splits provide this width for free.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     d = docs.select("doc_id", "source", TX.tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     mean_len = F.aggregate(
