@@ -525,3 +525,63 @@ def test_certification_window_names_all_have_oracles():
     window = list(_REGISTRY)[:50]
     missing = [n for n in window if _REGISTRY[n][1] is None]
     assert not missing, f"no-oracle names in the gate window: {missing}"
+
+
+# --- round-12 optimization shape pins (OPTIMIZATION_r12.md) ---
+
+
+def test_simhash_tokenizes_once(spark):
+    """Round 12: _simhash_per_doc computes votes inline on the
+    (doc_id, term, count) aggregate — exactly ONE tokenize/explode
+    (Generate) in the whole plan. The r5-r11 dictionary-join shape
+    planned the explode twice (vocab branch + join branch); a second
+    Generate reappearing here means the double tokenize pass is back."""
+    from map_reduce_engine_cdps_spark.plans.dedup import _simhash_per_doc
+
+    df = _simhash_per_doc(spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_gen = len(re.findall(r"\bGenerate explode", plan))
+    assert n_gen == 1, f"expected 1 tokenize Generate, found {n_gen}:\n{plan[:2000]}"
+
+
+def test_tfidf_tf_is_checkpointed(spark):
+    """Round 12: tfidf_top_terms localCheckpoints the tf aggregate so
+    the corpus is tokenized once per run (the tf subtree is consumed by
+    both the dfreq branch and the join probe side). The checkpoint
+    truncates lineage, so the final plan must NOT contain a tokenize
+    Generate — the tf rows come from the checkpointed RDD scan."""
+    df = _REGISTRY["tfidf_top_terms"][0](spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" not in plan, plan[:2000]
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan[:2000]
+
+
+def test_ivf_rank_exchange_is_wgl_bounded(spark):
+    """Round 12: the IVF rank exchanges may carry the embedding ONLY
+    because a Partial WindowGroupLimit prunes map-side to <= n rows per
+    vector first (plan_audit's WGL exemption). If the partial WGL ever
+    disappears (optimizer regression / shape change), the exemption
+    must stop applying and the scalar-only audit must flag the plan."""
+    from tools.plan_audit import rank_window_array_exchanges
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _REGISTRY["ivf_ann_topk"][0](spark, SF_DIR)
+        # the audit returns [] — arrays present but WGL-bounded
+        assert rank_window_array_exchanges(df) == []
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_quality_filter_flags_scan_is_parallel(spark):
+    """Round 12: quality_filter_flags re-parallelizes the one-file scan
+    (load_parallel) — the modal-token HOF is the per-row cost center
+    and must not run single-threaded in local mode."""
+    df = _REGISTRY["quality_filter_flags"][0](spark, SF_DIR)
+    par = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() >= min(par, 2)

@@ -75,6 +75,15 @@ QUERIES = [
     # reworks that had only been measured at sf1
     "waiting_suppliers",
     "lsh_band_tuning_eval",
+    # round-12 ratchet (VERDICT r11 item 7): the r11 additions, so
+    # every 100 TB-decision eval carries its own decade-scaling
+    # receipt; plus the r12 additions for the same reason. Run via the
+    # existing subset+merge mode when an sf10-capable quiet host is
+    # available (round-12 host unsuitable — SCALE.md decay receipts).
+    "ivf_nprobe_sweep_eval",
+    "minmax_file_skipping_eval",
+    "skew_remediation_eval",
+    "compaction_plan_eval",
 ]
 
 SFS = {
