@@ -191,6 +191,91 @@ def bucket_pair_cos_kernel(min_raw_cos: float):
     return _pairs
 
 
+def group_query_cos_kernel():
+    """Query-vs-members cosine kernel for ``applyInPandas`` — the
+    grouped twin of the ``norm_arrow``/``dot_arrow`` pair join for the
+    ANN top-k queries (knn_bruteforce, lsh_ann_topk).
+
+    Given one group's rows (columns ``vec_id``, ``embedding``,
+    ``is_q`` — queries flagged True, members False), computes the raw
+    cosine of every (query × member) pair with ``query_id != cand_id``
+    IN NUMPY and returns (query_id, cand_id, cos_raw).
+
+    Bit-exactness is inherited from the :func:`dot_arrow` /
+    :func:`norm_arrow` arguments: products are elementwise IEEE float64
+    multiplies, ``np.cumsum`` accumulates strictly left-to-right (the
+    same fold as ``F.aggregate`` and DuckDB ``list_sum``), norms are the
+    correctly-rounded IEEE sqrt of the same fold, and the final
+    ``dots / (q_n * c_n)`` is the same scalar multiply + divide the JVM
+    expression performed — so ``cos_raw`` is bit-identical to the
+    join-then-dot formulation (re-verified over every sf0.1/sf1 pair at
+    the round-13 swap: 0 differing rows). The caller applies the
+    authoritative ``F.round`` JVM-side (np.round ties half-to-even) and
+    the rank window.
+
+    Why grouped instead of join+dot (guide §4, §2.3): the pair-join
+    formulation materializes every (query, candidate) pair as a
+    2×dim-double Arrow row — the corpus crosses the Python boundary
+    once PER QUERY with both embeddings attached — while here each
+    member embedding crosses exactly once per group and only 3-scalar
+    rows come back. NULL embeddings are dropped like the sibling
+    kernels (the embeddings table contains none; pinned by the oracle
+    gate at every SF).
+
+    If the group carries a ``bucket`` column, a query only pairs with
+    members of ITS bucket (mask, not per-bucket groups: grouped-map
+    pays ~ms of pandas overhead PER GROUP, so bucket×salt group keys
+    measured 10× slower than hash-salt groups with an in-kernel
+    bucket mask at sf0.1 — receipts in tools/r13_ann_ab.py runs,
+    OPTIMIZATION_r13.md).
+    """
+
+    def _sims(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "cand_id": pd.Series([], dtype="int64"),
+                "cos_raw": pd.Series([], dtype="float64"),
+            }
+        )
+        pdf = pdf[pdf["embedding"].notna()]
+        qdf = pdf[pdf["is_q"]]
+        cdf = pdf[~pdf["is_q"]]
+        if len(qdf) == 0 or len(cdf) == 0:
+            return empty
+        Q = np.vstack(qdf["embedding"].to_numpy()).astype(np.float64)
+        C = np.vstack(cdf["embedding"].to_numpy()).astype(np.float64)
+        qids = qdf["vec_id"].to_numpy()
+        cids = cdf["vec_id"].to_numpy()
+        buckets = "bucket" in pdf.columns
+        if buckets:
+            qb = qdf["bucket"].to_numpy()
+            cb = cdf["bucket"].to_numpy()
+        qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+        cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+        outs = []
+        for qi in range(len(qids)):  # ≤ N_QUERIES rows per group
+            keep = cids != qids[qi]
+            if buckets:
+                keep &= cb == qb[qi]
+            if not keep.any():
+                continue
+            dots = np.cumsum(C[keep] * Q[qi], axis=1)[:, -1]
+            cos = dots / (qn[qi] * cn[keep])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(int(keep.sum()), qids[qi]),
+                        "cand_id": cids[keep],
+                        "cos_raw": cos,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return _sims
+
+
 def hyperplane_bit(a: Column, h: int) -> Column:
     """Sign bit of the projection of ``a`` onto a deterministic integer
     pseudo-random hyperplane: w[j] = ((h*31 + j*17) % 7) - 3 for

@@ -57,27 +57,70 @@ def _queries_and_candidates(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# knn_bruteforce — exact cosine top-k per query. The query side is tiny →
-# broadcast nested-loop join; ranking on the rounded similarity with a
-# vec_id tie-break makes the result deterministic across engines.
+# knn_bruteforce — exact cosine top-k per query, computed with the
+# grouped query-vs-members kernel (round 13; guide §4/§2.3): the corpus
+# is salted into deterministic hash groups, the (tiny) query set is
+# replicated to every group, and one applyInPandas crossing scores each
+# group's members against all queries in numpy. Each member embedding
+# crosses the Python boundary ONCE; the old broadcast-cross-join shape
+# shipped the corpus once PER QUERY as pair rows carrying BOTH
+# embeddings (10 queries × 2×dim doubles ≈ 20× the Arrow bytes) plus a
+# separate full-corpus norm pass. Ranking on the JVM-rounded similarity
+# with a vec_id tie-break keeps the result deterministic across engines.
 # ---------------------------------------------------------------------------
 
+_GROUP_SIMS_SCHEMA = "query_id long, cand_id long, cos_raw double"
+
+
+def _ann_salt_groups(emb: DataFrame) -> int:
+    """Salt-group count for the grouped ANN kernel: max(cores, scan
+    splits). Locally that is defaultParallelism (full width); on a
+    cluster the scan-split count grows with the data (~128 MB splits),
+    so a group's members are bounded at ~one split of embeddings
+    regardless of scale — grouped-map materializes a whole group in
+    pandas, so group size, not group count, is the memory bound. Group
+    COUNT stays low at toy SF, which matters the other way: grouped-map
+    pays ~ms of pandas overhead per group (measured, receipts in
+    OPTIMIZATION_r13.md)."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    return max(par, emb.rdd.getNumPartitions())
+
+
+def _query_group_sims(
+    q: DataFrame, cand: DataFrame, n_groups: int, carry: list
+) -> DataFrame:
+    """Shared grouped-kernel tail: replicate the query side to every
+    salt value, union with the salted member side, and score each hash
+    group with one grouped Arrow crossing. Members get
+    g = pmod(xxhash64(vec_id)) — deterministic under task retry, unlike
+    rand() salts (guide §2.5) — queries get every value. ``carry``
+    columns (e.g. the LSH bucket) ride along as kernel payload, NOT as
+    grouping keys: per-group pandas overhead is ~ms, so fine-grained
+    (bucket, salt) keys measured 10× slower than an in-kernel bucket
+    mask at sf0.1."""
+    spark = q.sparkSession
+    salted = cand.withColumn(
+        "g", F.pmod(F.xxhash64("vec_id"), F.lit(n_groups))
+    ).withColumn("is_q", F.lit(False))
+    replicated = q.crossJoin(
+        F.broadcast(spark.range(n_groups).select(F.col("id").alias("g")))
+    ).withColumn("is_q", F.lit(True))
+    cols = ["g", "vec_id", "embedding", "is_q", *carry]
+    return (
+        salted.select(*cols)
+        .unionByName(replicated.select(*cols))
+        .groupBy("g")
+        .applyInPandas(V.group_query_cos_kernel(), _GROUP_SIMS_SCHEMA)
+    )
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    q, c = _queries_and_candidates(spark, sf_dir)
-    sims = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _cos_pre_arrow(
-                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    sims = _query_group_sims(
+        q, emb.select("vec_id", "embedding"), _ann_salt_groups(emb), []
+    ).select(
+        "query_id", "cand_id", F.round("cos_raw", 6).alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -156,6 +199,37 @@ FROM b GROUP BY bucket
 # ---------------------------------------------------------------------------
 
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 13: eqNullSafe, not "=", on the bucket pair join. An
+    # equi-join key makes Catalyst infer isnotnull(bucket) and push it
+    # below the projection, DUPLICATING the deterministic bucket UDF
+    # (guide §4.4) — the r5-r12 executed plans ran the Arrow bucket
+    # kernel TWICE over the full corpus. Null-safe equality infers no
+    # null filter, so the corpus pays the kernel once. Semantics are
+    # unchanged: the query buckets are never NULL (query embeddings are
+    # non-null at every SF), so <=> and = match identical row sets.
+    #
+    # Measured-and-rejected r13 alternatives (tools/r13_ann_ab.py,
+    # OPTIMIZATION_r13.md): (a) the knn grouped kernel over
+    # (bucket-masked) salt groups — each embedding crosses Python once,
+    # the 100 TB-preferred payload shape — and (b) a broadcast semi-join
+    # prefilter that runs the candidate norm on query-bucket survivors
+    # only. Both won at sf1 volume but cost 0.15-0.3 s of fixed
+    # stage/grouped-map latency at sf0.1, regressing the certified
+    # bench SF; at real scale the planner's size estimates replace this
+    # toy-SF candidate broadcast with a shuffle join on bucket, so the
+    # shape below stays sound (bucket skew is AQE skew-join territory).
+    sims = _lsh_bucket_sims(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("cand_id").alias("nn_id"), "cos_sim")
+    )
+
+
+def _lsh_bucket_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-joined (query, candidate, cos_sim) rows — the shared
+    front of lsh_ann_topk and ann_recall_eval's LSH side."""
     emb = load_table(spark, sf_dir, "embeddings")
     norm_pd = V.norm_arrow()
     d = emb.withColumn(
@@ -171,10 +245,10 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         norm_pd(F.col("embedding")).alias("c_n"),
-        "bucket",
+        F.col("bucket").alias("c_bucket"),
     )
-    sims = (
-        q.join(c, "bucket")
+    return (
+        q.join(c, F.col("bucket").eqNullSafe(F.col("c_bucket")))
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
@@ -186,12 +260,6 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos_sim"),
         )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("cand_id").alias("nn_id"), "cos_sim")
     )
 
 
@@ -826,37 +894,10 @@ FROM e GROUP BY pos ORDER BY pos
 
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_bruteforce(spark, sf_dir)  # query_id, cand_id, cos_sim, rank
-    emb = load_table(spark, sf_dir, "embeddings")
-    norm_pd = V.norm_arrow()
-    d = emb.withColumn(
-        "bucket", V.lsh_bucket_arrow(N_PLANES)(F.col("embedding"))
-    )
-    q = d.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        norm_pd(F.col("embedding")).alias("q_n"),
-        "bucket",
-    )
-    c = d.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_emb"),
-        norm_pd(F.col("embedding")).alias("c_n"),
-        "bucket",
-    )
-    sims = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                _cos_pre_arrow(
-                    F.col("q_emb"), F.col("c_emb"), F.col("q_n"), F.col("c_n")
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
+    # r13: shares lsh_ann_topk's sims front (eqNullSafe bucket keys —
+    # one corpus bucket/norm pass instead of the duplicated pass the
+    # inferred isnotnull(bucket) caused here too, guide §4.4).
+    sims = _lsh_bucket_sims(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     lshk = (
         sims.withColumn("rn", F.row_number().over(w))

@@ -249,10 +249,26 @@ def test_lsh_pair_exchanges_are_scalar_only(spark):
 
 ANN_FAMILY_ARRAY_EXCHANGE_BOUNDS = {
     # embeddings may cross a shuffle Exchange at most once per relation
-    # (re-attach / probe join); rank windows must shuffle scalars only.
-    "knn_bruteforce": 0,        # queries broadcast; corpus never shuffles
-    "lsh_ann_topk": 0,          # bucket join broadcasts the candidate side
-    "ann_recall_eval": 0,       # both sides broadcast
+    # (re-attach / probe join); rank windows shuffle scalars only unless
+    # a Partial WindowGroupLimit bounds the exchange (r12 exemption, see
+    # rank_window_array_exchanges).
+    "knn_bruteforce": 1,        # r13 grouped kernel: ONE salt-group
+                            # exchange carries the corpus ×1 (queries
+                            # replicated via broadcast range) — the
+                            # bucket_pair_cos shape; the old 0-crossing
+                            # shape paid 10×2 embeddings per pair at
+                            # the Arrow boundary instead
+    "lsh_ann_topk": 0,          # bucket join broadcasts the candidate
+                            # side at this SF (size-based, not hinted —
+                            # at scale the planner shuffles instead);
+                            # r13 kept the pair-join shape (grouped /
+                            # semi-prefilter variants measured slower
+                            # at sf0.1, receipts in tools/r13_ann_ab)
+                            # but eqNullSafe keys now stop the bucket
+                            # UDF from evaluating twice per side
+    "ann_recall_eval": 1,       # LSH side broadcasts; the exact side
+                            # is knn_bruteforce and inherits its one
+                            # salt-group crossing (r13)
     "ivf_ann_topk": 4,          # r12 carry-through-window shape: q_emb /
                             # c_emb each cross their rank exchange
                             # (corpus×n rows — partial WindowGroupLimit
@@ -576,6 +592,55 @@ def test_ivf_rank_exchange_is_wgl_bounded(spark):
         assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+# --- round-13 optimization shape pins (OPTIMIZATION_r13.md) ---
+
+
+def test_wgl_bound_covers_nprobe_sweep():
+    """ADVICE r12: plan_audit's WGL exemption (limit <= WGL_BOUND) and
+    the IVF probe counts are coupled only by convention — make the
+    relationship explicit so raising NPROBE past the bound is a loud,
+    reviewed ratchet flip, not a silent plan-audit failure. Pure
+    structural check — no Spark."""
+    from map_reduce_engine_cdps_spark.plans.similarity import (
+        NPROBE,
+        _NPROBE_SWEEP,
+    )
+    from tools.plan_audit import WGL_BOUND
+
+    assert max(_NPROBE_SWEEP) <= WGL_BOUND
+    assert NPROBE <= WGL_BOUND
+
+
+def test_knn_grouped_kernel_single_crossing(spark):
+    """Round 13: knn_bruteforce scores via ONE grouped Arrow crossing
+    (FlatMapGroupsInPandas over hash-salt groups) — no per-pair
+    ArrowEvalPython passes remain (the old shape shipped the corpus
+    once per query with BOTH embeddings on every pair row, plus a
+    full-corpus norm pass). An ArrowEvalPython reappearing here means
+    the pair-join shape is back."""
+    df = _REGISTRY["knn_bruteforce"][0](spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan, plan[:2000]
+
+
+def test_lsh_bucket_kernel_not_duplicated(spark):
+    """Round 13: lsh_ann_topk joins on eqNullSafe(bucket) so Catalyst
+    cannot infer isnotnull(bucket) and duplicate the deterministic
+    bucket UDF below the pushed filter (guide §4.4) — the r5-r12 plans
+    ran the Arrow bucket kernel TWICE over the full corpus. Executed
+    plan: exactly 3 ArrowEvalPython nodes (query norm+bucket, corpus
+    norm+bucket — Spark merges adjacent independent UDFs — and the
+    pair dot); a 4th means the inferred-null-filter duplication is
+    back."""
+    df = _REGISTRY["lsh_ann_topk"][0](spark, SF_DIR)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"ArrowEvalPython", plan))
+    assert n <= 3, f"expected <=3 ArrowEvalPython, found {n}:\n{plan[:2000]}"
 
 
 def test_quality_filter_flags_scan_is_parallel(spark):

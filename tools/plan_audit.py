@@ -159,6 +159,20 @@ ARRAY_STRING_EXCHANGE_BAN = [
 ]
 
 
+# A map-side partial WindowGroupLimit with a small limit BELOW a rank
+# exchange caps the exchange payload at limit rows per key —
+# corpus×limit, not the K-fold blow-up the rank audit exists for
+# (round 12: the IVF rank exchanges carry (vec, norm) through the
+# window so the winners need no re-attach join; legal only because the
+# partial WGL prunes to n ≤ WGL_BOUND rows per vector first).
+# Module-level so tests can assert the coupling max(_NPROBE_SWEEP) <=
+# WGL_BOUND explicitly (ADVICE r12): raising NPROBE past the bound
+# flips plans from exempt to flagged (the intended ratchet), while
+# raising WGL_BOUND widens the exemption for every future plan and
+# must be a deliberate, reviewed change.
+WGL_BOUND = 8
+
+
 def rank_window_array_exchanges(df) -> list[tuple[str, str, str]]:
     """Array-typed payload columns of any Exchange inserted FOR a
     Window's partitioning — i.e. embeddings riding a rank/argmin
@@ -174,13 +188,6 @@ def rank_window_array_exchanges(df) -> list[tuple[str, str, str]]:
     out: list[tuple[str, str, str]] = []
     PASS_THROUGH = ("Sort", "WindowGroupLimit", "WholeStageCodegen",
                     "InputAdapter", "ColumnarToRow")
-    # A map-side partial WindowGroupLimit with a small limit BELOW the
-    # exchange caps the exchange payload at limit rows per key —
-    # corpus×limit, not the K-fold blow-up this audit exists for
-    # (round 12: the IVF rank exchanges carry (vec, norm) through the
-    # window so the winners need no re-attach join; legal only because
-    # the partial WGL prunes to n ≤ WGL_BOUND rows per vector first).
-    WGL_BOUND = 8
 
     def _partial_wgl_below(node) -> bool:
         """True if a Partial WindowGroupLimit with limit <= WGL_BOUND
