@@ -755,14 +755,23 @@ def connected_components(
         # labels is the build side (shuffle_hash): edges then stream
         # through the join unsorted and unshuffled (pre-partitioned by
         # src above) — an SMJ would re-sort the edge list every round.
-        nbr_min = (
-            edges.join(labels.hint("shuffle_hash"), edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("comp").alias("nbr_min"))
-        )
-        new_labels = labels.join(nbr_min.hint("shuffle_hash"), "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("comp"), F.coalesce("nbr_min", "comp")).alias("comp"),
+        # r13: one join per round, not two. The old shape aggregated
+        # neighbor minima and LEFT-joined them back onto labels; the
+        # union-aggregate computes min(own label, neighbor labels) in
+        # the SAME exchange the neighbor aggregation needed anyway —
+        # algebraically identical (min over the union vs least(own,
+        # coalesce(nbr_min, own)); integers, so bit-exact), one fewer
+        # join build+probe and one fewer stage per round. The edge
+        # fan-out is still partial-aggregated map-side before the
+        # exchange (groupBy min), so the shuffle carries O(vertices),
+        # not O(edges), per round.
+        propagated = edges.join(
+            labels.hint("shuffle_hash"), edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "comp")
+        new_labels = (
+            propagated.unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
         )
         if (rnd + 1) % _CC_CHECKPOINT_EVERY == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
