@@ -178,6 +178,35 @@ def run_suite(
     return medians, iqrs
 
 
+# Queries whose cost lives in COMPUTED columns the count() action
+# prunes (VERDICT r12 items 3/7: quality_filter_flags' modal-token HOF
+# was invisible to the count-timed line — an 8.4x fix never moved the
+# bench). Timed separately with the noop sink (guide §1.4: computes
+# every column, discards the result), AFTER the frozen count-timed
+# suite so the 27 headline lines stay comparable across rounds.
+# Additions-only: new artifact key, never part of `value`.
+NOOP_COMPUTE = ["quality_filter_flags", "text_quality"]
+
+
+def measure_noop_compute(spark, sf_dir: str, runs: int = 3) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in NOOP_COMPUTE:
+        fn, _ = _REGISTRY[name]
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts = []
+            for _ in range(runs):
+                df = fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(ts), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"noop-compute error {name}: {e}", file=sys.stderr)
+            out[name] = -1.0
+    return out
+
+
 # Derived 10x replication of sf0.1 (tools/scale_data.py) for the
 # scaling-slope point in BASELINE.md's measurement plan. Only timed
 # when present and not disabled, so the driver's sf0.1 run stays fast.
@@ -192,6 +221,7 @@ def main() -> None:
     prewarm(spark, sf_dir)
     memo_builds = measure_memo_builds(spark, sf_dir)
     timings, iqrs = run_suite(spark, sf_dir, runs=runs)
+    noop_compute = measure_noop_compute(spark, sf_dir)
     total = round(sum(t for t in timings.values() if t > 0), 3)
     out = {
         "metric": "headline_query_wall_time_total",
@@ -203,8 +233,13 @@ def main() -> None:
         "methodology": (
             "median+IQR over interleaved passes, warm-up pass excluded; "
             "r12+: representative heavy pre-warm before all timed lines "
-            "(excluded), see OPTIMIZATION_r12.md"
+            "(excluded), see OPTIMIZATION_r12.md; r13+: separate "
+            "noop-sink medians for compute-pruned queries under "
+            "noop_compute (additions-only, excluded from value)"
         ),
+        # Noop-sink lines for queries whose computed columns count()
+        # prunes (VERDICT r12 item 7); excluded from `value`.
+        "noop_compute": noop_compute,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Once-per-session memo builds, timed before warm-up and
         # EXCLUDED from `value` (the 27-query set is frozen; r1-r9
@@ -239,6 +274,7 @@ def main() -> None:
         out["sf1_queries"] = sf1
         out["sf1_queries_iqr"] = sf1_iqr
         out["sf1_value"] = round(sum(t for t in sf1.values() if t > 0), 3)
+        out["sf1_noop_compute"] = measure_noop_compute(spark, SF1_DIR)
     # The driver's BENCH_r{N}.json keeps only the last 2000 stdout
     # chars (the visible first dict is queries_iqr, not the medians —
     # VERDICT r6 item 7), so also persist the complete JSON alongside
@@ -285,7 +321,7 @@ def main() -> None:
         for k, v in out.items()
         if k not in (
             "queries_iqr", "sf1_queries", "sf1_queries_iqr",
-            "sf1_memo_builds", "memo_note",
+            "sf1_memo_builds", "sf1_noop_compute", "memo_note",
         )
     }
     if full_name:

@@ -198,6 +198,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.repartition("doc_id").select(
         "doc_id", F.explode(TX.clean_tokens(F.col("text"))).alias("word")
     )
+    # Fault-tolerance caveat (ADVICE r12): localCheckpoint stores the
+    # tf blocks executor-locally and TRUNCATES lineage — on a cluster,
+    # losing an executor fails the job instead of recomputing, and the
+    # blocks are freed only when the driver GCs this DataFrame. The
+    # cluster-scale analogue is a reliable checkpoint / persisted
+    # parquet of the tf table (the LSH pair-memo shape). Lazy (not
+    # eager): the first consumer materializes it; per-invocation, so
+    # nothing crosses bench runs; if session storage growth ever shows
+    # up across many invocations, switch to persist()+unpersist.
     tf = (
         toks.groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -643,6 +643,38 @@ def test_lsh_bucket_kernel_not_duplicated(spark):
     assert n <= 3, f"expected <=3 ArrowEvalPython, found {n}:\n{plan[:2000]}"
 
 
+def test_one_vs_one_multicast_payload_is_minimal(spark):
+    """Round 13 (VERDICT r12 item 6): the pair-multicast exchange
+    feeding the grouped trainer must carry exactly the trainer's
+    columns — label_a/label_b (pair key), label, vec_id, embedding.
+    Any extra attribute here is multiplied K-1 times per embedding row
+    by the multicast."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _REGISTRY["one_vs_one_training"][0](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    def find_fmg(node):
+        if "FlatMapGroupsInPandas" in node.nodeName():
+            return node
+        ch = node.children()
+        for i in range(ch.size()):
+            r = find_fmg(ch.apply(i))
+            if r is not None:
+                return r
+        return None
+
+    fmg = find_fmg(plan)
+    assert fmg is not None
+    child = fmg.children().apply(0)
+    attrs = child.output()
+    names = {attrs.apply(i).name() for i in range(attrs.size())}
+    assert names == {"label_a", "label_b", "label", "vec_id", "embedding"}, names
+
+
 def test_quality_filter_flags_scan_is_parallel(spark):
     """Round 12: quality_filter_flags re-parallelizes the one-file scan
     (load_parallel) — the modal-token HOF is the per-row cost center

@@ -1,8 +1,14 @@
 """Round-12 A/B: ivf_ann_topk old shape (K-row centroid crossJoin +
-Arrow pair dots + rank window + re-attach join) vs new shape (1-row
-centroid array + single-crossing list_sims_kernel + per-row
-array_sort top-n). Interleaved in ONE session because this host's
-noise swamps cross-session comparisons (SCALE.md round-12 receipts).
+Arrow pair dots + rank window + re-attach id-join) vs the SHIPPED
+carry-through-window shape (vec/norm ride the rank exchange — map-side
+Partial WindowGroupLimit prunes it to corpus×n — so the winners need
+no re-attach join or second corpus scan). An earlier candidate ("1-row
+centroid array + single-crossing list_sims_kernel + per-row array_sort
+top-n") was measured SLOWER and reverted before this script was
+finalized; `new` here benchmarks the shipped S.ivf_ann_topk, not that
+variant (ADVICE r12 docstring fix). Interleaved in ONE session because
+this host's noise swamps cross-session comparisons (SCALE.md round-12
+receipts).
 
 Run: python tools/ivf_r12_ab.py [sf_dir] [passes]
 """
