@@ -1221,15 +1221,25 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # 8-50. Rows-only (no-oracle) queries are kept OUT of the first 50 — the
 # driver records err:"no_oracle" for them, wasting a certification slot.
 _PRIORITY_ORDER = [
-    # --- round-12 certification window (driver gate = first 50) ---
-    # Positions 1-2: the round-12 rationed additions (VERDICT r11
-    # item 3: skew-remediation knob curve + small-files compaction
-    # planner), staged for same-round certification.
-    "skew_remediation_eval",
-    "compaction_plan_eval",
-    # Positions 3-20: one canary per family (streaming, multimodal,
-    # compat shims, dedup, ANN, text, curation, graph - the same
-    # coverage set as the r9-r11 rotations).
+    # --- round-13 certification window (driver gate = first 50) ---
+    # Positions 1-9: every query whose plan changed in round 13
+    # (knn grouped kernel; lsh/ann_recall eqNullSafe bucket keys;
+    # CC fused round -> near_dup_clusters + near_dup_prune) plus the
+    # four round-12-touched paths the r12 rotation left externally
+    # un-re-certified (VERDICT r12 items 1-2: touched queries go
+    # AHEAD of the receipt-refresh rotation).
+    "knn_bruteforce",
+    "lsh_ann_topk",
+    "ann_recall_eval",
+    "near_dup_clusters",
+    "near_dup_prune",
+    "simhash_buckets",
+    "simhash_hamming_pairs",
+    "quality_filter_flags",
+    "ivf_nprobe_sweep_eval",
+    # Positions 10-25: one canary per family (streaming, multimodal,
+    # compat shims, dedup, ANN, text, curation, graph, grouped-map
+    # training - the same coverage set as the r9-r12 rotations).
     "danger_topk",
     "wordcount_shim",
     "danger_shim",
@@ -1240,18 +1250,43 @@ _PRIORITY_ORDER = [
     "media_features",
     "dedup_exact",
     "minhash_lsh_pairs",
-    "near_dup_prune",
-    "lsh_ann_topk",
     "ivf_ann_topk",
-    "ann_recall_eval",
     "wordcount",
     "tfidf_top_terms",
     "decontamination",
     "bfs_hops",
-    # Positions 21-50: the 30 longest-unrefreshed receipts - the 17
-    # queries whose only driver certification is still round 1, then
-    # the oldest round-3 receipts (alphabetical among equals;
-    # computed from CORRECTNESS_r01..r11).
+    "one_vs_one_training",
+    # Positions 26-50: the 25 longest-unrefreshed receipts (oldest
+    # driver certification first - r03/r04 receipts - alphabetical
+    # among equals; computed from CORRECTNESS_r01..r12).
+    "label_pairs",
+    "lsh_bucket_stats",
+    "mode_per_user_bucket",
+    "multi_format_union",
+    "ngram_jaccard_topk",
+    "partitioned_pruned_stats",
+    "returnflag_accuracy",
+    "sampled_docs_per_source",
+    "schema_drift_union",
+    "segments_per_nation",
+    "stable_row_ids",
+    "systematic_sample",
+    "top_orders",
+    "train_test_split",
+    "union_slices",
+    "xml_roundtrip_stats",
+    "click_asof_cogroup",
+    "click_asof_purchase",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_repetition_stats",
+    "epoch_shuffle",
+    "inverted_index_stats",
+    "kwic_snippets",
+    "latest_event_per_user",
+    # --- below the gate window: prior-round order preserved ---
+    "skew_remediation_eval",
+    "compaction_plan_eval",
     "click_purchase_within_1h",
     "cohort_retention",
     "count_distinct_parts",
@@ -1282,10 +1317,6 @@ _PRIORITY_ORDER = [
     "file_provenance_stats",
     "incremental_dedup",
     "jsonl_roundtrip_stats",
-    # --- below the 50-query driver window: prior-round members in
-    # their previous relative order (all driver-certified r2-r11;
-    # pca_explained_variance is the declared rows-only entry) ---
-    "ivf_nprobe_sweep_eval",
     "minmax_file_skipping_eval",
     "monthly_gapfill_revenue",
     "sql_variable_pricey_parts",
@@ -1358,7 +1389,6 @@ _PRIORITY_ORDER = [
     "group_holdout_split",
     "lsh_pair_recall_eval",
     "customer_record_linkage",
-    "near_dup_clusters",
     "embedding_near_dup",
     "streaming_user_sessions",
     "streaming_trending_topk",
@@ -1367,14 +1397,11 @@ _PRIORITY_ORDER = [
     "image_dhash_dedup",
     "dedup_keep_best",
     "duplicate_spans",
-    "simhash_buckets",
     "minhash_signatures",
-    "knn_bruteforce",
     "kmeans_lloyd",
     "dbscan_clusters",
     "bm25_scores",
     "lang_id_accuracy",
-    "quality_filter_flags",
     "token_budget_sample",
     "kanon_release_stats",
     "dup_graph_triangles",
@@ -1410,7 +1437,6 @@ _PRIORITY_ORDER = [
     "knn_hubness_stats",
     "l_diversity_audit",
     "video_frame_samples",
-    "one_vs_one_training",
     "one_vs_one_shim",
     "ensemble_vote_accuracy",
     "pca_variance_identity",
@@ -1423,7 +1449,6 @@ _PRIORITY_ORDER = [
     "minhash_containment",
     "customer_golden_records",
     "sorted_neighborhood_pairs",
-    "simhash_hamming_pairs",
     "cdc_chunk_stats",
     "adamic_adar_links",
     "clustering_coefficients",
@@ -1509,20 +1534,14 @@ _PRIORITY_ORDER = [
     "arrow_label_centroids",
     "audio_window_features",
     "ppm_gradient_features",
-    "doc_fingerprints",
-    "inverted_index_stats",
     "top_bigrams",
-    "doc_repetition_stats",
     "unigram_logprob_scores",
     "sentiment_scores",
     "vocab_coverage_stats",
     "zipf_fit",
     "vocab_growth_heaps",
-    "kwic_snippets",
     "source_mixing_weights",
-    "doc_chunks",
     "pack_chunks_bins",
-    "epoch_shuffle",
     "weighted_doc_sample",
     "source_lang_entropy",
     "source_interleave",
@@ -1533,28 +1552,9 @@ _PRIORITY_ORDER = [
     "windowed_p95_value",
     "session_window_counts",
     "user_session_duration",
-    "latest_event_per_user",
     "window_ranks",
-    "click_asof_purchase",
-    "click_asof_cogroup",
     "streaming_sliding_distinct",
     "ppm_video_frame_samples",
-    "segments_per_nation",
-    "mode_per_user_bucket",
-    "returnflag_accuracy",
-    "label_pairs",
-    "union_slices",
-    "top_orders",
-    "systematic_sample",
-    "sampled_docs_per_source",
-    "train_test_split",
-    "partitioned_pruned_stats",
-    "xml_roundtrip_stats",
-    "multi_format_union",
-    "schema_drift_union",
-    "stable_row_ids",
-    "ngram_jaccard_topk",
-    "lsh_bucket_stats",
     "pca_explained_variance",
 ]
 
