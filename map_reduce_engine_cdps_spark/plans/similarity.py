@@ -38,24 +38,6 @@ def _cos_pre_arrow(qe, ce, qn, cn):
     return V.dot_arrow()(qe, ce) / (qn * cn)
 
 
-def _queries_and_candidates(spark: SparkSession, sf_dir: str):
-    """Query/candidate sides with their norms precomputed below the
-    pair join (3× fewer per-pair kernel evaluations than raw cosine)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    norm_pd = V.norm_arrow()
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        norm_pd(F.col("embedding")).alias("q_n"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_emb"),
-        norm_pd(F.col("embedding")).alias("c_n"),
-    )
-    return q, c
-
-
 # ---------------------------------------------------------------------------
 # knn_bruteforce — exact cosine top-k per query, computed with the
 # grouped query-vs-members kernel (round 13; guide §4/§2.3): the corpus
